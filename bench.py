@@ -1,0 +1,46 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line with per-query wall-clock seconds.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no collect/driver materialization cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from stock_data_pipeline_spark import queries as _q  # noqa: E402
+from stock_data_pipeline_spark.session import ensure_engine_confs, get_session  # noqa: E402
+
+
+def run() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = ensure_engine_confs(get_session("bench"))
+
+    timings: dict[str, float] = {}
+    for name, fn in _q.headline_queries().items():
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

@@ -1,0 +1,220 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Shuffle discipline at 100 TB:
+- exact dedup is one hash-partitioned groupBy on the key (or on a
+  64-bit fingerprint of it, so the shuffle carries 8 bytes not the
+  document);
+- Jaccard/MinHash candidate generation never cross-joins the corpus:
+  candidates come from an equi-join on shingle / band-bucket keys, so
+  the shuffle is proportional to the postings lists, not N²;
+- ultra-common shingles (stop-shingles) are the skew hazard — cap them
+  with ``max_df``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_data_pipeline_spark.llm.text import tokens
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct key.
+    Deterministic, unlike ``dropDuplicates`` (which keeps an arbitrary
+    row). The groupBy is a single hash shuffle on the key."""
+    return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+
+
+def word_ngrams(text_col, n: int = 2):
+    """Word n-gram shingles as an array column (positions i..i+n-1)."""
+    toks = tokens(text_col)
+    if n == 1:
+        return toks
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct pairs — the postings list."""
+    return (
+        df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs:
+    ``|shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)| ≥ threshold``.
+
+    Candidate pairs come from a self-equi-join on shingle (documents
+    sharing no shingle never meet — no cross join). ``max_df`` drops
+    shingles appearing in more than that many docs: a skew guard AND a
+    recall/precision knob (stop-shingles carry no signal).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b; intersection/union
+    counts are exact integers, so the ratio is bit-reproducible.
+    """
+    shingles = _doc_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        keep = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(F.broadcast(keep), "shingle")
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, num_perm: int = 64
+) -> DataFrame:
+    """MinHash signature per document: for seed s, sig[s] = min over
+    shingles of xxhash64(s, shingle). One explode + one groupBy —
+    the shuffle carries (id, shingle-hash), not the text."""
+    shingles = _doc_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"h{s}")
+        for s in range(num_perm)
+    ]
+    sig = shingles.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{s}") for s in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs: split the signature into ``bands``
+    rows of ``num_perm/bands`` hashes; documents colliding on any whole
+    band are candidates. Probability a pair with Jaccard j collides:
+    1 − (1 − j^r)^b with r = num_perm/bands.
+
+    The band join is an equi-join on (band_idx, band_hash) — shuffle
+    size ∝ docs × bands, never N². Verify candidates with
+    :func:`ngram_jaccard_pairs` semantics downstream if exact scores
+    are needed.
+    """
+    assert num_perm % bands == 0, "num_perm must divide evenly into bands"
+    r = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.hash(F.slice(F.col("signature"), b * r + 1, r)).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: hash each token to 64 bits; fingerprint bit i
+    is the sign of Σ_tokens (±1 for bit i of the token hash). Near-dups
+    have small Hamming distance between fingerprints.
+
+    Single explode + groupBy with 64 conditional-sum aggregates — one
+    shuffle carrying (id, token-hash).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash with block-permutation candidate
+    generation (pigeonhole: two fingerprints within ``max_hamming`` of
+    each other agree exactly on at least one of ``blocks`` 16-bit blocks
+    when blocks > max_hamming). Equi-join on (block_idx, block_value),
+    then exact Hamming filter via bit_count(xor)."""
+    width = 64 // blocks
+    fps = simhash(df, id_col, text_col)
+    # shiftright needs a Python-int bit count → build the block structs
+    # with a driver-side loop, not F.transform
+    block_structs = [
+        F.struct(
+            F.lit(b).alias("block_idx"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("block_val"),
+        )
+        for b in range(blocks)
+    ]
+    blocked = fps.select(
+        id_col, "simhash", F.explode(F.array(*block_structs)).alias("blk")
+    ).select(id_col, "simhash", "blk.block_idx", "blk.block_val")
+    left = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block_idx", "block_val")
+    right = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block_idx", "block_val")
+    return (
+        left.join(right, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,40 @@
+"""UPDATE-where-NULL merge — SURVEY.md §2 J1/F5.
+
+The reference's flagship UPDATE fills ``{sector}_calculated_price`` only
+where it IS NULL (sector.py:87-110, the ``WHERE ... IS NULL`` guard at
+sector.py:98). In Spark that in-place UPDATE becomes a pure
+coalesce-merge producing a new table — order-independent and retryable,
+which is exactly what an idempotent 100 TB backfill wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def coalesce_merge(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    fill_cols: list[str],
+) -> DataFrame:
+    """Left-join ``updates`` onto ``target`` by ``keys``; for each column
+    in ``fill_cols`` keep the target's value when present, else take the
+    update's (i.e. only NULL targets are written — Delta's
+    ``WHEN MATCHED AND target.c IS NULL THEN UPDATE`` emulated on plain
+    DataFrames).
+
+    Scale: if ``updates`` is the small side (a daily delta vs years of
+    history) Catalyst broadcast-joins it; both sides keyed on the same
+    columns means no extra shuffle when the target is bucketed by key.
+    """
+    upd = updates.select(
+        *keys, *[F.col(c).alias(f"__upd_{c}") for c in fill_cols]
+    )
+    out = target.join(upd, on=keys, how="left")
+    for c in fill_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__upd_{c}"))).drop(
+            f"__upd_{c}"
+        )
+    return out

@@ -1,0 +1,83 @@
+"""Window / analytic operators — SURVEY.md §2 W1–W4.
+
+All are single-shuffle plans: one exchange on the partition key, then
+in-partition sorted evaluation. pandas NULL-edge semantics are
+reproduced exactly (leading NULLs for an incomplete SMA window, NULL
+lag at a series head).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _window(partition_by: list[str], order_by: list[Column | str]):
+    return Window.partitionBy(*partition_by).orderBy(*order_by)
+
+
+def simple_moving_average(
+    df: DataFrame,
+    value: str,
+    n: int,
+    partition_by: list[str],
+    order_by: list[Column | str],
+    out_name: str | None = None,
+    exact_sum_div: bool = False,
+) -> DataFrame:
+    """W1 — n-row simple moving average with pandas ``rolling(n).mean()``
+    semantics: the first n−1 rows of each series are NULL (pandas emits
+    NaN until the window fills — load_yfinance_data.py:143-145).
+
+    ``exact_sum_div``: compute as sum(value)/n cast to double instead of
+    ``avg`` — with a decimal-typed value this makes the windowed mean
+    exact and engine-reproducible (only defined rows have a full window
+    of n, so sum/n ≡ avg there).
+    """
+    out_name = out_name or f"sma_{n}"
+    w = _window(partition_by, order_by)
+    frame = w.rowsBetween(-(n - 1), 0)
+    if exact_sum_div:
+        mean = F.sum(F.col(value)).over(frame).cast("double") / F.lit(float(n))
+    else:
+        mean = F.avg(F.col(value)).over(frame)
+    return df.withColumn(
+        out_name,
+        F.when(F.row_number().over(w) >= n, mean),  # else NULL — pandas NaN head
+    )
+
+
+def lag_pct_change(
+    df: DataFrame,
+    value: str,
+    partition_by: list[str],
+    order_by: list[Column | str],
+    out_name: str = "gap_pct",
+) -> DataFrame:
+    """W2 — percent change vs the previous row:
+    ``(v − lag(v)) / lag(v) × 100``; NULL on each series' first row.
+
+    Reference: append_gap_up_off_peak, load_yfinance_data.py:154-158
+    (the "off-peak" gap reads the previous day's *open* — same shape).
+    """
+    w = _window(partition_by, order_by)
+    prev = F.lag(F.col(value), 1).over(w)
+    return df.withColumn(out_name, (F.col(value) - prev) / prev * F.lit(100.0))
+
+
+def pct_vs_first(
+    df: DataFrame,
+    value: str,
+    partition_by: list[str],
+    order_by: list[Column | str],
+    out_name: str = "pct_vs_start",
+) -> DataFrame:
+    """W4/G4 — percent change vs the first row of the series window:
+    ``(v − v₀) / v₀ × 100`` (the reference seeds v₀ with
+    ``sector_prices[0]`` — sectors.py:176-181)."""
+    w = _window(partition_by, order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v0 = F.first(F.col(value)).over(w)
+    return df.withColumn(out_name, (F.col(value) - v0) / v0 * F.lit(100.0))

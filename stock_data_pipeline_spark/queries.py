@@ -1,0 +1,1039 @@
+"""Query registry: every implemented operator from SURVEY.md §2 (plus
+the LLM-pipeline extensions) expressed over the shared test tables,
+each paired with an ANSI-SQL oracle DuckDB can run on the same parquet.
+
+Oracle-matching discipline (why these queries look the way they do):
+- dates/timestamps are emitted as formatted strings (engine-neutral);
+- double *aggregates* are rounded to 2dp (summation order differs
+  between engines at the ulp level; per-row arithmetic is NOT rounded
+  because identical operands → identical IEEE results);
+- integer outputs are cast to long/BIGINT on both sides;
+- float folds (cosine, fingerprint) run left-to-right with an exact
+  seed so both engines produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stock_data_pipeline_spark.catalog import load_events, load_table
+from stock_data_pipeline_spark.functions.scalars import (
+    business_day_adjust,
+    convert_shares_outstanding,
+    dollar_volume,
+    make_ticker_sql_compatible,
+    make_ticker_yfinance_compatible,
+)
+from stock_data_pipeline_spark.llm import dedup, multimodal, similarity, text
+from stock_data_pipeline_spark.operators.calendar import densify_dates
+from stock_data_pipeline_spark.operators.incremental import enforce_primary_key
+from stock_data_pipeline_spark.operators.merge import coalesce_merge
+from stock_data_pipeline_spark.operators.pivoting import pivot_wide, unpivot_long
+from stock_data_pipeline_spark.operators.setops import membership_diff
+from stock_data_pipeline_spark.operators.topn import top_n_per_group
+from stock_data_pipeline_spark.operators.windows import (
+    lag_pct_change,
+    pct_vs_first,
+    simple_moving_average,
+)
+from stock_data_pipeline_spark.streaming.events import (
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # None → driver records rows-only check
+    headline: bool = False  # include in bench.py
+    survey_ref: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, headline: bool = False, survey_ref: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, headline=headline, survey_ref=survey_ref)
+        return fn
+
+    return deco
+
+
+def _d(col: str) -> F.Column:
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+def _dec(col) -> F.Column:
+    """Money columns are 2-dp values stored as doubles; casting to
+    DECIMAL(18,2) is lossless here and makes sums exact and
+    order-independent — the only way a Spark aggregate can hash-match an
+    independent engine bit-for-bit (double summation order differs at
+    the ulp level and ROUND() can't always hide it: a sum can land on
+    opposite sides of a rounding boundary)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: J1 — 3-way join + weighted aggregate (sector calculated price)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q01_sector_calculated_price",
+    oracle="""
+    WITH mcap AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS date,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
+                 AS market_cap
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    ), outst AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS date,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS outstanding
+        FROM orders GROUP BY 1
+    )
+    SELECT m.date AS date,
+           CAST(m.market_cap AS DOUBLE) / CAST(o.outstanding AS DOUBLE) AS calc_price
+    FROM mcap m JOIN outst o ON m.date = o.date
+    """,
+    headline=True,
+    survey_ref="J1/EP3 sector.py:87-110",
+)
+def q01_sector_calculated_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship J1 analog: per-date weighted price Σ(price×qty)/Σ(outstanding).
+
+    lineitem⋈orders is the one big-big shuffle (both sides keyed on
+    orderkey — bucketable at scale); the per-date divisor aggregate is
+    tiny and joins broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    mcap = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
+        .groupBy(_d("o_orderdate").alias("date"))
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("market_cap"))
+    )
+    outst = o.groupBy(_d("o_orderdate").alias("date")).agg(
+        F.sum(_dec("o_totalprice")).alias("outstanding")
+    )
+    return mcap.join(F.broadcast(outst), "date").select(
+        "date",
+        (F.col("market_cap").cast("double") / F.col("outstanding").cast("double")).alias("calc_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (G) — TPC-H Q1-style pricing summary
+# ---------------------------------------------------------------------------
+
+@register(
+    "q02_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    survey_ref="G2 weighted aggregates; sector.py:91-95",
+)
+def q02_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(disc_price * (1 + _dec("l_tax"))).cast("double").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental load (F1/G1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q03_incremental_load_filter",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >
+          (SELECT CAST(MAX(l_shipdate) AS DATE) - 90 FROM lineitem)
+    GROUP BY 1
+    """,
+    headline=True,
+    survey_ref="F1 functions.py:23-39, G1 ticker.py:26-31",
+)
+def q03_incremental_load_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `date > MAX(date)` delta-load predicate as one lazy
+    DAG: max-date probe → broadcast scalar → filter → daily rollup.
+    With a date-partitioned table the filter prunes partitions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = li.agg(F.date_sub(F.to_date(F.max("l_shipdate")), 90).alias("__cutoff"))
+    return (
+        li.join(F.broadcast(cutoff))
+        .filter(F.to_date("l_shipdate") > F.col("__cutoff"))
+        .groupBy(_d("l_shipdate").alias("ship_date"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q04_latest_shipdate",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           strftime(MAX(l_shipdate), '%Y-%m-%d') AS latest_ship,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY 1, 2
+    """,
+    survey_ref="G1 MAX(date) probe; S2 functions.py:69-73",
+)
+def q04_latest_shipdate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _d(F.max("l_shipdate")).alias("latest_ship"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-N (F7, S1–S3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q05_topn_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 5
+    """,
+    headline=True,
+    survey_ref="F7/S3 tail-N sectors.py:176-177",
+)
+def q05_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return top_n_per_group(
+        joined,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        5,
+        rank_name="rn",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (W1–W4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q06_sma",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN ROW_NUMBER() OVER w >= 7
+                THEN CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 7.0
+           END AS sma7
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    headline=True,
+    survey_ref="W1 SMA load_yfinance_data.py:143-145",
+)
+def q06_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row SMA with pandas rolling(n).mean() NULL-head semantics
+    (operators.windows.simple_moving_average on a decimal-cast value so
+    the windowed mean is exact — see _dec)."""
+    o = load_table(spark, sf_dir, "orders").withColumn("tp_dec", _dec("o_totalprice"))
+    out = simple_moving_average(
+        o, "tp_dec", 7, ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")], out_name="sma7",
+        exact_sum_div=True,
+    )
+    return out.select("o_custkey", "o_orderkey", "sma7")
+
+
+@register(
+    "q07_lag_pct_change",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           (o_totalprice - LAG(o_totalprice) OVER w) / LAG(o_totalprice) OVER w * 100.0 AS gap_pct
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    survey_ref="W2 gap load_yfinance_data.py:154-158",
+)
+def q07_lag_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = lag_pct_change(
+        o, "o_totalprice", ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")], out_name="gap_pct",
+    )
+    return out.select("o_custkey", "o_orderkey", "gap_pct")
+
+
+@register(
+    "q08_intraday_change",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (l_extendedprice * (1 - l_discount) * (1 + l_tax) - l_extendedprice)
+             / l_extendedprice * 100.0 AS chg_pct
+    FROM lineitem
+    """,
+    survey_ref="W3 on-peak load_yfinance_data.py:160-164",
+)
+def q08_intraday_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ((net - F.col("l_extendedprice")) / F.col("l_extendedprice") * F.lit(100.0)).alias("chg_pct"),
+    )
+
+
+@register(
+    "q09_pct_vs_first",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           (o_totalprice - FIRST_VALUE(o_totalprice) OVER w)
+             / FIRST_VALUE(o_totalprice) OVER w * 100.0 AS pct_vs_start
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    survey_ref="W4/G4 sectors.py:176-181",
+)
+def q09_pct_vs_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = pct_vs_first(
+        o, "o_totalprice", ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")], out_name="pct_vs_start",
+    )
+    return out.select("o_custkey", "o_orderkey", "pct_vs_start")
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot (G3)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q10_pivot_event_values",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS date,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view
+    FROM events GROUP BY 1
+    """,
+    survey_ref="G3 pivot sector.py:167",
+)
+def q10_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with an explicit value list (fixed output schema,
+    no extra distinct-keys pass — the at-scale form)."""
+    ev = (
+        load_events(spark, sf_dir)
+        .withColumn("date", _d("ts"))
+        .withColumn("value", _dec("value"))
+    )
+    wide = pivot_wide(ev, "date", "event_type", "value", values=EVENT_TYPES, agg="sum")
+    return wide.select("date", *[F.col(t).cast("double").alias(t) for t in EVENT_TYPES])
+
+
+@register(
+    "q11_unpivot_part",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+    """,
+    survey_ref="G3 inverse; wide→long for canonical layout",
+)
+def q11_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
+    )
+    return unpivot_long(p, ["p_partkey"], ["p_size", "p_retailprice"], "metric", "val")
+
+
+# ---------------------------------------------------------------------------
+# Set operations (I)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q12_membership_diff",
+    oracle="""
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    survey_ref="I membership diff sector.py:170-171, main.py:135-137",
+)
+def q12_membership_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-set diff from the reference done as a data-level anti-join."""
+    o = load_table(spark, sf_dir, "orders")
+    cur = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    nxt = o.filter(F.year("o_orderdate") == 1997).select(F.col("o_custkey").alias("custkey"))
+    added, _removed = membership_diff(cur, nxt, ["custkey"])
+    return added
+
+
+# ---------------------------------------------------------------------------
+# Primary-key enforcement (D4) + UPDATE-where-NULL merge (F5/J1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q13_pk_dedupe",
+    oracle="""
+    SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           MAX(o_orderkey) AS o_orderkey
+    FROM orders GROUP BY 1, 2
+    """,
+    survey_ref="D4 ADD PRIMARY KEY postgresql_connection.py:38-40",
+)
+def q13_pk_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-invariant enforcement: one row per (custkey, order-date),
+    deterministically keeping the max orderkey."""
+    o = load_table(spark, sf_dir, "orders").withColumn("order_date", _d("o_orderdate"))
+    deduped = enforce_primary_key(o, ["o_custkey", "order_date"], order_by=["o_orderkey"])
+    return deduped.select("o_custkey", "order_date", "o_orderkey")
+
+
+@register(
+    "q14_coalesce_merge",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS calc_price
+        FROM orders
+    ), updates AS (
+        SELECT l_orderkey AS o_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS calc_price
+        FROM lineitem GROUP BY 1
+    )
+    SELECT t.o_orderkey, COALESCE(t.calc_price, u.calc_price) AS calc_price
+    FROM target t LEFT JOIN updates u ON t.o_orderkey = u.o_orderkey
+    """,
+    survey_ref="F5/J1 UPDATE-where-NULL sector.py:98",
+)
+def q14_coalesce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's fill-only-NULL UPDATE as an idempotent coalesce-merge."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    target = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).alias("calc_price"),
+    )
+    updates = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast("double").alias("calc_price")
+    )
+    return coalesce_merge(target, updates, ["o_orderkey"], ["calc_price"])
+
+
+# ---------------------------------------------------------------------------
+# Union (A2/J2) — long-form multi-source concat
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_union_long",
+    oracle="""
+    SELECT 'order' AS src, strftime(o_orderdate, '%Y-%m-%d') AS evt_date,
+           o_totalprice AS val
+    FROM orders
+    UNION ALL
+    SELECT 'line' AS src, strftime(l_shipdate, '%Y-%m-%d') AS evt_date,
+           l_extendedprice AS val
+    FROM lineitem
+    """,
+    survey_ref="A2/J2 axis=1 concat load_yfinance_data.py:122-128 → long union",
+)
+def q15_union_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lit("order").alias("src"), _d("o_orderdate").alias("evt_date"),
+        F.col("o_totalprice").alias("val"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("line").alias("src"), _d("l_shipdate").alias("evt_date"),
+        F.col("l_extendedprice").alias("val"),
+    )
+    return o.unionByName(li)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (X1–X3, X8, X10, X12)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q16_string_normalize",
+    oracle="""
+    SELECT p_partkey,
+           p_brand || '.' || CAST(p_size AS VARCHAR) AS raw,
+           lower(replace(p_brand || '.' || CAST(p_size AS VARCHAR), '.', '_')) AS sql_name,
+           regexp_replace(p_brand || '.' || CAST(p_size AS VARCHAR), '[._]', '-', 'g') AS yf_name
+    FROM part
+    """,
+    survey_ref="X1/X2 functions.py:144-149",
+)
+def q16_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    raw = F.concat(F.col("p_brand"), F.lit("."), F.col("p_size").cast("string"))
+    return p.select(
+        "p_partkey",
+        raw.alias("raw"),
+        make_ticker_sql_compatible(raw).alias("sql_name"),
+        make_ticker_yfinance_compatible(raw).alias("yf_name"),
+    )
+
+
+@register(
+    "q17_magnitude_parse",
+    oracle="""
+    WITH raw AS (
+        SELECT p_partkey,
+               CAST(p_size AS VARCHAR) || '.25 ' ||
+                 (CASE WHEN p_partkey % 2 = 0 THEN 'M' ELSE 'B' END) AS mag_str
+        FROM part
+    )
+    SELECT p_partkey, mag_str,
+           CAST(CASE upper(regexp_extract(mag_str, '([\\d,.]+)\\s*([MB])', 2))
+                WHEN 'M' THEN CAST(regexp_replace(regexp_extract(mag_str, '([\\d,.]+)\\s*([MB])', 1), '[,\\s]', '', 'g') AS DOUBLE) * 1000000.0
+                WHEN 'B' THEN CAST(regexp_replace(regexp_extract(mag_str, '([\\d,.]+)\\s*([MB])', 1), '[,\\s]', '', 'g') AS DOUBLE) * 1000000000.0
+           END AS BIGINT) AS shares
+    FROM raw
+    """,
+    survey_ref="X3 convert_shares_outstanding sectors.py:122-132",
+)
+def q17_magnitude_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse scraped '<n>.25 M'/'B' magnitude strings (synthesized from
+    part so the parser is exercised on fixture data; .25 keeps the
+    double arithmetic exact for both engines)."""
+    p = load_table(spark, sf_dir, "part")
+    mag = F.concat(
+        F.col("p_size").cast("string"),
+        F.lit(".25 "),
+        F.when(F.col("p_partkey") % 2 == 0, F.lit("M")).otherwise(F.lit("B")),
+    )
+    return p.select(
+        "p_partkey",
+        mag.alias("mag_str"),
+        convert_shares_outstanding(mag).alias("shares"),
+    )
+
+
+@register(
+    "q18_business_day",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS raw_date,
+           strftime(CAST(o_orderdate AS DATE) -
+               CASE isodow(o_orderdate) WHEN 6 THEN 1 WHEN 7 THEN 2 WHEN 1 THEN 3 ELSE 1 END,
+             '%Y-%m-%d') AS prev_business_day
+    FROM orders
+    """,
+    survey_ref="X8 get_todays_date functions.py:107-117",
+)
+def q18_business_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        _d("o_orderdate").alias("raw_date"),
+        F.date_format(business_day_adjust(F.to_date("o_orderdate")), "yyyy-MM-dd").alias(
+            "prev_business_day"
+        ),
+    )
+
+
+@register(
+    "q19_calendar_densify",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, CAST(MAX(o_orderdate) AS DATE) AS hi
+        FROM orders
+    ), spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM bounds
+    ), cnts AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n FROM orders GROUP BY 1
+    )
+    SELECT strftime(s.d, '%Y-%m-%d') AS date, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN cnts c ON s.d = c.d
+    """,
+    survey_ref="X10 date_range densify sectors.py:206-210",
+)
+def q19_calendar_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spine = densify_dates(o, "o_orderdate", alias="d")
+    cnts = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(F.count("*").alias("n"))
+    return (
+        spine.join(cnts, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("date"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q20_dollar_volume",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (l_extendedprice * (1 - l_discount) + l_extendedprice) / 2.0 * l_quantity
+             AS dollar_volume
+    FROM lineitem
+    """,
+    survey_ref="X12 row-wise apply → native expr load_yfinance_data.py:147-152",
+)
+def q20_dollar_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's only UDF-shaped op (df.apply, row-at-a-time) —
+    in Spark a plain codegen'd column expression, no UDF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dollar_volume(
+            open_col=F.col("l_extendedprice"),
+            close_col=F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            volume_col=F.col("l_quantity"),
+        ).alias("dollar_volume"),
+    )
+
+# ---------------------------------------------------------------------------
+# Streaming-semantics queries (batch-equivalent plans; the readStream twins
+# live in stock_data_pipeline_spark.streaming.events)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q21_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    headline=True,
+    survey_ref="§2-K extension: tumbling window over events.ts",
+)
+def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    out = tumbling_window_agg(ev, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "q22_sliding_window",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+        SELECT e.*, unnest([
+            time_bucket(INTERVAL 30 MINUTE, ts),
+            time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+        ]) AS ws
+        FROM events e
+    )
+    GROUP BY 1, 2
+    """,
+    survey_ref="§2-K extension: sliding window (1h width, 30m slide)",
+)
+def q22_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    out = sliding_window_agg(ev, "1 hour", "30 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "q23_sessionize",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, event_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sess GROUP BY 1, 2
+    """,
+    headline=True,
+    survey_ref="§2-K extension: gap sessionization (30 min)",
+)
+def q23_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization on exact microsecond arithmetic (ts is stored
+    as int64 nanos; both engines see identical µs-truncated values)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 1800 * 1000 * 1000
+    marked = raw.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(
+            F.expr("timestamp_micros(min(ts_us))").cast("timestamp_ntz"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("session_start"),
+        F.date_format(
+            F.expr("timestamp_micros(max(ts_us))").cast("timestamp_ntz"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "q24_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    survey_ref="extension: exact dedup (hash-groupBy on content)",
+)
+def q24_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        doc.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+@register(
+    "q25_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                                         i -> tk[i] || ' ' || tk[i+1])) AS sh
+            FROM toks
+        )
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b USING (sh)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+    """,
+    headline=True,
+    survey_ref="extension: n-gram Jaccard near-dup",
+)
+def q25_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(doc, "doc_id", "text", n=2, threshold=0.2)
+
+
+@register(
+    "q26_minhash_lsh",
+    oracle=None,  # xxhash64 has no cross-engine twin → rows-only check;
+    # recall-vs-exact-Jaccard is asserted in tests/test_llm.py instead
+    headline=True,
+    survey_ref="extension: MinHash+LSH near-dup candidates",
+)
+def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(doc, "doc_id", "text", n=2, num_perm=64, bands=16)
+
+
+@register(
+    "q27_simhash_pairs",
+    oracle=None,  # xxhash64-based — rows-only check
+    survey_ref="extension: SimHash near-dup (hamming ≤ 3)",
+)
+def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(doc, "doc_id", "text", max_hamming=3, blocks=4)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "q28_ann_cosine_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id AS match_id, embedding AS cv FROM embeddings
+    ), scored AS (
+        SELECT query_id, match_id,
+               list_reduce(list_transform(generate_series(1, len(qv)),
+                   i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(generate_series(1, len(qv)),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(generate_series(1, len(cv)),
+                     i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), (a, b) -> a + b)))
+               AS score
+        FROM c, q
+        WHERE query_id <> match_id
+    )
+    SELECT query_id, match_id, score, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, match_id ASC) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+    headline=True,
+    survey_ref="extension: brute-force cosine top-k (exact ANN baseline)",
+)
+def q28_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "q29_ann_lsh_topk",
+    oracle=None,  # LSH bucketing is hash-seeded (xxhash64) — rows-only;
+    # recall vs q28's exact top-k is asserted in tests/test_llm.py
+    survey_ref="extension: hyperplane-LSH ANN (the 100 TB scale path)",
+)
+def q29_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_lsh_topk(emb, queries, k=10, num_planes=6, num_tables=6)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: text analysis
+# ---------------------------------------------------------------------------
+
+def _duck_tokens(expr: str = "text") -> str:
+    return f"list_filter(string_split_regex({expr}, '\\s+'), t -> t <> '')"
+
+
+_LANG_HIT = "len(list_filter({tk}, t -> list_contains({lst}, lower(t))))"
+
+
+def _lang_oracle() -> str:
+    from stock_data_pipeline_spark.llm.text import LANG_MARKERS
+
+    tk = _duck_tokens()
+    hits = {
+        lang: _LANG_HIT.format(tk=tk, lst=str(markers).replace("'", "'"))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    hit_cols = ",\n               ".join(f"{h} AS {lang}_hits" for lang, h in hits.items())
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"{lang}_hits" for lang in langs) + ")"
+    whens = " ".join(f"WHEN {lang}_hits = {best} THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {hit_cols}
+        FROM documents
+    )
+    SELECT doc_id, lang, CASE WHEN {best} = 0 THEN 'und' {whens} END AS lang_pred
+    FROM scored
+    """
+
+
+@register(
+    "q30_lang_id",
+    oracle=_lang_oracle(),
+    survey_ref="extension: language-ID (marker-token heuristic)",
+)
+def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select("doc_id", "lang", text.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "q31_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_duck_tokens()}) AS BIGINT) AS n_tokens,
+           0.4 * least(CAST(len({_duck_tokens()}) AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (CAST(len(list_filter({_duck_tokens()}, t -> list_contains(
+                 ['the','and','of','to','a','in','is','it','that','for','on','with','as','at','by'],
+                 lower(t)))) AS DOUBLE)
+               / CAST(greatest(len({_duck_tokens()}), 1) AS DOUBLE))
+           + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE)) AS quality
+    FROM documents
+    """,
+    survey_ref="extension: quality scoring (length/punct/stopword ratios)",
+)
+def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "q32_token_stats",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           CAST(len({_duck_tokens()}) AS BIGINT) AS n_tokens,
+           CAST(list_reduce(list_prepend(0, list_transform({_duck_tokens()}, t -> length(t))),
+                            (a, b) -> a + b) AS DOUBLE)
+             / CAST(greatest(len({_duck_tokens()}), 1) AS DOUBLE) AS avg_token_len
+    FROM documents
+    """,
+    survey_ref="extension: token counting",
+)
+def q32_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+    )
+    return doc.select(
+        "doc_id",
+        "n_chars",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        (
+            total_len.cast("double")
+            / F.greatest(text.token_count("text"), F.lit(1)).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "q33_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(text)),
+                              i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+    survey_ref="extension: document fingerprinting (rolling hash)",
+)
+def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "q34_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS checksum
+    FROM documents
+    """,
+    survey_ref="extension: binary payload + typed metadata columns",
+)
+def q34_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(doc)
+    return media.select("doc_id", "n_bytes", "checksum")
+
+
+@register(
+    "q35_multimodal_decode",
+    oracle=None,  # Pandas-UDF stub decode — rows-only check
+    survey_ref="extension: mapInPandas decode/feature-extract plumbing",
+)
+def q35_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(doc)
+    feats = multimodal.decode_image_features(media)
+    return feats.select(
+        "doc_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items() if spec.headline}

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what we'd set on a real cluster where it
+translates (AQE, adaptive coalescing/skew-join, Arrow transfers); the
+shuffle-partition count is sized to cores locally but on a 1000-executor
+cluster would be left to AQE's coalescing with a high initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "stock_data_pipeline_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``SPARK_GRAFT_CPUS`` (driver contract) overrides core count.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs the engine relies on to a session we
+    did not create (the driver hands us one in ``__spark_entry__``).
+
+    - ``nanosAsLong``: the ``events`` fixture stores TIMESTAMP(NANOS),
+      which Spark's parquet reader rejects by default; read as long and
+      convert (see ``catalog.load_events``).
+    - UTC session timezone: keeps ``date_format`` / LTZ casts stable and
+      comparable with DuckDB's naive timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
