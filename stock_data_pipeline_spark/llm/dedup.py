@@ -97,6 +97,80 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via AllPairs **prefix filtering** — the
+    lossless scale path (same result set as :func:`ngram_jaccard_pairs`,
+    provably: two sets with Jaccard ≥ t must share at least one element
+    among each one's (|S| − ⌈t·|S|⌉ + 1) globally-rarest elements).
+
+    Plan shape: rank shingles by global document frequency (rarest
+    first), join documents only on their prefix shingles — the candidate
+    join touches df² only for *rare* shingles instead of all of them —
+    then verify candidates exactly with ``array_intersect`` on the
+    per-doc distinct-shingle arrays. At a high threshold (0.8) the
+    prefix is ~20% of each doc, all low-df, collapsing the join from
+    Σ df² over every shingle to a few percent of that.
+    """
+    shingles = _doc_shingles(df, id_col, text_col, n)
+    dfreq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
+    # any total order works for prefix filtering; (df asc, shingle asc)
+    # puts the globally rarest shingles first
+    ranked = shingles.join(dfreq, "shingle")
+    docs = (
+        ranked.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("df_", "shingle"))).alias("__sorted"))
+        .withColumn("shingle_arr", F.transform("__sorted", lambda s: s["shingle"]))
+        .withColumn("sz", F.size("shingle_arr"))
+        .withColumn(
+            "prefix",
+            F.slice(
+                "shingle_arr",
+                1,
+                (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
+            ),
+        )
+        .select(id_col, "shingle_arr", "sz", "prefix")
+    )
+    pre = docs.select(id_col, "sz", F.explode("prefix").alias("shingle"))
+    a = pre.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "shingle")
+    b = pre.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size filter: Jaccard ≥ t needs t·|A| ≤ |B| ≤ |A|/t
+            & (F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a")))
+            & (F.col("sz_a") >= F.ceil(F.lit(threshold) * F.col("sz_b")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = docs.select(
+        F.col(id_col).alias("id_a"), F.col("shingle_arr").alias("arr_a"), F.col("sz").alias("sz_a")
+    )
+    db = docs.select(
+        F.col(id_col).alias("id_b"), F.col("shingle_arr").alias("arr_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        cands.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 2, num_perm: int = 64
 ) -> DataFrame:

@@ -780,8 +780,8 @@ def q24_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sh AS (
         SELECT DISTINCT doc_id, sh FROM (
             SELECT doc_id,
-                   unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
-                                         i -> tk[i] || ' ' || tk[i+1])) AS sh
+                   unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
             FROM toks
         )
     ), sz AS (
@@ -797,14 +797,19 @@ def q24_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sz sa ON sa.doc_id = id_a
     JOIN sz sb ON sb.doc_id = id_b
-    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
     """,
     headline=True,
-    survey_ref="extension: n-gram Jaccard near-dup",
+    survey_ref="extension: n-gram Jaccard near-dup (AllPairs prefix filtering)",
 )
 def q25_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs at word-trigram Jaccard ≥ 0.8. Trigram
+    shingles keep the space sparse (low document frequency per shingle)
+    so the candidate join stays near-linear; the Spark plan adds
+    lossless prefix filtering on top (the oracle brute-forces the same
+    answer — result equality is what's checked, not plan equality)."""
     doc = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(doc, "doc_id", "text", n=2, threshold=0.2)
+    return dedup.ngram_jaccard_pairs_prefix(doc, "doc_id", "text", n=3, threshold=0.8)
 
 
 @register(
@@ -816,7 +821,7 @@ def q25_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(doc, "doc_id", "text", n=2, num_perm=64, bands=16)
+    return dedup.minhash_lsh_pairs(doc, "doc_id", "text", n=3, num_perm=64, bands=16)
 
 
 @register(
@@ -874,9 +879,14 @@ def q28_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="extension: hyperplane-LSH ANN (the 100 TB scale path)",
 )
 def q29_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN. Parameters calibrated to this fixture's weak
+    neighbor structure (median top-10 cosine ≈ 0.29 → θ≈73°): 3 planes
+    × 10 tables ≈ 0.9 expected recall. On a real corpus with tighter
+    neighbors, raise num_planes with corpus size (log₂(n/bucket_target))
+    and drop tables."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.ann_lsh_topk(emb, queries, k=10, num_planes=6, num_tables=6)
+    return similarity.ann_lsh_topk(emb, queries, k=10, num_planes=3, num_tables=10)
 
 
 # ---------------------------------------------------------------------------

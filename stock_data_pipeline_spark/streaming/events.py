@@ -34,14 +34,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests deterministic). In production this is a Kafka source with the
     same downstream plan."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource wants a directory; select just the events file
+    # out of the shared fixture dir with a glob filter
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
-    )
+    # keep TIMESTAMP (LTZ): watermarks reject TIMESTAMP_NTZ event time
+    # (the batch loader uses NTZ for oracle comparability instead)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def tumbling_window_agg(events: DataFrame, width: str = "1 hour", watermark: str | None = None) -> DataFrame:

@@ -1,0 +1,108 @@
+"""LLM-pipeline extension operators: dedup family recall/precision on a
+crafted fixture, similarity search sanity, text stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_data_pipeline_spark.llm import dedup, similarity, text
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR_DUP = BASE.replace("warm", "cold")  # one-token edit → very high Jaccard
+DISTINCT = (
+    "completely different content about spark query engines and columnar "
+    "storage formats with vectorized execution and adaptive planning"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR_DUP), (3, DISTINCT), (4, BASE)],
+        ["doc_id", "text"],
+    )
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup.dedup_exact(docs, ["text"], "doc_id")
+    reps = {r["doc_id"] for r in out.collect()}
+    assert reps == {1, 2, 3}  # doc 4 == doc 1 → min id kept
+
+
+def test_jaccard_pairs_bruteforce_vs_prefix_agree(spark, docs):
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs_prefix(docs, "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+    assert brute == fast  # prefix filtering is lossless
+    assert (1, 4) in brute and brute[(1, 4)] == 1.0
+    assert (1, 2) in brute  # one-token edit stays above 0.5
+    assert not any(3 in p for p in brute)
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(spark, docs):
+    cands = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=2, num_perm=64, bands=16).collect()}
+    assert {(1, 2), (1, 4), (2, 4)} <= cands  # near/exact dups must collide
+
+
+def test_simhash_exact_dup_distance_zero(spark, docs):
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert fps[1] == fps[4]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=10).collect()}
+    assert pairs[(1, 4)] == 0
+
+
+def test_cosine_topk_self_is_best_match(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["match_id"] == 1  # nearest non-self
+    assert rows[1]["match_id"] == 2  # orthogonal-ish next (ties broken by id)
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """LSH top-k must recover most of the exact top-k on the fixture."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["match_id"]) for r in
+             similarity.cosine_topk(emb, queries, k=10).collect()}
+    approx = {(r["query_id"], r["match_id"]) for r in
+              similarity.ann_lsh_topk(emb, queries, k=10, num_planes=3, num_tables=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_lang_id_picks_marked_language(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a house"), (2, "el gato y la casa de que si")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r[1] for r in df.select("doc_id", text.lang_id("text")).collect()}
+    assert out == {1: "en", 2: "es"}
+
+
+def test_fingerprint_stable_and_discriminating(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "abd"), (3, "abc")], ["doc_id", "text"])
+    out = {r["doc_id"]: r[1] for r in df.select("doc_id", text.fingerprint("text")).collect()}
+    assert out[1] == out[3] != out[2]
+    # polynomial rolling hash, base 31 mod 1e9+7: ((97*31+98)*31+99)
+    assert out[1] == ((97 * 31 + 98) * 31 + 99) % 1_000_000_007
