@@ -59,3 +59,43 @@ def calculate_sector_price(
         )
         .select("date", "sector", "calc_price")
     )
+
+
+def calculate_sector_price_strict(
+    prices: DataFrame,
+    shares: DataFrame,
+    shares_outstanding: DataFrame,
+    membership: DataFrame,
+    price_col: str = "close",
+) -> DataFrame:
+    """SQL-faithful variant: the reference's UPDATE builds a literal
+    ``p1*s1 + p2*s2 + …`` expression over the *current* constituent list
+    (sector.py:88-95), so one NULL price or share NULLs the whole date
+    (SQL ``+`` propagates NULL). This matters for golden-file replay
+    against the reference's committed CSVs.
+
+    ``membership``: (date, sector, ticker) — the constituents expected
+    per date. Groups where any member's price or shares is missing/NULL
+    produce calc_price = NULL (but the row is kept, like the UPDATE
+    leaves the row with a NULL column).
+    """
+    joined = (
+        membership.join(prices.select("date", "ticker", price_col), ["date", "ticker"], "left")
+        .join(shares.select("date", "sector", "ticker", "shares_held"), ["date", "sector", "ticker"], "left")
+    )
+    per_date = joined.groupBy("date", "sector").agg(
+        F.count("*").alias("n_members"),
+        F.count(F.col(price_col) * F.col("shares_held")).alias("n_present"),
+        F.sum(F.col(price_col) * F.col("shares_held")).alias("market_cap"),
+    )
+    return (
+        per_date.join(F.broadcast(shares_outstanding), ["date", "sector"])
+        .withColumn(
+            "calc_price",
+            F.when(
+                F.col("n_members") == F.col("n_present"),
+                F.col("market_cap") / F.col("shares_outstanding"),
+            ),  # else NULL — mirrors SQL NULL propagation
+        )
+        .select("date", "sector", "calc_price")
+    )

@@ -1,0 +1,131 @@
+"""Golden-file replay: recompute the reference's calculated sector price
+from its own committed CSVs (wide layout) through our long-layout
+pipeline, and diff against the committed ``{sector}_calculated_price``
+column.
+
+Inputs (read-only, committed by the reference's daily CI run):
+  /root/reference/data/{sector}_sector_history.csv  — date + {t}_price + calc
+  /root/reference/data/{sector}_shares.csv          — date + {t}_shares
+  /root/reference/data/sector_shares_outstanding.csv — date + one col/sector
+
+Tolerance 0.011: the reference stores NUMERIC(10,2) (definitions.py:13),
+so committed values are rounded to cents.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+import pytest
+
+from stock_data_pipeline_spark.pipeline.sector import calculate_sector_price
+
+DATA = Path("/root/reference/data")
+SECTORS = sorted(
+    p.name.split("_sector_history")[0]
+    for p in DATA.glob("*_sector_history.csv")
+    if (DATA / f"{p.name.split('_sector_history')[0]}_shares.csv").exists()
+)
+
+
+def _read_rows(path: Path) -> tuple[list[str], list[dict]]:
+    with open(path) as f:
+        reader = csv.DictReader(f)
+        return reader.fieldnames, list(reader)
+
+
+def _load_sector(spark, sector: str):
+    hist_cols, hist = _read_rows(DATA / f"{sector}_sector_history.csv")
+    shares_cols, shares = _read_rows(DATA / f"{sector}_shares.csv")
+    _, outst = _read_rows(DATA / "sector_shares_outstanding.csv")
+
+    calc_col = f"{sector}_calculated_price"
+    share_tickers = {c[: -len("_shares")] for c in shares_cols if c.endswith("_shares")}
+    # ETF membership changes over time: price columns appearing after the
+    # calc column were ALTER-TABLE-added later (sector.py:68-80) with NULL
+    # history. The committed calc reflects membership at compute time, so
+    # the faithful replay sums over (price, shares) pairs present per date
+    # — tickers must exist in BOTH wide tables (and the calc column itself
+    # is not a ticker).
+    tickers = [
+        c[: -len("_price")]
+        for c in hist_cols
+        if c.endswith("_price") and c != calc_col and c[: -len("_price")] in share_tickers
+    ]
+
+    def fnum(v):
+        return float(v) if v not in (None, "") else None
+
+    def fint(v):
+        return int(float(v)) if v not in (None, "") else None
+
+    prices = spark.createDataFrame(
+        [
+            (r["date"], t, fnum(r.get(f"{t}_price")))
+            for r in hist for t in tickers
+        ],
+        "date string, ticker string, close double",
+    )
+    shares_df = spark.createDataFrame(
+        [
+            (r["date"], sector, t, fint(r.get(f"{t}_shares")))
+            for r in shares for t in tickers
+        ],
+        "date string, sector string, ticker string, shares_held long",
+    )
+    outst_df = spark.createDataFrame(
+        [(r["date"], sector, fint(r.get(sector))) for r in outst],
+        "date string, sector string, shares_outstanding long",
+    )
+    golden = {r["date"]: fnum(r.get(calc_col)) for r in hist}
+    return prices, shares_df, outst_df, golden
+
+
+@pytest.mark.parametrize("sector", SECTORS)
+def test_replay_reference_calculated_price(spark, sector):
+    prices, shares_df, outst_df, golden = _load_sector(spark, sector)
+    out = {
+        r["date"]: r["calc_price"]
+        for r in calculate_sector_price(
+            prices.dropna(), shares_df.dropna(), outst_df
+        ).collect()
+    }
+    dates = sorted(d for d, v in golden.items() if v is not None and d in out)
+    assert len(dates) > 50, f"too few comparable rows for {sector} ({len(dates)})"
+    # The committed CSVs are *current* snapshots: delisted members' price
+    # columns were dropped (main.py:139) and late joiners were ALTER-added
+    # with NULL history (sector.py:68-80), so dates computed under an
+    # earlier membership are unrecoverable from the surviving data. What
+    # IS checkable, and checked: every date since the sector's last
+    # membership change replays to the cent. Empirically that is 100% of
+    # dates for the membership-stable sectors (xle/xlre/xlu/xlv) and a
+    # 21-108-date suffix for the rest.
+    suffix = 0
+    for d in reversed(dates):
+        if abs(out[d] - golden[d]) <= 0.011:
+            suffix += 1
+        else:
+            break
+    assert suffix >= 20, (
+        f"{sector}: only the {suffix} most recent dates replay within a "
+        f"cent (latest={dates[-1]}, ours={out[dates[-1]]}, golden={golden[dates[-1]]})"
+    )
+
+
+def test_membership_stable_sectors_replay_completely(spark):
+    """Sectors whose constituent list never changed over the snapshot
+    window must replay every committed value exactly."""
+    fully_matched = 0
+    for sector in ("xle", "xlre", "xlu", "xlv"):
+        prices, shares_df, outst_df, golden = _load_sector(spark, sector)
+        out = {
+            r["date"]: r["calc_price"]
+            for r in calculate_sector_price(
+                prices.dropna(), shares_df.dropna(), outst_df
+            ).collect()
+        }
+        dates = [d for d, v in golden.items() if v is not None and d in out]
+        if all(abs(out[d] - golden[d]) <= 0.011 for d in dates):
+            fully_matched += 1
+    assert fully_matched == 4

@@ -9,7 +9,10 @@ from decimal import Decimal
 from pyspark.sql import functions as F
 
 from stock_data_pipeline_spark.operators.merge import coalesce_merge
-from stock_data_pipeline_spark.pipeline.sector import calculate_sector_price
+from stock_data_pipeline_spark.pipeline.sector import (
+    calculate_sector_price,
+    calculate_sector_price_strict,
+)
 
 D1, D2 = dt.date(2026, 1, 2), dt.date(2026, 1, 5)
 
@@ -56,6 +59,25 @@ def test_missing_outstanding_row_absent(spark):
         prices, shares, outstanding.filter(F.col("date") == D1)
     ).collect()
     assert {r["date"] for r in out} == {D1}  # D2 has no divisor → no row
+
+
+def test_strict_nulls_date_with_missing_member(spark):
+    """SQL-faithful variant: one missing constituent price NULLs the
+    whole date (the reference's literal p1*s1 + p2*s2 + … expression —
+    SQL + propagates NULL), while complete dates still compute."""
+    prices, shares, outstanding = _fixture(spark)
+    membership = shares.select("date", "sector", "ticker")
+    out = {
+        r["date"]: r["calc_price"]
+        for r in calculate_sector_price_strict(
+            prices.filter(~((F.col("date") == D2) & (F.col("ticker") == "msft"))),
+            shares,
+            outstanding,
+            membership,
+        ).collect()
+    }
+    assert out[D1] == 20.0
+    assert out[D2] is None  # msft price missing on D2 → NULL, row kept
 
 
 def test_update_where_null_refresh(spark):
