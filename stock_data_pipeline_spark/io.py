@@ -1,0 +1,115 @@
+"""Sources and sinks — SURVEY.md §2 rows A (scans) and B (sinks).
+
+The reference round-trips state through PostgreSQL tables and S3 CSVs
+(functions.py:76-89, s3_connection.py:41-53). Here every source returns
+a DataFrame and every sink takes one; paths may be local, `s3a://`, or
+anything Hadoop FS supports — same API, no download hop. Edge-world
+ingestion (HTTP scrape, xlsx, yfinance) stays outside the engine and
+enters through ``createDataFrame`` adapters, exactly as SURVEY §7
+prescribes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# A8/X4 — the scraped shares-outstanding cell, e.g. "60.92 M"
+# (reference: sector.py:197-201)
+SHARES_OUTSTANDING_PATTERN = r"([\d,.]+)\s*([MB])"
+
+
+def read_csv_table(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """A4 — CSV state reload (the reference's S3 CSV → pandas hop,
+    functions.py:76-89, without the local download). Pass an explicit
+    schema in production — inferSchema is a full extra pass."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_config_list(spark: SparkSession, path: str, col_name: str = "value") -> DataFrame:
+    """A10 — line-per-entry config scan (config/spdr_sectors.txt,
+    sectors.py:62-70)."""
+    return spark.read.text(path).select(
+        F.lower(F.trim(F.col("value"))).alias(col_name)
+    ).filter(F.col(col_name) != "")
+
+
+def read_jdbc_table(
+    spark: SparkSession, url: str, table: str, properties: dict[str, str] | None = None
+) -> DataFrame:
+    """A6 — whole-table JDBC scan (pd.read_sql at functions.py:97-99).
+    Needs the driver jar on the classpath; partition with
+    partitionColumn/lowerBound/upperBound options for big tables so the
+    read parallelizes instead of funneling through one connection."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_excel_edge(spark: SparkSession, path: str, skiprows: int = 4) -> DataFrame:
+    """A5 — holdings workbook scan (pd.read_excel(skiprows=4),
+    sector.py:155). Spark has no core xlsx source; this is a driver-edge
+    pandas read behind an import-try, returning a DataFrame."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, skiprows=skiprows)
+    except ImportError as exc:  # pragma: no cover - openpyxl not in env
+        raise NotImplementedError(
+            "xlsx ingest needs pandas+openpyxl at the driver edge"
+        ) from exc
+    pdf.columns = [str(c).lower().replace(" ", "_") for c in pdf.columns]
+    return spark.createDataFrame(pdf)
+
+
+def parse_shares_outstanding_html(spark: SparkSession, html_rows: list[tuple[str, str]]) -> DataFrame:
+    """A8 — the parse half of the ssga.com scrape (sector.py:187-207):
+    given (sector, html_cell_text) pairs from the edge fetch, extract the
+    magnitude string with the same regex the reference uses. The HTTP
+    GET itself stays outside the engine."""
+    df = spark.createDataFrame(html_rows, "sector string, cell string")
+    return df.select(
+        "sector",
+        F.regexp_extract("cell", SHARES_OUTSTANDING_PATTERN, 1).alias("amount"),
+        F.regexp_extract("cell", SHARES_OUTSTANDING_PATTERN, 2).alias("magnitude"),
+    )
+
+
+def write_parquet_table(
+    df: DataFrame, path: str, mode: str = "append", partition_by: list[str] | None = None
+) -> None:
+    """B1/B5 — the engine-native sink (the reference's to_sql append +
+    feather cache collapse into one). Date-partitioning is what makes
+    the incremental-load filter (F1) prune at scale."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv_export(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """B3/B4 — CSV export (COPY … TO STDOUT CSV HEADER,
+    postgresql_connection.py:42-45; S3 upload s3_connection.py:41-53).
+    ``single_file`` coalesces to 1 partition — only for small
+    presentation exports; a 100 TB export keeps its partitioning."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_jdbc_append(df: DataFrame, url: str, table: str, properties: dict[str, str] | None = None) -> None:
+    """B1 — JDBC append (to_sql if_exists='append', main.py:188-195)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode("append")
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -1,3 +1,4 @@
+from stock_data_pipeline_spark.operators.asof import asof_join
 from stock_data_pipeline_spark.operators.calendar import densify_dates, market_day_filter
 from stock_data_pipeline_spark.operators.incremental import (
     append_incremental,
@@ -17,6 +18,7 @@ from stock_data_pipeline_spark.operators.windows import (
 
 __all__ = [
     "append_incremental",
+    "asof_join",
     "coalesce_merge",
     "densify_dates",
     "enforce_primary_key",

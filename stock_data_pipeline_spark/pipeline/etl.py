@@ -1,0 +1,97 @@
+"""End-to-end restatement of the reference's daily pipeline run
+(SURVEY.md §3 EP1→EP3) over long canonical tables.
+
+Reference control flow (main.py): gate on market day → scrape
+holdings/outstanding → reset + reload state → per-ticker incremental
+OHLCV ingest → compute calculated sector price in PostgreSQL → export
+CSVs to S3. Here the whole run is a handful of lazy DataFrame
+compositions over a parquet state store:
+
+    gate      market_day_filter          (X9 — broadcast calendar dim)
+    ingest    append_incremental         (F1/G1 — idempotent delta load)
+    compute   calculate_sector_price     (J1 — join/agg/broadcast)
+    refresh   coalesce_merge             (F5 — fill only NULLs)
+    export    pivot_wide + write_csv     (B3/B6 — presentation edge)
+
+Everything is idempotent: re-running a day is a no-op (the incremental
+append drops overlaps; the merge only fills NULLs), which is what turns
+the reference's fragile drop-and-recreate reset phase (main.py:113-121)
+into a retry-safe batch job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_data_pipeline_spark.operators.calendar import market_day_filter
+from stock_data_pipeline_spark.operators.incremental import append_incremental
+from stock_data_pipeline_spark.operators.merge import coalesce_merge
+from stock_data_pipeline_spark.operators.pivoting import pivot_wide
+from stock_data_pipeline_spark.pipeline.sector import calculate_sector_price
+
+
+@dataclass
+class DailyRunResult:
+    prices: DataFrame          # state after incremental ingest
+    sector_history: DataFrame  # (date, sector, calc_price) after refresh
+    wide_export: DataFrame     # reference-shaped wide CSV layout
+
+
+def run_daily_pipeline(
+    prices_state: DataFrame,
+    incoming_prices: DataFrame,
+    shares: DataFrame,
+    shares_outstanding: DataFrame,
+    sector_history_state: DataFrame,
+    market_days: DataFrame,
+    tickers: list[str] | None = None,
+) -> DailyRunResult:
+    """One daily run. All inputs/outputs are long canonical tables
+    (FIXTURES.md §A); persistence is the caller's concern (write the
+    returned frames with io.write_parquet_table, partitioned by date).
+
+    ``sector_history_state``: (date, sector, calc_price) with NULL
+    calc_price for not-yet-computed dates — the reference's
+    UPDATE-where-NULL target (sector.py:98).
+    """
+    # EP2: staleness-guarded incremental ingest, market days only
+    incoming = market_day_filter(incoming_prices, market_days, "date")
+    prices = append_incremental(prices_state, incoming, "date")
+
+    # EP3: flagship computation over the refreshed state
+    fresh = calculate_sector_price(prices, shares, shares_outstanding)
+
+    # UPDATE ... WHERE calc IS NULL → order-independent coalesce-merge
+    history = coalesce_merge(
+        sector_history_state.unionByName(
+            # dates newly present in `fresh` but absent from state appear
+            # with NULL then fill — same outcome as the reference's
+            # append-then-update two-step (sector.py:135-145)
+            fresh.select("date", "sector").withColumn("calc_price", F.lit(None).cast("double")),
+            allowMissingColumns=True,
+        ).dropDuplicates(["date", "sector"]),
+        fresh,
+        ["date", "sector"],
+        ["calc_price"],
+    )
+
+    # B3/B6 presentation edge: the reference's wide CSV shape
+    wide = pivot_wide(
+        prices.select("date", "ticker", F.col("close").alias("price")),
+        "date",
+        "ticker",
+        "price",
+        values=tickers,
+    )
+    export = wide.join(
+        history.filter(F.col("sector").isNotNull())
+        .groupBy("date")
+        .pivot("sector")
+        .agg(F.first("calc_price")),
+        "date",
+        "left",
+    )
+    return DailyRunResult(prices=prices, sector_history=history, wide_export=export)

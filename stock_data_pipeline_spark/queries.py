@@ -1037,6 +1037,221 @@ def q35_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Coverage batch 2: calendar gate, deterministic pivot, rank family,
+# as-of join, rollup, anti-join, exact percentile (SURVEY §2 X9/G3/+breadth)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q36_market_day_filter",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS date,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE isodow(o_orderdate) NOT IN (6, 7)
+    GROUP BY 1
+    """,
+    survey_ref="X9 market-day gate functions.py:61-66 → calendar dim semi-join",
+)
+def q36_market_day_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference gates its whole run on 'is today a market day'
+    (pandas_market_calendars). Engine form: broadcast semi-join against
+    a calendar dimension — here weekdays over the data's own range."""
+    from stock_data_pipeline_spark.operators.calendar import (
+        market_day_filter,
+        market_days_from_range,
+    )
+
+    o = load_table(spark, sf_dir, "orders").withColumn("date", F.to_date("o_orderdate"))
+    bounds = o.agg(F.min("date").alias("lo"), F.max("date").alias("hi")).first()
+    cal = market_days_from_range(spark, str(bounds["lo"]), str(bounds["hi"]))
+    return (
+        market_day_filter(o, cal, "date")
+        .groupBy(F.date_format("date", "yyyy-MM-dd").alias("date"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q37_pivot_min_acctbal",
+    oracle="""
+    SELECT c_nationkey,
+           MIN(c_acctbal) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile,
+           MIN(c_acctbal) FILTER (WHERE c_mktsegment = 'BUILDING') AS building,
+           MIN(c_acctbal) FILTER (WHERE c_mktsegment = 'FURNITURE') AS furniture,
+           MIN(c_acctbal) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS household,
+           MIN(c_acctbal) FILTER (WHERE c_mktsegment = 'MACHINERY') AS machinery
+    FROM customer GROUP BY 1
+    """,
+    survey_ref="G3 pivot (deterministic agg; pandas pivot needs unique cells)",
+)
+def q37_pivot_min_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    c = load_table(spark, sf_dir, "customer")
+    wide = pivot_wide(c, "c_nationkey", "c_mktsegment", "c_acctbal", values=segs, agg="min")
+    return wide.select(
+        "c_nationkey", *[F.col(s).alias(s.lower()) for s in segs]
+    )
+
+
+@register(
+    "q38_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    survey_ref="window-function breadth beyond the reference (rank/dense_rank/ntile)",
+)
+def q38_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q39_asof_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           v.value AS last_view_value
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    headline=True,
+    survey_ref="as-of join: operator Spark lacks, composed from union+window (no UDF)",
+)
+def q39_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotes-to-trades analog: each purchase picks up the value of the
+    same user's latest prior (or simultaneous) view."""
+    from stock_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("last_view_value")
+    )
+    out = asof_join(purchases, views, ["user_id"], "ts", "ts", ["last_view_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "last_view_value",
+    )
+
+
+@register(
+    "q40_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    survey_ref="aggregation breadth: rollup/grouping sets (not in reference)",
+)
+def q40_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "q41_anti_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1997
+    )
+    """,
+    survey_ref="I set-ops: anti-join (customers with no 1997 orders)",
+)
+def q41_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "q42_exact_median",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price
+    FROM lineitem GROUP BY 1
+    """,
+    survey_ref="aggregation breadth: exact percentiles (approx twin: percentile_approx)",
+)
+def q42_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+        F.percentile("l_extendedprice", 0.75).alias("p75_price"),
+    )
+
+
+@register(
+    "q43_scrape_parse",
+    oracle="""
+    WITH scraped AS (
+        SELECT r_name AS sector,
+               CAST(r_regionkey * 100 AS VARCHAR) || '.5 ' ||
+                 (CASE WHEN r_regionkey % 2 = 0 THEN 'M' ELSE 'B' END) AS cell
+        FROM region
+    )
+    SELECT sector,
+           regexp_extract(cell, '([\\d,.]+)\\s*([MB])', 1) AS amount,
+           regexp_extract(cell, '([\\d,.]+)\\s*([MB])', 2) AS magnitude
+    FROM scraped
+    """,
+    survey_ref="A8/X4 scrape parse sector.py:187-207 (regex extract halves)",
+)
+def q43_scrape_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parse step of the ssga scrape as a column expression — the
+    HTTP GET stays at the edge (io.parse_shares_outstanding_html wraps
+    the same regex for edge-fetched rows)."""
+    from stock_data_pipeline_spark.io import SHARES_OUTSTANDING_PATTERN
+
+    r = load_table(spark, sf_dir, "region")
+    cell = F.concat(
+        (F.col("r_regionkey") * 100).cast("string"),
+        F.lit(".5 "),
+        F.when(F.col("r_regionkey") % 2 == 0, F.lit("M")).otherwise(F.lit("B")),
+    )
+    return r.select(
+        F.col("r_name").alias("sector"),
+        F.regexp_extract(cell, SHARES_OUTSTANDING_PATTERN, 1).alias("amount"),
+        F.regexp_extract(cell, SHARES_OUTSTANDING_PATTERN, 2).alias("magnitude"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

