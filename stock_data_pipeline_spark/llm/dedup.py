@@ -171,16 +171,47 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic 31-bit (multiplier, offset) pairs for the universal
+    hash family h_i(x) = (a_i·x + b_i) mod (2^31−1). Derived by
+    splitmix64-style index mixing — no RNG state to broadcast. 31-bit
+    operands keep every product ≤ 2^62 (overflow-free under Spark's
+    default ANSI arithmetic) while the modulus stays far below the
+    product range, so the map wraps many times and genuinely permutes —
+    a modulus near the product range would be near-monotonic in x and
+    correlate all the permutations."""
+    consts = []
+    mask31 = (1 << 31) - 1
+    for i in range(num_perm):
+        z = (i + 1) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+        a = ((z >> 33) & mask31) | 1  # odd, 31-bit
+        b = (z >> 2) & mask31
+        consts.append((a, b))
+    return consts
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 2, num_perm: int = 64
 ) -> DataFrame:
-    """MinHash signature per document: for seed s, sig[s] = min over
-    shingles of xxhash64(s, shingle). One explode + one groupBy —
-    the shuffle carries (id, shingle-hash), not the text."""
-    shingles = _doc_shingles(df, id_col, text_col, n)
+    """MinHash signature per document. Each shingle is hashed ONCE
+    (xxhash64 → 31 bits via unsigned shift), then the ``num_perm``
+    permutations are cheap multiply-add-mod integer ops over that hash
+    (the standard one-hash MinHash construction with a universal
+    family). That turns 64 string hashes per posting into 1 string hash
+    + 64 integer mults: the explode+agg stays one shuffle carrying
+    (id, hash), and the per-row CPU drops ~an order of magnitude.
+    """
+    shingles = _doc_shingles(df, id_col, text_col, n).withColumn(
+        "h", F.shiftrightunsigned(F.xxhash64("shingle"), 33)  # 31-bit, non-negative
+    )
     aggs = [
-        F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"h{s}")
-        for s in range(num_perm)
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))).alias(f"h{s}")
+        for s, (a, b) in enumerate(_perm_constants(num_perm))
     ]
     sig = shingles.groupBy(id_col).agg(*aggs)
     return sig.select(
