@@ -1252,6 +1252,165 @@ def q43_scrape_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Coverage batch 3: cube, semi-join, distinct aggs, ordered string agg,
+# RANGE window frames, dedup-corpus materialization
+# ---------------------------------------------------------------------------
+
+@register(
+    "q44_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    survey_ref="aggregation breadth: cube (all grouping-set combinations)",
+)
+def q44_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "q45_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM customer
+        WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING'
+    )
+    """,
+    survey_ref="join breadth: left-semi (EXISTS) — broadcastable filter side",
+)
+def q45_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "q46_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY 1
+    """,
+    survey_ref="aggregation breadth: multi distinct-agg (expand-based plan)",
+)
+def q46_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q47_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY 1
+    """,
+    survey_ref="aggregation breadth: ordered string agg (deterministic via sort)",
+)
+def q47_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list is unordered — sort_array makes the concatenation
+    deterministic (the only way a distributed string_agg can be
+    reproducible)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "q48_range_window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+    survey_ref="window breadth: RANGE frame (30-day trailing spend; ROWS frames are W1)",
+)
+def q48_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day spend per customer. RANGE frames bound by *value*
+    (here epoch-day), not row count — orders on the same day share one
+    frame, unlike a ROWS frame."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "day", F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+@register(
+    "q49_dedup_corpus",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+            FROM toks
+        )
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b USING (sh)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
+    """,
+    headline=True,
+    survey_ref="extension: dedup-corpus materialization (keep canonical doc per dup cluster)",
+)
+def q49_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual product operation near-dup detection exists for:
+    materialize the corpus minus near-duplicates, keeping the lowest
+    doc_id of each pair as canonical. Anti-join against the pair set —
+    no extra shuffle beyond the pair computation itself."""
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs_prefix(doc, "doc_id", "text", n=3, threshold=0.8)
+    dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return doc.join(dupes, "doc_id", "left_anti").select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
