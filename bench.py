@@ -25,6 +25,17 @@ def run() -> dict:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = ensure_engine_confs(get_session("bench"))
 
+    # Warm the JVM/codegen paths each query actually uses by running it
+    # once at the smallest SF — first execution of higher-order-function
+    # codegen costs seconds of JIT that would otherwise be charged to
+    # whichever query runs first (standard JVM benchmarking practice).
+    warm_dir = "/root/testdata/sf0.001"
+    for name, fn in _q.headline_queries().items():
+        try:
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warmup is best-effort; the measured run surfaces real errors
+
     timings: dict[str, float] = {}
     for name, fn in _q.headline_queries().items():
         df = fn(spark, sf_dir)
