@@ -48,6 +48,36 @@ def simple_moving_average(
     )
 
 
+def simple_moving_average_pandas(
+    df: DataFrame,
+    value: str,
+    n: int,
+    partition_by: list[str],
+    order_by: list[str],
+    out_name: str | None = None,
+) -> DataFrame:
+    """The Pandas-UDF escape hatch twin of :func:`simple_moving_average`
+    — ``applyInPandas`` running literal ``pandas.rolling(n).mean()`` per
+    group. Exists to document the slow-path discipline: use it ONLY when
+    an operator genuinely can't be expressed with built-in window
+    functions (this one can — the native version is the production
+    path; Arrow batching makes this ~10× a native window, row-at-a-time
+    UDFs would be ~100×)."""
+    import pandas as pd
+
+    out_name = out_name or f"sma_{n}"
+    out_fields = df.schema.fields
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    schema += f", {out_name} double"
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by)
+        pdf[out_name] = pdf[value].rolling(n).mean()
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(per_group, schema=schema)
+
+
 def lag_pct_change(
     df: DataFrame,
     value: str,
