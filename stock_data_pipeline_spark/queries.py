@@ -1411,6 +1411,61 @@ def q49_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.join(dupes, "doc_id", "left_anti").select("doc_id", "lang")
 
 
+
+@register(
+    "q50_token_frequency",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+        FROM documents
+    ), freq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1
+    )
+    SELECT token, freq, CAST(rn AS INTEGER) AS rank FROM (
+        SELECT token, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rn
+        FROM freq
+    ) WHERE rn <= 100
+    """,
+    survey_ref="extension: corpus vocabulary statistics (token frequency top-100)",
+)
+def q50_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency, top-100 with deterministic ties.
+    One explode + one groupBy; the final top-k is a TakeOrdered over the
+    (small) vocabulary — never a global sort of the postings."""
+    doc = load_table(spark, sf_dir, "documents")
+    freq = (
+        doc.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select("token", "freq", "rank")
+    )
+
+
+@register(
+    "q51_length_histogram",
+    oracle="""
+    SELECT CAST(n_chars // 100 * 100 AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+    survey_ref="extension: corpus length histogram (training-data size profile)",
+)
+def q51_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.groupBy(
+        (F.floor(F.col("n_chars") / 100) * 100).cast("long").alias("bucket_lo")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
