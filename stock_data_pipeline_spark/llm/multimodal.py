@@ -69,6 +69,37 @@ def _fake_features(payload: bytes) -> list[float]:
     ]
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary, n_bytes long"
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Video-style frame sampling plumbing: explode each binary payload
+    into up to ``max_frames`` fixed-stride chunks (1 input row → N
+    output rows — the exact shape a real video decoder produces, with
+    the decode itself stubbed as byte-slicing since no codec libs exist
+    in this container).
+
+    Scale notes: the explode multiplies rows BEFORE the Python boundary
+    is crossed again — downstream per-frame feature extraction batches
+    over frames, not videos, so one 2-hour video can't skew a task.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "n_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                for idx in range(min(max_frames, max(1, len(data) // every_n_bytes))):
+                    chunk = data[idx * every_n_bytes : (idx + 1) * every_n_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(chunk)
+                    out["n_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def decode_image_features(media: DataFrame) -> DataFrame:
     """mapInPandas decode: binary payload → fixed-dim feature vector.
 

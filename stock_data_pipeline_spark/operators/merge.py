@@ -13,6 +13,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def upsert(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """MERGE-style upsert on plain DataFrames: rows in ``updates``
+    replace matching-key rows in ``existing``; unmatched update rows are
+    inserted (the reference's ``to_sql(if_exists='replace')`` +
+    re-append dance — sector.py:138-145 — done without dropping the
+    table). Emulates Delta's ``MERGE WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT`` as anti-join + union: one shuffle on the key,
+    retry-safe (re-running the same updates is a no-op).
+    """
+    kept = existing.join(updates.select(*keys), on=keys, how="left_anti")
+    return kept.unionByName(updates)
+
+
 def coalesce_merge(
     target: DataFrame,
     updates: DataFrame,

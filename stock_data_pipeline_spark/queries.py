@@ -1466,6 +1466,49 @@ def q51_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "q52_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT l_orderkey AS o_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS val
+        FROM lineitem GROUP BY 1
+    )
+    SELECT o_orderkey, val FROM updates
+    UNION ALL
+    SELECT o_orderkey, o_totalprice AS val FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+    """,
+    survey_ref="B1/B2 append/replace semantics → MERGE-style upsert (anti-join + union)",
+)
+def q52_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert: per-order lineitem revenue replaces the stored
+    total; orders with no lineitems keep their old value."""
+    from stock_data_pipeline_spark.operators.merge import upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    existing = o.select("o_orderkey", F.col("o_totalprice").alias("val"))
+    updates = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast("double").alias("val")
+    )
+    return upsert(existing, updates, ["o_orderkey"])
+
+
+@register(
+    "q53_ann_ivf_topk",
+    oracle=None,  # IVF probe selection is approximation — rows-only;
+    # recall vs exact q28 asserted in tests/test_llm.py
+    survey_ref="extension: IVF-flat ANN (inverted lists; the other scale path next to LSH)",
+)
+def q53_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_flat_topk(emb, queries, k=10, nlist=16, nprobe=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -106,3 +106,33 @@ def test_fingerprint_stable_and_discriminating(spark):
     assert out[1] == out[3] != out[2]
     # polynomial rolling hash, base 31 mod 1e9+7: ((97*31+98)*31+99)
     assert out[1] == ((97 * 31 + 98) * 31 + 99) % 1_000_000_007
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF-flat top-k must recover most of the exact top-k with
+    nprobe=6 of nlist=16 lists."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["match_id"]) for r in
+             similarity.cosine_topk(emb, queries, k=10).collect()}
+    approx = {(r["query_id"], r["match_id"]) for r in
+              similarity.ivf_flat_topk(emb, queries, k=10, nlist=16, nprobe=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_frame_sampling_shape(spark):
+    from stock_data_pipeline_spark.llm import multimodal
+
+    doc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
+    media = multimodal.attach_binary_payload(doc)
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 10
+    for doc_id, rows in by_doc.items():
+        idxs = sorted(r["frame_idx"] for r in rows)
+        assert idxs == list(range(len(idxs)))  # contiguous frame indices
+        assert all(r["n_bytes"] <= 64 for r in rows)

@@ -101,3 +101,15 @@ def test_densify_dates_fills_gaps(spark):
     )
     out = [r[0] for r in densify_dates(df, "date").orderBy("date").collect()]
     assert out == [dt.date(2026, 1, d) for d in range(1, 6)]
+
+
+def test_upsert_replaces_and_inserts(spark):
+    from stock_data_pipeline_spark.operators.merge import upsert
+
+    existing = _dates(spark, [("a", 1.0), ("b", 2.0)], "k string, v double")
+    updates = _dates(spark, [("b", 20.0), ("c", 30.0)], "k string, v double")
+    out = {r["k"]: r["v"] for r in upsert(existing, updates, ["k"]).collect()}
+    assert out == {"a": 1.0, "b": 20.0, "c": 30.0}
+    # idempotent: same updates again change nothing
+    again = {r["k"]: r["v"] for r in upsert(upsert(existing, updates, ["k"]), updates, ["k"]).collect()}
+    assert again == out
