@@ -1430,20 +1430,19 @@ def q49_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q50_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide token frequency, top-100 with deterministic ties.
-    One explode + one groupBy; the final top-k is a TakeOrdered over the
-    (small) vocabulary — never a global sort of the postings."""
+    One explode + one groupBy; the top-k runs as orderBy().limit() —
+    Spark's TakeOrderedAndProject (per-partition heaps, no global sort,
+    no single-partition window even when the vocabulary is millions of
+    tokens) — then ranks are assigned over just the ≤100 survivors."""
     doc = load_table(spark, sf_dir, "documents")
     freq = (
         doc.select(F.explode(text.tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
+    top = freq.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(100)
     w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
-    return (
-        freq.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 100)
-        .select("token", "freq", "rank")
-    )
+    return top.withColumn("rank", F.row_number().over(w)).select("token", "freq", "rank")
 
 
 @register(
