@@ -57,6 +57,62 @@ def read_jdbc_table(
     return reader.load()
 
 
+PRICES_EDGE_SCHEMA = (
+    "date date, ticker string, open double, high double, low double, "
+    "close double, volume long"
+)
+
+
+def fetch_ohlcv_history(
+    spark: SparkSession,
+    tickers: list[str],
+    start: str | None = None,
+    end: str | None = None,
+    fetcher=None,
+) -> DataFrame:
+    """A1–A3 — the yfinance ingest edge (get_stock_data_single/multiple,
+    load_yfinance_data.py:122-135) as an engine adapter: fetch per
+    ticker at the driver edge, normalize (drop Dividends/Stock Splits,
+    strip tz+time — load_yfinance_data.py:59,74-80), land as ONE long
+    DataFrame (the reference's axis=1 concat becomes a union — SURVEY
+    §2 A2/J2).
+
+    ``fetcher(ticker, start, end) -> pandas.DataFrame`` is injected; the
+    default tries yfinance and raises ``NotImplementedError`` when the
+    library is absent (this container). Everything engine-side is real:
+    schema, normalization, union, incremental composition with
+    ``operators.incremental.append_incremental``.
+    """
+    if fetcher is None:
+        def fetcher(ticker, start, end):  # pragma: no cover - env-dependent
+            try:
+                import yfinance as yf
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "yfinance not available; inject a fetcher(ticker, start, end)"
+                ) from exc
+            return yf.Ticker(ticker).history(start=start, end=end, interval="1d")
+
+    import pandas as pd
+
+    frames = []
+    for ticker in tickers:
+        pdf = fetcher(ticker, start, end)
+        if pdf is None or len(pdf) == 0:
+            continue
+        pdf = pdf.reset_index()
+        pdf.columns = [str(c).lower().replace(" ", "_") for c in pdf.columns]
+        pdf = pdf.rename(columns={"index": "date"})
+        pdf["date"] = pd.to_datetime(pdf["date"]).dt.tz_localize(None).dt.date
+        pdf["ticker"] = ticker.replace(".", "_").lower()  # X1 normalization
+        keep = ["date", "ticker", "open", "high", "low", "close", "volume"]
+        frames.append(pdf[[c for c in keep if c in pdf.columns]])
+    if not frames:
+        return spark.createDataFrame([], PRICES_EDGE_SCHEMA)
+    out = pd.concat(frames, ignore_index=True)
+    return spark.createDataFrame(out, schema=PRICES_EDGE_SCHEMA)
+
+
 def read_excel_edge(spark: SparkSession, path: str, skiprows: int = 4) -> DataFrame:
     """A5 — holdings workbook scan (pd.read_excel(skiprows=4),
     sector.py:155). Spark has no core xlsx source; this is a driver-edge

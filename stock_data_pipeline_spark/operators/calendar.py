@@ -43,6 +43,26 @@ def market_day_filter(
     return df.join(F.broadcast(cal), on=date_col, how="left_semi")
 
 
+# U.S. equity-market holidays (public NYSE schedule) for the window the
+# reference's committed data spans. In production this table comes from a
+# published calendar feed; the engine only needs *a* dimension table —
+# validated in tests against the reference's own committed market-day
+# dates (every date in data/*.csv must be a member).
+NYSE_HOLIDAYS_2025_2026 = [
+    "2025-01-01", "2025-01-20", "2025-02-17", "2025-04-18", "2025-05-26",
+    "2025-06-19", "2025-07-04", "2025-09-01", "2025-11-27", "2025-12-25",
+    "2026-01-01", "2026-01-19", "2026-02-16", "2026-04-03", "2026-05-25",
+    "2026-06-19", "2026-07-03", "2026-09-07", "2026-11-26", "2026-12-25",
+]
+
+
+def nyse_market_days(spark: SparkSession, start: str, end: str) -> DataFrame:
+    """X9 — the NYSE market-day dimension (weekdays minus the holiday
+    table) for the 2025–2026 window; the JVM-side replacement for the
+    reference's pandas_market_calendars gate (functions.py:61-66)."""
+    return market_days_from_range(spark, start, end, holidays=NYSE_HOLIDAYS_2025_2026)
+
+
 def market_days_from_range(
     spark: SparkSession, start: str, end: str, holidays: list[str] | None = None
 ) -> DataFrame:

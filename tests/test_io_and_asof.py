@@ -78,3 +78,38 @@ def test_asof_strict_excludes_tie(spark):
         for r in asof_join(trades, quotes, ["acct"], "t", "t", ["px"], strict=True).collect()
     }
     assert out[2] == 2.0  # tie at t=20 excluded → falls back to quote@15
+
+
+def test_fetch_ohlcv_history_with_injected_fetcher(spark):
+    """A1-A3 ingest edge: fake fetcher (the yfinance twin) → normalized
+    long DataFrame; dividends/splits dropped, tz stripped, ticker
+    SQL-normalized, multi-ticker concat is a union."""
+    import pandas as pd
+
+    def fake(ticker, start, end):
+        idx = pd.to_datetime(["2026-01-05 00:00:00-05:00", "2026-01-06 00:00:00-05:00"])
+        return pd.DataFrame(
+            {
+                "Open": [10.0, 11.0],
+                "High": [12.0, 13.0],
+                "Low": [9.0, 10.0],
+                "Close": [11.0, 12.0],
+                "Volume": [1000, 2000],
+                "Dividends": [0.0, 0.0],
+                "Stock Splits": [0.0, 0.0],
+            },
+            index=idx,
+        )
+
+    out = sio.fetch_ohlcv_history(spark, ["BRK.B", "AAPL"], fetcher=fake)
+    rows = out.collect()
+    assert len(rows) == 4
+    assert set(out.columns) == {"date", "ticker", "open", "high", "low", "close", "volume"}
+    assert {r["ticker"] for r in rows} == {"brk_b", "aapl"}  # X1 applied
+    assert str(rows[0]["date"]) in ("2026-01-05", "2026-01-06")  # tz+time stripped
+
+
+def test_fetch_ohlcv_empty_fetch(spark):
+    out = sio.fetch_ohlcv_history(spark, ["ZZZ"], fetcher=lambda t, s, e: None)
+    assert out.count() == 0
+    assert out.schema.simpleString().startswith("struct<date:date,ticker:string")

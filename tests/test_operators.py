@@ -113,3 +113,22 @@ def test_upsert_replaces_and_inserts(spark):
     # idempotent: same updates again change nothing
     again = {r["k"]: r["v"] for r in upsert(upsert(existing, updates, ["k"]), updates, ["k"]).collect()}
     assert again == out
+
+
+def test_nyse_calendar_matches_reference_market_days(spark):
+    """Every date the reference's daily CI actually committed data for
+    must be a member of our NYSE market-day dimension — cross-validating
+    the holiday table against ~150 real trading days."""
+    import csv
+
+    from stock_data_pipeline_spark.operators.calendar import nyse_market_days
+
+    with open("/root/reference/data/xlu_sector_history.csv") as fh:
+        dates = {r["date"] for r in csv.DictReader(fh)}
+    cal = {
+        str(r["date"]) for r in nyse_market_days(spark, "2025-01-01", "2026-12-31").collect()
+    }
+    missing = sorted(dates - cal)
+    assert not missing, f"committed trading days absent from calendar: {missing[:5]}"
+    # and the dimension correctly excludes holidays/weekends
+    assert "2025-12-25" not in cal and "2026-08-15" not in cal  # Christmas, a Saturday
