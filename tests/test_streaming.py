@@ -75,6 +75,35 @@ def test_stateful_running_totals(spark):
         q.stop()
 
 
+def test_session_window_stream(spark):
+    """Streaming-native sessionization (session_window) must produce the
+    same (user, n_events-per-session) multiset as the batch lag+cumsum
+    twin for the same 30-minute gap."""
+    from stock_data_pipeline_spark.streaming.events import session_window_stream
+
+    stream = read_events_stream(spark, SF)
+    q = (
+        session_window_stream(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = sorted(
+            (r["user_id"], r["n_events"])
+            for r in spark.sql("SELECT user_id, n_events FROM sess_stream").collect()
+        )
+    finally:
+        q.stop()
+    batch = sorted(
+        (r["user_id"], r["n_events"])
+        for r in sessionize(load_events(spark, SF), gap_minutes=30).collect()
+    )
+    assert streamed == batch
+
+
 def test_readstream_tumbling_memory_sink(spark):
     stream = read_events_stream(spark, SF)
     assert stream.isStreaming
