@@ -1025,15 +1025,25 @@ def q34_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q35_multimodal_decode",
-    oracle=None,  # Pandas-UDF stub decode — rows-only check
-    survey_ref="extension: mapInPandas decode/feature-extract plumbing",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_reduce(list_prepend(0,
+                    list_transform(generate_series(1, length(text), 8),
+                                   i -> ord(substr(text, i, 1)))),
+                (a, b) -> a + b) % 997 AS DOUBLE) AS f0
+    FROM documents
+    """,
+    survey_ref="extension: mapInPandas decode/feature-extract plumbing "
+    "(stub decode is deterministic byte math, so even the Pandas-UDF "
+    "path gets a hash-checked oracle)",
 )
 def q35_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(doc)
     feats = multimodal.decode_image_features(media)
     return feats.select(
-        "doc_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "doc_id", "n_bytes", F.element_at("feature", 1).alias("f0")
     )
 
 
