@@ -234,8 +234,23 @@ def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
     return consts
 
 
+def _portable_shingle_hash(shingle: F.Column) -> F.Column:
+    """Polynomial rolling hash of the shingle (base 31 mod 1e9+7) —
+    engine-portable (same fold any ANSI-SQL engine can run), used when
+    MinHash results must be verifiable against an independent engine.
+    xxhash64 is the faster production default."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(shingle)),
+        lambda i: F.ascii(shingle.substr(i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % 1_000_000_007
+    )
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 2, num_perm: int = 64
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, num_perm: int = 64,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """MinHash signature per document. Each shingle is hashed ONCE
     (xxhash64 → 31 bits via unsigned shift), then the ``num_perm``
@@ -244,10 +259,16 @@ def minhash_signatures(
     family). That turns 64 string hashes per posting into 1 string hash
     + 64 integer mults: the explode+agg stays one shuffle carrying
     (id, hash), and the per-row CPU drops ~an order of magnitude.
+
+    ``portable_hash`` swaps xxhash64 for the polynomial rolling hash so
+    every intermediate value is reproducible in ANSI SQL — enabling a
+    full value oracle for the LSH pipeline at some CPU cost.
     """
-    shingles = _doc_shingles(df, id_col, text_col, n).withColumn(
-        "h", F.shiftrightunsigned(F.xxhash64("shingle"), 33)  # 31-bit, non-negative
-    )
+    if portable_hash:
+        h = _portable_shingle_hash(F.col("shingle"))
+    else:
+        h = F.shiftrightunsigned(F.xxhash64("shingle"), 33)  # 31-bit, non-negative
+    shingles = _doc_shingles(df, id_col, text_col, n).withColumn("h", h)
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))).alias(f"h{s}")
         for s, (a, b) in enumerate(_perm_constants(num_perm))
@@ -265,6 +286,7 @@ def minhash_lsh_pairs(
     n: int = 2,
     num_perm: int = 64,
     bands: int = 16,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs: split the signature into ``bands``
     rows of ``num_perm/bands`` hashes; documents colliding on any whole
@@ -275,21 +297,29 @@ def minhash_lsh_pairs(
     size ∝ docs × bands, never N². Verify candidates with
     :func:`ngram_jaccard_pairs` semantics downstream if exact scores
     are needed.
+
+    ``portable_hash`` makes every intermediate (shingle hash, signature,
+    band value) exactly reproducible in ANSI SQL: the band value becomes
+    an integer fold instead of Spark's murmur ``hash``, so an
+    independent engine can verify the full candidate set value-by-value.
     """
     assert num_perm % bands == 0, "num_perm must divide evenly into bands"
     r = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, portable_hash)
+    if portable_hash:
+        band_val = lambda b: F.aggregate(  # noqa: E731
+            F.slice(F.col("signature"), b * r + 1, r),
+            F.lit(0).cast("long"),
+            lambda acc, v: (acc * 31 + v) % 1_000_000_007,
+        )
+    else:
+        band_val = lambda b: F.hash(F.slice(F.col("signature"), b * r + 1, r))  # noqa: E731
+    band_structs = [
+        F.struct(F.lit(b).alias("band_idx"), band_val(b).alias("band_hash"))
+        for b in range(bands)
+    ]
     banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.hash(F.slice(F.col("signature"), b * r + 1, r)).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_hash")
     left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")

@@ -1518,6 +1518,77 @@ def q53_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_flat_topk(emb, queries, k=10, nlist=16, nprobe=6)
 
 
+
+def _minhash_oracle(n: int = 3, num_perm: int = 64, bands: int = 16) -> str:
+    """Generate the DuckDB oracle for portable-hash MinHash-LSH: the
+    same shingles, polynomial shingle hash, permutation constants, and
+    band folds as the Spark plan — all exact integer arithmetic, so the
+    candidate set is value-verifiable end to end."""
+    from stock_data_pipeline_spark.llm.dedup import _MERSENNE_31, _perm_constants
+
+    r = num_perm // bands
+    consts = _perm_constants(num_perm)
+    min_cols = ",\n               ".join(
+        f"MIN((h * {a} + {b}) % {_MERSENNE_31}) AS h{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_selects = []
+    for bidx in range(bands):
+        expr = "CAST(0 AS BIGINT)"
+        for j in range(bidx * r, bidx * r + r):
+            expr = f"(({expr} * 31 + h{j}) % 1000000007)"
+        band_selects.append(
+            f"SELECT doc_id, {bidx} AS band_idx, {expr} AS band_hash FROM sig"
+        )
+    bands_sql = "\n            UNION ALL ".join(band_selects)
+    ngram = " || ' ' || ".join(f"tk[i+{k}]" for k in range(n)).replace("tk[i+0]", "tk[i]")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(tk) - {n - 1}, 0)),
+                                         i -> {ngram})) AS sh
+            FROM toks
+        )
+    ), shh AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(sh)),
+                                  i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {min_cols}
+        FROM shh GROUP BY doc_id
+    ), bands AS (
+        {bands_sql}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "q54_minhash_lsh_verified",
+    oracle=_minhash_oracle(n=3, num_perm=64, bands=16),
+    survey_ref="extension: MinHash+LSH with a FULL value oracle — portable "
+    "polynomial shingle hash + integer band folds reproduce every "
+    "intermediate in ANSI SQL (q26 is the faster xxhash64 twin)",
+)
+def q54_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        doc, "doc_id", "text", n=3, num_perm=64, bands=16, portable_hash=True
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
