@@ -378,6 +378,53 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair graph (near-dup
+    clusters): iterative min-label propagation. Returns (vertex,
+    cluster_id) where cluster_id is the component's minimum vertex id.
+
+    Each iteration is one join + one aggregate (both hash-partitioned on
+    the vertex id, so successive iterations reuse the partitioning);
+    convergence needs O(diameter) rounds — near-dup graphs are
+    overwhelmingly tiny cliques/chains, so 2-3 rounds in practice.
+    ``localCheckpoint`` truncates the growing lineage each round (the
+    standard Spark iterative-algorithm pattern — without it the plan
+    doubles per iteration and the driver, not the data, becomes the
+    bottleneck). The per-round ``count`` is the convergence test, an
+    O(1)-row action.
+    """
+    bidir = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = (
+        bidir.select(F.col("u").alias("vertex")).distinct().withColumn("lbl", F.col("vertex"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor = (
+            bidir.join(labels.withColumnRenamed("vertex", "u"), "u")
+            .select(F.col("v").alias("vertex"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("vertex")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "vertex")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("vertex"), F.col("lbl").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """SimHash fingerprint: hash each token to 64 bits; fingerprint bit i
     is the sign of Σ_tokens (±1 for bit i of the token hash). Near-dups

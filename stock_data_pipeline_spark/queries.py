@@ -1589,6 +1589,506 @@ def q54_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 4: resample bars, set ops, deterministic sampling, window nav,
+# gap detection, grouping sets
+# ---------------------------------------------------------------------------
+
+@register(
+    "q55_monthly_ohlc",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, strftime(date_trunc('month', ts), '%Y-%m') AS month,
+               value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('month', ts)
+                                  ORDER BY ts, event_id) AS rna,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('month', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rnd
+        FROM events
+    )
+    SELECT user_id, month,
+           MAX(CASE WHEN rna = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM base GROUP BY 1, 2
+    """,
+    survey_ref="W1/G family extension: resample a tick series to monthly OHLC "
+    "bars (the reference's OHLCV daily grain, ticker.py:23-24, one level up)",
+)
+def q55_monthly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample (user, ts, value) ticks to monthly OHLC bars.
+
+    open/close are picked by row_number over (ts, event_id) — a total
+    order, so deterministic; high/low/count/sum are plain aggregates.
+    One shuffle on (user_id, month); both window passes and the final
+    aggregate share it (same partitioning keys).
+    """
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        "user_id", F.date_trunc("month", "ts").alias("m"), "ts", "event_id", "value"
+    )
+    wa = Window.partitionBy("user_id", "m").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wd = Window.partitionBy("user_id", "m").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    marked = base.withColumn("rna", F.row_number().over(wa)).withColumn(
+        "rnd", F.row_number().over(wd)
+    )
+    return (
+        marked.groupBy("user_id", F.date_format("m", "yyyy-MM").alias("month"))
+        .agg(
+            F.max(F.when(F.col("rna") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q58_set_ops",
+    oracle="""
+    SELECT 'both' AS cohort, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    )
+    UNION ALL
+    SELECT 'only_1996' AS cohort, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    )
+    """,
+    survey_ref="§2-I set operations: row-level INTERSECT / EXCEPT (the "
+    "reference's membership diffs, main.py:135-147, as data-level set ops)",
+)
+def q58_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer retention cohorts via INTERSECT / EXCEPT.
+
+    Both set ops hash-partition on the full row (here one column), so
+    the two branches share scan + shuffle shape; at scale they compile
+    to aggregate-based semi/anti joins.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    both = y96.intersect(y97).select(F.lit("both").alias("cohort"), "o_custkey")
+    only = y96.subtract(y97).select(F.lit("only_1996").alias("cohort"), "o_custkey")
+    return both.unionByName(only)
+
+
+@register(
+    "q59_deterministic_sample",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS date, o_totalprice
+    FROM orders
+    WHERE (o_orderkey * 2654435761) % 4294967296 < 214748365
+    """,
+    survey_ref="extension: deterministic hash sampling (training-data "
+    "pipelines need reproducible subsets; engine-portable multiplicative "
+    "hash, not sample()/rand())",
+)
+def q59_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~5% reproducible sample: Knuth multiplicative hash of the key mod
+    2^32 under a fixed cut. No rand() (not reproducible across engines,
+    retries, or partitionings); the filter pushes to the scan and the
+    sample is stable under re-partitioning — the property training-data
+    splits (train/val/test) actually need.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mixed = F.pmod(F.col("o_orderkey") * F.lit(2654435761), F.lit(4294967296))
+    return o.filter(mixed < 214748365).select(
+        "o_orderkey", _d("o_orderdate").alias("date"), "o_totalprice"
+    )
+
+
+@register(
+    "q60_window_nav",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS date,
+           FIRST_VALUE(o_totalprice) OVER wf AS first_price,
+           LAST_VALUE(o_totalprice) OVER wf AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER wf AS second_price,
+           LEAD(strftime(o_orderdate, '%Y-%m-%d'), 1) OVER w AS next_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    survey_ref="§2-G window nav family: first/last/nth_value + lead "
+    "(G4's first-of-window scalar generalized; sectors.py:178)",
+)
+def q60_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation functions over a per-customer order timeline. All four
+    are value copies (no arithmetic) over a total order — exact across
+    engines. One shuffle on o_custkey serves every window."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        _d("o_orderdate").alias("date"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+        F.lead(_d("o_orderdate"), 1).over(w).alias("next_date"),
+    )
+
+
+@register(
+    "q61_gap_detection",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS next_us
+        FROM events
+    )
+    SELECT user_id, ts_us, next_us,
+           (next_us - ts_us) // 60000000 AS gap_min
+    FROM seq
+    WHERE next_us IS NOT NULL AND (next_us - ts_us) // 60000000 >= 120
+    """,
+    survey_ref="§2-G extension: sequence-gap detection (missing trading "
+    "days / dead sensors; lead + integer µs arithmetic, no calendar "
+    "boundary-count ambiguity)",
+)
+def q61_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps ≥ 2h between consecutive events per user. Exact integer µs
+    math on the raw int64 nanos (ts div 1000), same trick as q23 — both
+    engines see identical values, no timestamp-diff semantics drift
+    (DuckDB date_diff counts boundary crossings, Spark counts elapsed
+    units; µs subtraction sidesteps both)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = raw.withColumn("next_us", F.lead("ts_us").over(w)).withColumn(
+        "gap_min", F.expr("(next_us - ts_us) div 60000000")
+    )
+    return seq.filter(F.col("next_us").isNotNull() & (F.col("gap_min") >= 120)).select(
+        "user_id", "ts_us", "next_us", "gap_min"
+    )
+
+
+@register(
+    "q62_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    survey_ref="§2-F extension: explicit GROUPING SETS (cube q44 / rollup "
+    "q40 complete the grouping-analytics family); SQL entry point — the "
+    "engine's DataFrame and SQL surfaces share Catalyst",
+)
+def q62_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL surface (same Catalyst plan as
+    the DataFrame API — one Expand + one aggregate, a single shuffle).
+    The three null-patterns (ls-null / rf-null / both-null) are disjoint,
+    so no grouping-id column is needed to disambiguate rows."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: TF-IDF-style relevance, exact correlation, vector norms,
+# chunking, redaction, dup clusters
+# ---------------------------------------------------------------------------
+
+@register(
+    "q56_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+        GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tf GROUP BY 1
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tok AS term,
+               CAST(tf * n_docs AS DOUBLE) / CAST(dfreq AS DOUBLE) AS score
+        FROM tf JOIN dfreq USING (tok), n
+    )
+    SELECT doc_id, term, score, rnk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term ASC) AS BIGINT) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+    survey_ref="extension: TF-IDF term relevance per document (text "
+    "analysis family; rarity factor N/df kept ln-free so the score is a "
+    "single exact int-ratio division — bit-identical across engines)",
+)
+def q56_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document, scored tf × N/df.
+
+    Shuffle shape: one groupBy (doc, term), one groupBy (term) for
+    document frequency (partial-agged), broadcast of the corpus-count
+    scalar, and a per-doc window for top-3. The df table is the skew
+    hazard at 100 TB (stopword rows) — but it is bounded by vocabulary,
+    not corpus, size.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    tf = (
+        doc.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    ndocs = doc.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("dfreq").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+    )
+
+
+@register(
+    "q57_corr_decimal",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sx,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sy,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxy,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxx,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS syy
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_qty_price
+    FROM s
+    """,
+    survey_ref="§2-F extension: Pearson correlation with exact integer "
+    "moment sums (cents as BIGINT) — order-independent, hash-matchable; "
+    "built-in corr() drifts at the ulp level between engines",
+)
+def q57_corr_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation of quantity vs extended price per return flag.
+
+    The five moment sums are exact int64 arithmetic (2-dp money → cents),
+    so they are order-independent under any partitioning; only the final
+    closed-form expression runs in floating point, on identical operands
+    in both engines (int64→double and each IEEE op are correctly rounded
+    → bit-identical). At extreme scale the cents² sums approach int64
+    range — swap to DECIMAL(38,0) accumulators there.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    xc = (_dec("l_quantity") * 100).cast("long")
+    yc = (_dec("l_extendedprice") * 100).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(xc).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(xc * yc).alias("sxy"),
+        F.sum(xc * xc).alias("sxx"),
+        F.sum(yc * yc).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx")) * F.sqrt(
+        d("n") * d("syy") - d("sy") * d("sy")
+    )
+    return s.select("l_returnflag", (num / den).alias("corr_qty_price"))
+
+
+@register(
+    "q63_vector_norms",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a, b) -> a + b)) AS l2_norm
+    FROM embeddings
+    """,
+    survey_ref="extension: vector L2 norms (embedding hygiene checks — "
+    "zero/degenerate vectors poison cosine ANN); exact left-fold doubles",
+)
+def q63_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm over the embedding column — narrow, zero
+    shuffle, whole-stage codegen; the fold is left-to-right from an
+    exact 0.0 seed so both engines produce bit-identical doubles
+    (sqrt is IEEE correctly-rounded)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.sqrt(sq_sum).alias("l2_norm"),
+    )
+
+
+@register(
+    "q64_chunking",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, tk, len(tk) AS n_tok FROM toks WHERE len(tk) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(least(50, n_tok - i * 40) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(tk[i * 40 + 1 : least(i * 40 + 50, n_tok)], ' ') AS chunk_text
+    FROM (SELECT doc_id, tk, n_tok,
+                 unnest(generate_series(0, CAST((n_tok - 1) // 40 AS INTEGER))) AS i
+          FROM sized)
+    """,
+    survey_ref="extension: overlapping token-window chunking (50-token "
+    "chunks, stride 40) — the canonical LLM-training preprocessing step",
+)
+def q64_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into 50-token chunks with 10-token overlap.
+
+    Row-local: tokenize once, then posexplode a transformed index range —
+    no shuffle at all; output rows ≈ tokens/40 per doc. At 100 TB this
+    is a pure map stage that pipelines into whatever sink follows.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    sized = (
+        doc.select("doc_id", text.tokens(F.col("text")).alias("tk"))
+        .withColumn("n_tok", F.size("tk"))
+        .filter(F.col("n_tok") > 0)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((F.col("n_tok") - 1) / 40).cast("int")),
+        lambda i: F.array_join(F.slice("tk", i * 40 + 1, F.lit(50)), " "),
+    )
+    return sized.select(
+        "doc_id",
+        "n_tok",
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long"),
+        F.least(F.lit(50), F.col("n_tok") - F.col("chunk_idx") * 40)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+@register(
+    "q65_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redactions
+    FROM documents
+    """,
+    survey_ref="extension: pattern redaction / text cleaning (PII-style "
+    "scrub as a narrow map; regexp_replace + regexp_count)",
+)
+def q65_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact digit runs from document text and count the redactions —
+    the text-cleaning shape of a PII scrub (the real pattern set is a
+    config concern, the plan is the same narrow map; zero shuffle)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.regexp_replace("text", "[0-9]+", "<NUM>").alias("redacted"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("long").alias("n_redactions"),
+    )
+
+
+@register(
+    "q66_dup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+            FROM toks
+        )
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b USING (sh)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) i
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS vertex, LEAST(u, MIN(v)) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+    survey_ref="extension: near-dup cluster assignment — connected "
+    "components by iterative min-label propagation (Spark) vs recursive "
+    "CTE transitive closure (oracle); the keep-one-per-cluster step of "
+    "corpus dedup",
+)
+def q66_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group near-dup pairs (trigram Jaccard ≥ 0.8) into clusters: each
+    doc in any pair gets the component-minimum doc_id as cluster id.
+    The Spark side is a genuinely iterative algorithm (driver loop,
+    O(diameter) rounds, lineage truncated per round) — exactly the shape
+    Spark handles that single-pass SQL cannot; the oracle reproduces it
+    with a recursive CTE."""
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs_prefix(doc, "doc_id", "text", n=3, threshold=0.8)
+    return dedup.connected_components(pairs.select("id_a", "id_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
