@@ -1,0 +1,189 @@
+"""Technical-indicator operators: VWAP, EMA, drawdown, Bollinger bands,
+RSI.
+
+Domain extension of the reference's window family — it charts 5/10/20/50
+day sector trends (reference ``sectors.py:167-204``, tail-N slices at
+``sectors.py:176-177``) and computes a weighted sector price
+(``sector.py:87-110``); these are the standard next indicators a stock
+pipeline adds, expressed Spark-first.
+
+Oracle discipline (matches queries.py): anything *summed* runs in exact
+integer cents (2-dp money → BIGINT) so partial aggregation is
+order-independent under any partitioning; only the final closed-form
+expression runs in floating point, on identical operands in both
+engines. The EMA is inherently sequential, so it runs as a per-row
+left fold in frame order with exactly-representable coefficients —
+both engines execute the identical IEEE op sequence, giving
+bit-identical doubles with no rounding fudge.
+
+Scale notes: every operator here is a window over ``partition_cols`` —
+one hash shuffle on the series key, then all arithmetic is
+narrow/per-row (whole-stage codegen, no Python). The EMA's cumulative
+``collect_list`` is O(n²) memory in series length; for series beyond
+~10⁴ rows per key switch to the ``applyInPandas`` escape hatch
+(``operators.windows.simple_moving_average_pandas`` shows the shape) —
+for daily stock data (250 rows/yr) the fold is the better plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _cents(col) -> Column:
+    """2-dp money double → exact integer cents (see queries._dec)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("decimal(18,2)") * 100).cast("long")
+
+
+def _d(c: Column) -> Column:
+    return c.cast("double")
+
+
+def vwap(
+    df: DataFrame,
+    group_cols: list[str | Column],
+    price_col: str,
+    qty_col: str,
+) -> DataFrame:
+    """Volume-weighted average price per group: Σ(p·q)/Σ(q).
+
+    Both moment sums are exact int64 (cents × cents), so map-side
+    partial aggregation is safe at any parallelism; one shuffle on the
+    group key, division happens once per group in double.
+    """
+    pc, qc = _cents(price_col), _cents(qty_col)
+    agg = df.groupBy(*group_cols).agg(
+        F.sum(pc * qc).alias("_spv"),
+        F.sum(qc).alias("_sv"),
+    )
+    return (
+        agg.withColumn("vwap", _d(F.col("_spv")) / _d(F.col("_sv")) / F.lit(100.0))
+        .withColumn("total_qty", _d(F.col("_sv")) / F.lit(100.0))
+        .drop("_spv", "_sv")
+    )
+
+
+def ema(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    price_col: str,
+    alpha: float = 0.25,
+    out_col: str = "ema",
+) -> DataFrame:
+    """Exponential moving average: ema₀ = p₀; emaₜ = α·pₜ + (1−α)·emaₜ₋₁.
+
+    Inherently sequential (each row depends on the previous), which
+    single-pass SQL can't express — implemented as a cumulative
+    ``collect_list`` window + ``F.aggregate`` left fold, entirely
+    JVM-side. ``alpha`` should be exactly representable in binary
+    (0.25, 0.5, 0.125…) when bit-exact cross-engine parity is required;
+    the recurrence itself is then an identical IEEE op sequence in any
+    engine that folds in frame order.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    arr = F.collect_list(_d(F.col(price_col))).over(w)
+    df = df.withColumn("_parr", arr)
+    rest = F.filter(F.col("_parr"), lambda x, i: i > 0)  # PySpark 4: 2-arg lambda = (elem, idx)
+    fold = F.aggregate(
+        rest,
+        F.element_at(F.col("_parr"), 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return df.withColumn(out_col, fold).drop("_parr")
+
+
+def drawdown(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    price_col: str,
+) -> DataFrame:
+    """Running peak and drawdown-from-peak fraction (≤ 0).
+
+    ``max`` over a cumulative frame is exact on any dtype, and the
+    final ``(p − peak)/peak`` divides identical doubles — no rounding
+    needed for cross-engine parity.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = _d(F.col(price_col))
+    peak = F.max(p).over(w)
+    return df.withColumn("peak", peak).withColumn(
+        "drawdown_pct", (p - F.col("peak")) / F.col("peak")
+    )
+
+
+def bollinger(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    price_col: str,
+    n: int = 20,
+) -> DataFrame:
+    """Bollinger bands over a trailing n-row frame: mid = mean, bands =
+    mid ± 2·sample-stddev. NULL until the frame holds ≥ 2 rows (sample
+    variance undefined), mirroring pandas ``rolling(n, min_periods=2)``.
+
+    The window sums run in exact integer cents (order-independent);
+    variance uses the closed form n·Σx² − (Σx)² evaluated in double on
+    those exact operands — identical sequence in any engine, so no
+    rounding is applied (same technique as queries.q57).
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    xc = _cents(price_col)
+    cnt = _d(F.count(F.col(price_col)).over(w))
+    sx = _d(F.sum(xc).over(w))
+    sxx = _d(F.sum(xc * xc).over(w))
+    mid = sx / cnt / F.lit(100.0)
+    var = F.when(
+        cnt >= 2, (cnt * sxx - sx * sx) / (cnt * (cnt - F.lit(1.0))) / F.lit(10000.0)
+    )
+    band = F.lit(2.0) * F.sqrt(var)
+    return (
+        df.withColumn("bb_mid", mid)
+        .withColumn("bb_upper", mid + band)
+        .withColumn("bb_lower", mid - band)
+    )
+
+
+def rsi(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    price_col: str,
+    n: int = 14,
+) -> DataFrame:
+    """Relative Strength Index (Cutler's simple-average form) over a
+    trailing n-row frame: RSI = 100 − 100/(1 + Σgain/Σloss), with
+    RSI = 100 when the window has moves but zero losses, NULL until a
+    prior row exists. Gains/losses are exact cent deltas; only the
+    final ratio runs in double.
+    """
+    wo = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    wf = wo.rowsBetween(-(n - 1), Window.currentRow)
+    xc = _cents(price_col)
+    diff = xc - F.lag(xc).over(wo)
+    zero = F.lit(0).cast("long")
+    gain = F.when(diff.isNotNull(), F.greatest(diff, zero))
+    loss = F.when(diff.isNotNull(), F.greatest(zero - diff, zero))
+    sg = F.sum(gain).over(wf)
+    sl = F.sum(loss).over(wf)
+    out = F.when(sl == 0, F.lit(100.0)).otherwise(
+        F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + _d(sg) / _d(sl))
+    )
+    return df.withColumn("rsi", out)

@@ -30,6 +30,7 @@ from stock_data_pipeline_spark.functions.scalars import (
     make_ticker_yfinance_compatible,
 )
 from stock_data_pipeline_spark.llm import dedup, multimodal, similarity, text
+from stock_data_pipeline_spark.operators import indicators
 from stock_data_pipeline_spark.operators.calendar import densify_dates
 from stock_data_pipeline_spark.operators.incremental import enforce_primary_key
 from stock_data_pipeline_spark.operators.merge import coalesce_merge
@@ -2087,6 +2088,186 @@ def q66_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs_prefix(doc, "doc_id", "text", n=3, threshold=0.8)
     return dedup.connected_components(pairs.select("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: technical indicators (operators.indicators) — the reference's
+# chart family (sectors.py:167-204, 5/10/20/50-day windows) extended to
+# the standard stock-pipeline indicator set, each with an exact oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q67_vwap",
+    oracle="""
+    WITH c AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc
+        FROM lineitem
+    )
+    SELECT ship_month, l_returnflag,
+           CAST(SUM(pc * qc) AS DOUBLE) / CAST(SUM(qc) AS DOUBLE) / 100.0 AS vwap,
+           CAST(SUM(qc) AS DOUBLE) / 100.0 AS total_qty
+    FROM c GROUP BY 1, 2
+    """,
+    survey_ref="G2 weighted sum (sector.py:91-95) as classic VWAP: exact "
+    "int64 moment sums, one division per group in double",
+)
+def q67_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly VWAP per return flag. Both sums are exact cents — partial
+    (map-side) aggregation is order-independent, so the plan is a single
+    hash-agg shuffle on (month, flag) regardless of parallelism."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+    )
+    return indicators.vwap(li, ["ship_month", "l_returnflag"], "l_extendedprice", "l_quantity")
+
+
+@register(
+    "q68_ema",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               CAST(o_totalprice AS DOUBLE) AS p,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ), rec AS (
+        SELECT o_custkey, o_orderkey, order_date, rn, p AS ema
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.o_custkey, s.o_orderkey, s.order_date, s.rn,
+               0.25 * s.p + 0.75 * r.ema
+        FROM rec r JOIN seq s ON s.o_custkey = r.o_custkey AND s.rn = r.rn + 1
+    )
+    SELECT o_custkey, o_orderkey, order_date, ema FROM rec
+    """,
+    survey_ref="W1 SMA family (functions.py rolling windows) extended to "
+    "the sequential EMA recurrence: collect_list window + JVM left fold "
+    "vs recursive-CTE oracle, bit-identical doubles (exact α=0.25)",
+)
+def q68_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA (α=0.25) of order totals per customer, ordered by (date, key).
+
+    Sequential recurrences are the one window shape plain SQL lacks; the
+    Spark side folds in frame order entirely JVM-side, and the oracle
+    replays the identical IEEE op sequence via recursive CTE."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", _d("o_orderdate").alias("order_date"), "o_totalprice"
+    )
+    out = indicators.ema(o, ["o_custkey"], ["order_date", "o_orderkey"], "o_totalprice")
+    return out.select("o_custkey", "o_orderkey", "order_date", "ema")
+
+
+@register(
+    "q69_drawdown",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           MAX(CAST(o_totalprice AS DOUBLE)) OVER w AS peak,
+           (CAST(o_totalprice AS DOUBLE) - MAX(CAST(o_totalprice AS DOUBLE)) OVER w)
+             / MAX(CAST(o_totalprice AS DOUBLE)) OVER w AS drawdown_pct
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+    survey_ref="extension of W4 pct-vs-first (sectors.py percent charts): "
+    "running-peak drawdown — cumulative MAX is exact, division on "
+    "identical doubles",
+)
+def q69_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown-from-running-peak per customer order series."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", _d("o_orderdate").alias("order_date"), "o_totalprice"
+    )
+    out = indicators.drawdown(o, ["o_custkey"], ["order_date", "o_orderkey"], "o_totalprice")
+    return out.select("o_custkey", "o_orderkey", "order_date", "peak", "drawdown_pct")
+
+
+@register(
+    "q70_bollinger",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+        FROM orders
+    ), m AS (
+        SELECT o_custkey, o_orderkey, order_date,
+               CAST(COUNT(xc) OVER w AS DOUBLE) AS cnt,
+               CAST(SUM(xc) OVER w AS DOUBLE) AS sx,
+               CAST(SUM(xc * xc) OVER w AS DOUBLE) AS sxx
+        FROM c
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date, o_orderkey
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey, o_orderkey, order_date,
+           sx / cnt / 100.0 AS bb_mid,
+           sx / cnt / 100.0 + 2.0 * sqrt(CASE WHEN cnt >= 2
+               THEN (cnt * sxx - sx * sx) / (cnt * (cnt - 1.0)) / 10000.0 END) AS bb_upper,
+           sx / cnt / 100.0 - 2.0 * sqrt(CASE WHEN cnt >= 2
+               THEN (cnt * sxx - sx * sx) / (cnt * (cnt - 1.0)) / 10000.0 END) AS bb_lower
+    FROM m
+    """,
+    survey_ref="W1 SMA + dispersion: Bollinger bands from exact integer "
+    "window moments (q57 technique in a moving frame); NULL until ≥2 rows",
+)
+def q70_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row Bollinger bands over each customer's order-total series."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", _d("o_orderdate").alias("order_date"), "o_totalprice"
+    )
+    out = indicators.bollinger(
+        o, ["o_custkey"], ["order_date", "o_orderkey"], "o_totalprice", n=5
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "order_date", "bb_mid", "bb_upper", "bb_lower"
+    )
+
+
+@register(
+    "q71_rsi",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+        FROM orders
+    ), d AS (
+        SELECT *, xc - LAG(xc) OVER (PARTITION BY o_custkey
+                                     ORDER BY order_date, o_orderkey) AS diff
+        FROM c
+    ), g AS (
+        SELECT o_custkey, o_orderkey, order_date,
+               SUM(CASE WHEN diff IS NULL THEN NULL
+                        ELSE GREATEST(diff, 0) END) OVER w AS sg,
+               SUM(CASE WHEN diff IS NULL THEN NULL
+                        ELSE GREATEST(0 - diff, 0) END) OVER w AS sl
+        FROM d
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date, o_orderkey
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey, o_orderkey, order_date,
+           CASE WHEN sl = 0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + CAST(sg AS DOUBLE) / CAST(sl AS DOUBLE))
+           END AS rsi
+    FROM g
+    """,
+    survey_ref="W2 lag-delta (lag_pct_change) composed into Cutler's RSI: "
+    "exact cent deltas, window sums in int64, one double ratio at the end",
+)
+def q71_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row RSI over each customer's order-total series (100 = no
+    losses in frame, NULL until a prior row exists)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", _d("o_orderdate").alias("order_date"), "o_totalprice"
+    )
+    out = indicators.rsi(o, ["o_custkey"], ["order_date", "o_orderkey"], "o_totalprice", n=5)
+    return out.select("o_custkey", "o_orderkey", "order_date", "rsi")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
