@@ -2270,6 +2270,35 @@ def q71_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_custkey", "o_orderkey", "order_date", "rsi")
 
 
+@register(
+    "q72_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 <
+          CASE WHEN lang = 'en' THEN 429496730 ELSE 2147483648 END
+    """,
+    survey_ref="extension: stratified deterministic sampling — per-class "
+    "rates (en 10%, rest 50%) rebalance a skewed corpus reproducibly; "
+    "the q59 multiplicative hash with a per-stratum cut",
+)
+def q72_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing stratified sample of the documents corpus:
+    the majority class (en) keeps ~10%, minority languages keep ~50% —
+    the standard class-balance step before training-data tokenization.
+
+    Same multiplicative-hash determinism as q59 (stable under retries,
+    re-partitioning, and engine choice — what rand()/sample() can't
+    give); the per-stratum cut is a single CASE, so the whole predicate
+    pushes into the scan and no shuffle happens at all. At doc_id
+    beyond ~2^32 swap the multiply for xxhash64 (q26/q33 pattern) to
+    stay in int64 range under ANSI.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    mixed = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    cut = F.when(F.col("lang") == "en", F.lit(429496730)).otherwise(F.lit(2147483648))
+    return d.filter(mixed < cut).select("doc_id", "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
