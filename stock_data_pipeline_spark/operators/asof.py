@@ -52,8 +52,17 @@ def asof_join(
         .orderBy(F.col("__t").asc(), tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Each value is carried inside a struct that is non-NULL exactly for
+    # right rows, so ``last(ignorenulls=True)`` tracks the latest *row*,
+    # not the latest non-NULL *value*: a right row whose value is
+    # genuinely NULL propagates that NULL forward (merge_asof/DuckDB
+    # ASOF parity) instead of falling back to an older non-NULL value.
+    def _carried(c: str):
+        wrapped = F.when(F.col("__is_left") == 0, F.struct(F.col(c).alias("v")))
+        return F.last(wrapped, ignorenulls=True).over(w)["v"].alias(c)
+
     filled = unioned.select(
         *[c for c in unioned.columns if c not in value_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        *[_carried(c) for c in value_cols],
     )
     return filled.filter(F.col("__is_left") == 1).drop("__is_left", "__t")

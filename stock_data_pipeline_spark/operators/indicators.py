@@ -38,6 +38,16 @@ def _cents(col) -> Column:
     return (c.cast("decimal(18,2)") * 100).cast("long")
 
 
+def _cents_dec(col) -> Column:
+    """Exact cents as DECIMAL(18,0) — for sums whose operand count grows
+    with data size (group aggregates, unbounded frames): products stay
+    exact in decimal(37,0) and sums widen to decimal(38,0), where BIGINT
+    cents² would overflow (ANSI throw) around sf1. Frame-bounded sums
+    (n-row windows) keep the cheaper int64 path."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+
+
 def _d(c: Column) -> Column:
     return c.cast("double")
 
@@ -50,11 +60,13 @@ def vwap(
 ) -> DataFrame:
     """Volume-weighted average price per group: Σ(p·q)/Σ(q).
 
-    Both moment sums are exact int64 (cents × cents), so map-side
-    partial aggregation is safe at any parallelism; one shuffle on the
-    group key, division happens once per group in double.
+    Both moment sums are exact integer cents in DECIMAL(38,0)
+    accumulators (group size is unbounded, so int64 cents×cents would
+    overflow at scale), map-side partial aggregation safe at any
+    parallelism; one shuffle on the group key, division happens once per
+    group in double.
     """
-    pc, qc = _cents(price_col), _cents(qty_col)
+    pc, qc = _cents_dec(price_col), _cents_dec(qty_col)
     agg = df.groupBy(*group_cols).agg(
         F.sum(pc * qc).alias("_spv"),
         F.sum(qc).alias("_sv"),
@@ -135,20 +147,22 @@ def bollinger(
     mid ± 2·sample-stddev. NULL until the frame holds ≥ 2 rows (sample
     variance undefined), mirroring pandas ``rolling(n, min_periods=2)``.
 
-    The window sums run in exact integer cents (order-independent);
-    variance uses the closed form n·Σx² − (Σx)² evaluated in double on
-    those exact operands — identical sequence in any engine, so no
-    rounding is applied (same technique as queries.q57).
+    The window sums run in exact integer cents with decimal
+    accumulators for the squared term (order-independent, and immune to
+    int64 overflow even for large ``n`` or extreme prices); variance
+    uses the closed form n·Σx² − (Σx)² evaluated in double on those
+    exact operands — identical sequence in any engine, so no rounding
+    is applied (same technique as queries.q57).
     """
     w = (
         Window.partitionBy(*partition_cols)
         .orderBy(*order_cols)
         .rowsBetween(-(n - 1), Window.currentRow)
     )
-    xc = _cents(price_col)
+    xd = _cents_dec(price_col)
     cnt = _d(F.count(F.col(price_col)).over(w))
-    sx = _d(F.sum(xc).over(w))
-    sxx = _d(F.sum(xc * xc).over(w))
+    sx = _d(F.sum(xd).over(w))
+    sxx = _d(F.sum(xd * xd).over(w))
     mid = sx / cnt / F.lit(100.0)
     var = F.when(
         cnt >= 2, (cnt * sxx - sx * sx) / (cnt * (cnt - F.lit(1.0))) / F.lit(10000.0)

@@ -41,7 +41,18 @@ def salted_join(
     side scales with it). Note Spark broadcasts genuinely small right
     sides anyway (no shuffle, no skew) — salting only matters for
     big-big joins.
+
+    ``how`` is restricted to left-preserving joins (inner / left /
+    left_semi / left_anti): the right side is exploded once per salt, so
+    a right- or full-outer join would emit each unmatched right row
+    ``num_salts`` times. Salt the other side for those.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only {sorted(allowed)}, got {how!r}: "
+            "the salted-replicated right side would duplicate unmatched right rows"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts))
     l = left.withColumn("__salt", salt.cast("int"))
     r = right.withColumn(

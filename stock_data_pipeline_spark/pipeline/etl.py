@@ -64,15 +64,18 @@ def run_daily_pipeline(
     # EP3: flagship computation over the refreshed state
     fresh = calculate_sector_price(prices, shares, shares_outstanding)
 
-    # UPDATE ... WHERE calc IS NULL → order-independent coalesce-merge
+    # UPDATE ... WHERE calc IS NULL → order-independent coalesce-merge.
+    # Only keys genuinely absent from state are appended (as NULL rows that
+    # the merge then fills) — an anti-join, NOT dropDuplicates over a union,
+    # which would keep an arbitrary row and could drop an already-computed
+    # state value in favor of fresh's recomputation.
+    new_keys = (
+        fresh.select("date", "sector")
+        .join(sector_history_state.select("date", "sector"), ["date", "sector"], "left_anti")
+        .withColumn("calc_price", F.lit(None).cast("double"))
+    )
     history = coalesce_merge(
-        sector_history_state.unionByName(
-            # dates newly present in `fresh` but absent from state appear
-            # with NULL then fill — same outcome as the reference's
-            # append-then-update two-step (sector.py:135-145)
-            fresh.select("date", "sector").withColumn("calc_price", F.lit(None).cast("double")),
-            allowMissingColumns=True,
-        ).dropDuplicates(["date", "sector"]),
+        sector_history_state.unionByName(new_keys, allowMissingColumns=True),
         fresh,
         ["date", "sector"],
         ["calc_price"],

@@ -1905,23 +1905,25 @@ def q56_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q57_corr_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation of quantity vs extended price per return flag.
 
-    The five moment sums are exact int64 arithmetic (2-dp money → cents),
-    so they are order-independent under any partitioning; only the final
-    closed-form expression runs in floating point, on identical operands
-    in both engines (int64→double and each IEEE op are correctly rounded
-    → bit-identical). At extreme scale the cents² sums approach int64
-    range — swap to DECIMAL(38,0) accumulators there.
+    The five moment sums are exact integer arithmetic (2-dp money →
+    cents) accumulated in DECIMAL(38,0) — order-independent under any
+    partitioning AND overflow-safe far past sf1000 (cents² sums in
+    BIGINT run out of headroom around sf1 under ANSI mode; DuckDB's
+    BIGINT sum widens to HUGEINT, so only the Spark side would throw).
+    Only the final closed-form expression runs in floating point, on
+    identical exact-integer operands in both engines (decimal/HUGEINT →
+    double and each IEEE op are correctly rounded → bit-identical).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    xc = (_dec("l_quantity") * 100).cast("long")
-    yc = (_dec("l_extendedprice") * 100).cast("long")
+    xd = (_dec("l_quantity") * 100).cast("decimal(18,0)")
+    yd = (_dec("l_extendedprice") * 100).cast("decimal(18,0)")
     s = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(xc).alias("sx"),
-        F.sum(yc).alias("sy"),
-        F.sum(xc * yc).alias("sxy"),
-        F.sum(xc * xc).alias("sxx"),
-        F.sum(yc * yc).alias("syy"),
+        F.sum(xd).alias("sx"),          # decimal(28,0)
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),    # product decimal(37,0) → sum decimal(38,0)
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     num = d("n") * d("sxy") - d("sx") * d("sy")

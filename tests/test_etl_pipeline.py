@@ -63,6 +63,27 @@ def test_daily_run_end_to_end(spark):
     assert set(res.wide_export.columns) == {"date", "aapl", "msft", "xlk"}
 
 
+def test_refresh_fills_only_nulls_deterministically(spark):
+    """The already-computed state value must survive regardless of
+    partitioning: the refresh appends only keys absent from state (anti
+    join), so there is no arbitrary-winner dedup that could let fresh's
+    recomputation clobber state. Regression for the dropDuplicates
+    nondeterminism (ADVICE r1)."""
+    prices_state, incoming, shares, outstanding, history_state, market_days = _world(spark)
+    # adversarial layouts: single partition, many partitions, key-skewed
+    for n in (1, 7, 64):
+        res = run_daily_pipeline(
+            prices_state, incoming, shares, outstanding,
+            history_state.repartition(n), market_days,
+        )
+        rows = res.sector_history.collect()
+        keys = [(r["date"], r["sector"]) for r in rows]
+        assert len(keys) == len(set(keys))  # exactly one row per key
+        hist = {r["date"]: r["calc_price"] for r in rows}
+        assert hist[D1] == 77.0  # state value kept, never fresh's 16.0 recompute
+        assert hist[D2] == 20.5
+
+
 def test_daily_run_is_idempotent(spark):
     prices_state, incoming, shares, outstanding, history_state, market_days = _world(spark)
     first = run_daily_pipeline(

@@ -80,6 +80,28 @@ def test_asof_strict_excludes_tie(spark):
     assert out[2] == 2.0  # tie at t=20 excluded → falls back to quote@15
 
 
+def test_asof_null_value_propagates(spark):
+    """merge_asof parity on NULL values (ADVICE r1): a right row whose
+    value is genuinely NULL must win over an older non-NULL row — the
+    join tracks the latest *row*, not the latest non-NULL *value*."""
+    trades = spark.createDataFrame([("a", 30, 1)], ["acct", "t", "trade_id"])
+    quotes = spark.createDataFrame(
+        [("a", 10, 5.0), ("a", 20, None)], "acct string, t long, px double"
+    )
+    out = asof_join(trades, quotes, ["acct"], "t", "t", ["px"]).collect()
+    assert out[0]["px"] is None  # quote@20 (NULL) shadows quote@10 (5.0)
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest as _pytest
+
+    from stock_data_pipeline_spark.operators.skew import salted_join as _sj
+
+    df = spark.range(2)
+    with _pytest.raises(ValueError, match="left-preserving"):
+        _sj(df, df, ["id"], how="right")
+
+
 def test_fetch_ohlcv_history_with_injected_fetcher(spark):
     """A1-A3 ingest edge: fake fetcher (the yfinance twin) → normalized
     long DataFrame; dividends/splits dropped, tz stripped, ticker
