@@ -36,15 +36,19 @@ def run() -> dict:
         except Exception:
             pass  # warmup is best-effort; the measured run surfaces real errors
 
-    # best-of-2: wall-clock on a busy box varies up to 2x run-to-run;
-    # the minimum reflects the plan, not transient load
+    # best-of-3: wall-clock on a busy box varies up to 2x run-to-run
+    # (observed: a 3 s query stalling to 13 s with all tasks crawling —
+    # box-level contention, not the plan); the minimum over three runs
+    # reflects the plan, not transient load
     timings: dict[str, float] = {}
     for name, fn in _q.headline_queries().items():
         best = None
-        for _ in range(2):
-            df = fn(spark, sf_dir)
+        for _ in range(3):
+            # time construction + execution: for iterative queries (q66)
+            # the real work happens inside fn() (checkpointed rounds) —
+            # timing only the final write would under-report them
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)

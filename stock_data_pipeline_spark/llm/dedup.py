@@ -25,11 +25,19 @@ def _spread(df: DataFrame, key_col: str) -> DataFrame:
 
     Narrow shingling/hashing stages inherit the scan's partitioning; a
     corpus landing in few input splits (small files, one big row group)
-    would serialize the heavy map-side work. At cluster scale the scan
-    has many splits, the condition is false, and this is a no-op.
+    would serialize the heavy map-side work. The under-split check reads
+    ``inputFiles()`` — driver-side file-listing metadata, no RDD
+    conversion and no Spark job, so plan construction stays action-free.
+    At cluster scale the scan has ≥parallelism files and this is a
+    no-op; non-file sources (in-memory test frames) repartition, which
+    is the safe default for their size.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < parallelism:
         return df.repartition(parallelism, key_col)
     return df
 
@@ -378,40 +386,85 @@ def minhash_lsh_pairs(
     )
 
 
-def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
-) -> DataFrame:
-    """Connected components over an undirected pair graph (near-dup
-    clusters): iterative min-label propagation. Returns (vertex,
-    cluster_id) where cluster_id is the component's minimum vertex id.
+def _cc_round(bidir: DataFrame, labels: DataFrame) -> DataFrame:
+    """One connected-components round: neighbor min-label propagation
+    followed by pointer jumping (l(v) ← min(l(v), l(l(v)))).
 
-    Each iteration is one join + one aggregate (both hash-partitioned on
-    the vertex id, so successive iterations reuse the partitioning);
-    convergence needs O(diameter) rounds — near-dup graphs are
-    overwhelmingly tiny cliques/chains, so 2-3 rounds in practice.
-    ``localCheckpoint`` truncates the growing lineage each round (the
-    standard Spark iterative-algorithm pattern — without it the plan
-    doubles per iteration and the driver, not the data, becomes the
-    bottleneck). The per-round ``count`` is the convergence test, an
-    O(1)-row action.
+    Plain propagation needs O(diameter) rounds on a chain; the pointer
+    jump doubles how far a label has travelled every round, so the
+    combination converges in O(log diameter) — the same effect as the
+    large-star/small-star alternation, expressed as two equi-joins +
+    two min-aggregates, all hash-partitioned on the vertex id.
     """
-    bidir = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+    neighbor = (
+        bidir.join(labels.withColumnRenamed("vertex", "u"), "u")
+        .select(F.col("v").alias("vertex"), "lbl")
+    )
+    once = (
+        labels.unionByName(neighbor)
+        .groupBy("vertex")
+        .agg(F.min("lbl").alias("lbl"))
+    )
+    jump = (
+        once.join(
+            once.select(F.col("vertex").alias("lbl"), F.col("lbl").alias("lbl2")),
+            "lbl",
+        ).select("vertex", F.col("lbl2").alias("lbl"))
+    )
+    return (
+        once.unionByName(jump).groupBy("vertex").agg(F.min("lbl").alias("lbl"))
+    )
+
+
+def _bidir(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components over an undirected pair graph (near-dup
+    clusters). Returns (vertex, cluster_id), cluster_id = component min.
+
+    Scale design: each round is :func:`_cc_round` (propagate + pointer
+    jump → O(log diameter) rounds, not O(diameter)); between rounds the
+    labels are checkpointed to DISK (``checkpoint()``, truncating
+    lineage without pinning the working set in executor memory the way
+    ``localCheckpoint`` would — at 100 TB the label table is too big to
+    hold as memory-resident blocks whose loss would kill the job). The
+    per-round convergence test is a ``limit(1).count()`` — one tiny
+    action per round, O(log d) rounds total. For an action-free fully
+    lazy plan on bounded-diameter graphs use
+    :func:`connected_components_fixed`.
+
+    ``checkpoint_dir``: set once on the SparkContext if given (or if no
+    checkpoint dir is configured, a local tmpdir — single-node default;
+    on a cluster pass a DFS path).
+    """
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+    elif sc._jsc.sc().getCheckpointDir().isEmpty():  # no dir configured yet
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-cc-ckpt-"))
+    # Checkpoint the edge list ONCE: every round's neighbor join scans
+    # it, and without the barrier each round would re-run the full
+    # upstream edge-generation plan (for near-dup clustering that is the
+    # whole shingle/prefix-filter pipeline — the dominant cost).
+    bidir = _bidir(edges, src, dst).checkpoint(eager=True)
     labels = (
         bidir.select(F.col("u").alias("vertex")).distinct().withColumn("lbl", F.col("vertex"))
-    ).localCheckpoint(eager=True)
+    ).checkpoint(eager=True)
     for _ in range(max_iter):
-        neighbor = (
-            bidir.join(labels.withColumnRenamed("vertex", "u"), "u")
-            .select(F.col("v").alias("vertex"), "lbl")
-        )
-        new_labels = (
-            labels.unionByName(neighbor)
-            .groupBy("vertex")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
+        new_labels = _cc_round(bidir, labels).checkpoint(eager=True)
         changed = (
             new_labels.withColumnRenamed("lbl", "new_lbl")
             .join(labels, "vertex")
@@ -425,21 +478,64 @@ def connected_components(
     return labels.select(F.col("vertex"), F.col("lbl").alias("cluster_id"))
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+def connected_components_fixed(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", rounds: int = 4
+) -> DataFrame:
+    """Fully lazy connected components: ``rounds`` unrolled
+    :func:`_cc_round` stages, no checkpoints, no convergence action —
+    building the result is pure plan construction (zero Spark jobs).
+    Pointer jumping gives label reach 2^rounds (default 4 → diameter
+    ≤ 16, beyond typical near-dup cliques/chains).
+
+    CAVEAT — plan growth: each unrolled round references its input in
+    several branches, so the logical tree (and Catalyst analysis cost)
+    grows ~4^rounds copies of the ``edges`` subtree. Use only for small
+    ``rounds`` over cheap/materialized inputs; for anything else use
+    :func:`connected_components` — the checkpoint barrier is exactly
+    what keeps iterative algorithms' plans bounded, which is why the
+    to-convergence loop is the production path.
+    """
+    bidir = _bidir(edges, src, dst)
+    labels = (
+        bidir.select(F.col("u").alias("vertex")).distinct().withColumn("lbl", F.col("vertex"))
+    )
+    for _ in range(rounds):
+        labels = _cc_round(bidir, labels)
+    return labels.select(F.col("vertex"), F.col("lbl").alias("cluster_id"))
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64,
+    portable_hash: bool = False,
+) -> DataFrame:
     """SimHash fingerprint: hash each token to 64 bits; fingerprint bit i
     is the sign of Σ_tokens (±1 for bit i of the token hash). Near-dups
     have small Hamming distance between fingerprints.
 
     Single explode + groupBy with 64 conditional-sum aggregates — one
     shuffle carrying (id, token-hash).
+
+    ``portable_hash``: token hash = the polynomial rolling hash and bit
+    i's vote = parity of the i-th universal-family map
+    ``(a_i·h + b_i) mod 2³¹−1`` (same constants as MinHash) — every
+    vote, bit sum, and fingerprint is then reproducible in ANSI SQL,
+    enabling a full value oracle. xxhash64 bit-slicing stays the faster
+    production default.
     """
     tok = _spread(df, id_col).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
+    )
+    if portable_hash:
+        tok = tok.withColumn("th", _portable_shingle_hash(F.col("tok")))
+        consts = _perm_constants(bits)
+        vote = lambda i: F.pmod(  # noqa: E731
+            F.col("th") * F.lit(consts[i][0]) + F.lit(consts[i][1]), F.lit(_MERSENNE_31)
+        ).bitwiseAND(F.lit(1)) == 1
+    else:
+        tok = tok.withColumn("th", F.xxhash64("tok"))
+        vote = lambda i: F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1  # noqa: E731
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.when(vote(i), 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*bit_aggs)
@@ -452,15 +548,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, blocks: int = 4
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, blocks: int = 4,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with block-permutation candidate
     generation (pigeonhole: two fingerprints within ``max_hamming`` of
     each other agree exactly on at least one of ``blocks`` 16-bit blocks
     when blocks > max_hamming). Equi-join on (block_idx, block_value),
-    then exact Hamming filter via bit_count(xor)."""
+    then exact Hamming filter via bit_count(xor). ``portable_hash``
+    makes the whole pipeline value-verifiable in ANSI SQL (see
+    :func:`simhash`)."""
     width = 64 // blocks
-    fps = simhash(df, id_col, text_col)
+    fps = simhash(df, id_col, text_col, portable_hash=portable_hash)
     # shiftright needs a Python-int bit count → build the block structs
     # with a driver-side loop, not F.transform
     block_structs = [

@@ -71,17 +71,45 @@ def _plane_weight(table: Column | int, plane: Column | int, dim_idx: Column | in
     return h.cast("double") / F.lit(float(1 << 19)) - F.lit(1.0)
 
 
-def _table_signature(vec: Column, table: Column, num_planes: int, dim: int) -> Column:
+def portable_plane_weights(
+    num_tables: int, num_planes: int, dim: int
+) -> list[list[list[float]]]:
+    """Driver-side hyperplane weights in [-1, 1) — dyadic rationals
+    (20-bit hash / 2¹⁹) derived from splitmix64 index mixing, so they
+    are exactly representable doubles whose repr() round-trips into any
+    engine's SQL parser. Embedding the same literals in the Spark plan
+    and a DuckDB oracle makes every signature bit value-verifiable:
+    identical weights × identical fold order → bit-identical dots →
+    identical buckets. No RNG state; pure function of the indices."""
+    mask64 = (1 << 64) - 1
+    out = []
+    for t in range(num_tables):
+        planes = []
+        for p in range(num_planes):
+            row = []
+            for i in range(dim):
+                z = (((t * 1_000_003 + p) * 1_000_003 + i + 1) * 0x9E3779B97F4A7C15) & mask64
+                z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask64
+                z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask64
+                z ^= z >> 31
+                h = (z >> 33) & ((1 << 20) - 1)
+                row.append(h / float(1 << 19) - 1.0)
+            planes.append(row)
+        out.append(planes)
+    return out
+
+
+def _table_signature(vec: Column, table: Column, num_planes: int) -> Column:
     """LSH bucket for one table: ``num_planes`` sign bits of
-    ⟨random plane, vec⟩ packed into a long."""
+    ⟨random plane, vec⟩ packed into a long. The per-dimension weight is
+    derived from the element index (PySpark 4 two-arg transform lambda),
+    so no dimensionality probe is needed — the plan is built with zero
+    Spark actions."""
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(num_planes - 1)),
         lambda p: F.when(
             _fold_sum(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: _plane_weight(table, p, i) * F.element_at(vec, i + 1).cast("double"),
-                )
+                F.transform(vec, lambda x, i: _plane_weight(table, p, i) * x.cast("double"))
             )
             >= 0,
             F.lit(1),
@@ -90,21 +118,85 @@ def _table_signature(vec: Column, table: Column, num_planes: int, dim: int) -> C
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b.cast("long"))
 
 
-def _with_buckets(
-    df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str,
-    num_tables: int, num_planes: int, dim: int,
-) -> DataFrame:
-    sigs = F.transform(
-        F.sequence(F.lit(0), F.lit(num_tables - 1)),
-        lambda t: F.struct(
-            t.alias("table_idx"),
-            _table_signature(F.col(vec_alias), t, num_planes, dim).alias("bucket"),
-        ),
-    )
+def _weights_tensor_sql(portable_weights: list[list[list[float]]]) -> str:
+    """The [table][plane][dim] weight tensor as ONE SQL array literal.
+
+    Expression shape matters here and was MEASURED twice: (a) a fully
+    unrolled 64-term sum per plane (1920 expression nodes per side)
+    blows past codegen method limits — 7× slower to execute than an
+    array fold; (b) building the fold's literal arrays with per-value
+    ``F.lit`` costs one py4j round-trip each (3,840 driver calls ≈
+    4.6 s of *plan construction* per query build). Emitting the whole
+    tensor as a single ``F.expr`` string keeps construction at one
+    parse (~ms) and execution identical. ``repr`` of the dyadic
+    weights round-trips exactly through the SQL parser — same literals
+    the DuckDB oracle embeds."""
     return (
-        df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+        "array("
+        + ",".join(
+            "array("
+            + ",".join("array(" + ",".join(repr(w) for w in ws) + ")" for ws in planes)
+            + ")"
+            for planes in portable_weights
+        )
+        + ")"
+    )
+
+
+def _with_buckets(
+    df: DataFrame, id_col: str, vec_col: str, id_alias: str,
+    num_tables: int, num_planes: int,
+    portable_weights: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """(id, table_idx, bucket) — one row per (vector, table). The vector
+    itself is NOT carried through: the bucket explode multiplies rows by
+    ``num_tables``, so shipping embeddings here would multiply the
+    candidate-join shuffle payload by the table count. Candidates travel
+    as bare ids; consumers rejoin vectors for the exact rerank.
+
+    Signature computation is the heavy map stage (rows × tables ×
+    planes × dims interpreted multiply-adds), so the input is
+    ``_spread`` first — an under-split local scan (one parquet file)
+    would otherwise serialize it on one core; at cluster scale the scan
+    has ≥parallelism splits and the spread is a no-op."""
+    from stock_data_pipeline_spark.llm.dedup import _spread
+
+    df = _spread(df, id_col)
+    vec = F.col("__v")
+    if portable_weights is not None:
+        # one literal tensor, folded per table: acc*2 + sign-bit in
+        # ascending plane order — the exact integer the hashed path and
+        # the ANSI-SQL oracle compute
+        wlit = F.expr(_weights_tensor_sql(portable_weights))
+        sigs = F.transform(
+            F.sequence(F.lit(0), F.lit(num_tables - 1)),
+            lambda t: F.struct(
+                t.alias("table_idx"),
+                F.aggregate(
+                    F.element_at(wlit, t + 1),
+                    F.lit(0).cast("long"),
+                    lambda acc, plane: acc * 2
+                    + F.when(
+                        _fold_sum(F.zip_with(vec, plane, lambda x, w: w * x.cast("double"))) >= 0,
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(0))
+                    .cast("long"),
+                ).alias("bucket"),
+            ),
+        )
+    else:
+        sigs = F.transform(
+            F.sequence(F.lit(0), F.lit(num_tables - 1)),
+            lambda t: F.struct(
+                t.alias("table_idx"),
+                _table_signature(vec, t, num_planes).alias("bucket"),
+            ),
+        )
+    return (
+        df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v"))
         .withColumn("__sig", F.explode(sigs))
-        .select(id_alias, vec_alias, "__sig.table_idx", "__sig.bucket")
+        .select(id_alias, "__sig.table_idx", "__sig.bucket")
     )
 
 
@@ -116,8 +208,8 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     num_planes: int = 8,
     num_tables: int = 4,
-    dim: int | None = None,
     exclude_self: bool = True,
+    portable_weights: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: ``num_tables`` independent hyperplane-LSH
     tables of ``num_planes`` sign bits; candidates share a bucket in ≥1
@@ -127,19 +219,33 @@ def ann_lsh_topk(
     candidate generation is an equi-join on (table_idx, bucket) —
     shuffle ∝ rows × tables, never |corpus| × |queries|. Recall rises
     with ``num_tables``; bucket size falls with ``num_planes``.
+
+    ``portable_weights`` (from :func:`portable_plane_weights`) swaps the
+    hashed plane weights for embedded literals, making the full
+    candidate set + scores value-verifiable against an ANSI-SQL oracle.
+    Plan construction triggers no Spark action on either path.
+
+    Candidates are generated as bare (query_id, match_id) ids — the
+    dedup shuffle carries 16 bytes/row, not two embeddings — and the
+    vectors are joined back only for the exact rerank (query side
+    broadcast: the query set is small by construction).
     """
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    cand_c = _with_buckets(corpus, id_col, vec_col, "match_id", "__cvec", num_tables, num_planes, dim)
-    cand_q = _with_buckets(queries, id_col, vec_col, "query_id", "__qvec", num_tables, num_planes, dim)
+    cand_c = _with_buckets(corpus, id_col, vec_col, "match_id", num_tables, num_planes, portable_weights)
+    cand_q = _with_buckets(queries, id_col, vec_col, "query_id", num_tables, num_planes, portable_weights)
     cands = (
         cand_c.join(cand_q, ["table_idx", "bucket"])
-        .select("query_id", "__qvec", "match_id", "__cvec")
+        .select("query_id", "match_id")
         .distinct()
     )
     if exclude_self:
         cands = cands.filter(F.col("query_id") != F.col("match_id"))
-    scored = cands.withColumn("score", cosine(F.col("__qvec"), F.col("__cvec")))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    cv = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cvec"))
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "match_id")
+        .withColumn("score", cosine(F.col("__qvec"), F.col("__cvec")))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -216,16 +322,20 @@ def embedding_neardup_pairs(
     threshold filter. Returns (id_a, id_b, score), id_a < id_b."""
     if df.isStreaming:
         raise ValueError("near-dup pairing is a batch operator")
-    dim = len(df.select(vec_col).first()[0])
-    cand = _with_buckets(df, id_col, vec_col, "id_a", "__avec", num_tables, num_planes, dim)
-    other = _with_buckets(df, id_col, vec_col, "id_b", "__bvec", num_tables, num_planes, dim)
-    pairs = (
+    cand = _with_buckets(df, id_col, vec_col, "id_a", num_tables, num_planes)
+    other = _with_buckets(df, id_col, vec_col, "id_b", num_tables, num_planes)
+    ids = (
         cand.join(other, ["table_idx", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "__avec", "id_b", "__bvec")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__avec"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__bvec"))
+    return (
+        ids.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("score", cosine(F.col("__avec"), F.col("__bvec")))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
-    return pairs

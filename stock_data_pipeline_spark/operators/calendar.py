@@ -63,6 +63,21 @@ def nyse_market_days(spark: SparkSession, start: str, end: str) -> DataFrame:
     return market_days_from_range(spark, start, end, holidays=NYSE_HOLIDAYS_2025_2026)
 
 
+def market_days_from_bounds(
+    df: DataFrame, date_col: str = "date", holidays: list[str] | None = None
+) -> DataFrame:
+    """Weekday calendar dimension spanning the data's own [min, max]
+    date range — the lazy twin of :func:`market_days_from_range` for
+    when the bounds come from a DataFrame. Entirely plan-side (the
+    min/max agg is a 1-row exchange feeding ``sequence``), so building
+    it triggers no driver-side action; the whole dimension stays a
+    broadcast-sized spine."""
+    weekdays = densify_dates(df, date_col).filter(~F.dayofweek("date").isin(1, 7))
+    if holidays:
+        weekdays = weekdays.filter(~F.col("date").isin([F.lit(h) for h in holidays]))
+    return weekdays
+
+
 def market_days_from_range(
     spark: SparkSession, start: str, end: str, holidays: list[str] | None = None
 ) -> DataFrame:

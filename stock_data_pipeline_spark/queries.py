@@ -71,6 +71,18 @@ def _d(col: str) -> F.Column:
     return F.date_format(col, "yyyy-MM-dd")
 
 
+def _duck_cos(av: str, bv: str) -> str:
+    """Cosine in DuckDB with the exact fold order of similarity.cosine:
+    dot left-to-right, then sqrt(norm a) * sqrt(norm b) — identical
+    IEEE sequence, bit-identical doubles (proven by q28)."""
+    return f"""list_reduce(list_transform(generate_series(1, len({av})),
+                   i -> CAST({av}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE)), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(generate_series(1, len({av})),
+                     i -> CAST({av}[i] AS DOUBLE) * CAST({av}[i] AS DOUBLE)), (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(generate_series(1, len({bv})),
+                     i -> CAST({bv}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE)), (a, b) -> a + b)))"""
+
+
 def _dec(col) -> F.Column:
     """Money columns are 2-dp values stored as doubles; casting to
     DECIMAL(18,2) is lossless here and makes sums exact and
@@ -720,8 +732,9 @@ def q22_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q23_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization on exact microsecond arithmetic (ts is stored
     as int64 nanos; both engines see identical µs-truncated values)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    from stock_data_pipeline_spark.catalog import load_events_raw
+
+    raw = load_events_raw(spark, sf_dir).select(
         "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -827,7 +840,8 @@ def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q27_simhash_pairs",
-    oracle=None,  # xxhash64-based — rows-only check
+    oracle=None,  # xxhash64-based — rows-only check; q73 is the
+    # portable-hash twin with a FULL value oracle
     survey_ref="extension: SimHash near-dup (hamming ≤ 3)",
 )
 def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,7 +890,8 @@ def q28_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q29_ann_lsh_topk",
     oracle=None,  # LSH bucketing is hash-seeded (xxhash64) — rows-only;
-    # recall vs q28's exact top-k is asserted in tests/test_llm.py
+    # recall vs q28's exact top-k is asserted in tests/test_llm.py;
+    # q74 is the literal-weight twin with a FULL value oracle
     survey_ref="extension: hyperplane-LSH ANN (the 100 TB scale path)",
 )
 def q29_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,15 +1083,16 @@ def q35_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q36_market_day_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference gates its whole run on 'is today a market day'
     (pandas_market_calendars). Engine form: broadcast semi-join against
-    a calendar dimension — here weekdays over the data's own range."""
+    a calendar dimension — here weekdays over the data's own range,
+    derived lazily (no driver-side bounds probe: the min/max agg is a
+    1-row plan feeding ``sequence``)."""
     from stock_data_pipeline_spark.operators.calendar import (
         market_day_filter,
-        market_days_from_range,
+        market_days_from_bounds,
     )
 
     o = load_table(spark, sf_dir, "orders").withColumn("date", F.to_date("o_orderdate"))
-    bounds = o.agg(F.min("date").alias("lo"), F.max("date").alias("hi")).first()
-    cal = market_days_from_range(spark, str(bounds["lo"]), str(bounds["hi"]))
+    cal = market_days_from_bounds(o, "date")
     return (
         market_day_filter(o, cal, "date")
         .groupBy(F.date_format("date", "yyyy-MM-dd").alias("date"))
@@ -1507,11 +1523,57 @@ def q52_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert(existing, updates, ["o_orderkey"])
 
 
+def _ivf_oracle(nlist: int = 16, nprobe: int = 6, k: int = 10) -> str:
+    """DuckDB oracle for IVF-flat ANN — the whole pipeline is
+    deterministic (first-nlist centroids, exact cosine folds,
+    tie-broken ranks), so every stage is mechanical ANSI SQL."""
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+        ORDER BY vec_id LIMIT {nlist}
+    ), c AS (
+        SELECT vec_id AS match_id, embedding AS cv FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), ca AS (
+        SELECT match_id, cv, list_id FROM (
+            SELECT match_id, cv, cent_id AS list_id,
+                   ROW_NUMBER() OVER (PARTITION BY match_id
+                                      ORDER BY cs DESC, cent_id ASC) AS rn
+            FROM (SELECT match_id, cv, cent_id,
+                         {_duck_cos("cv", "centv")} AS cs
+                  FROM c CROSS JOIN cents)
+        ) WHERE rn = 1
+    ), qa AS (
+        SELECT query_id, qv, list_id FROM (
+            SELECT query_id, qv, cent_id AS list_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cs DESC, cent_id ASC) AS rn
+            FROM (SELECT query_id, qv, cent_id,
+                         {_duck_cos("qv", "centv")} AS cs
+                  FROM q CROSS JOIN cents)
+        ) WHERE rn <= {nprobe}
+    ), scored AS (
+        SELECT query_id, match_id,
+               {_duck_cos("qv", "cv")} AS score
+        FROM ca JOIN qa USING (list_id)
+        WHERE query_id <> match_id
+    )
+    SELECT query_id, match_id, score, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, match_id ASC) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 @register(
     "q53_ann_ivf_topk",
-    oracle=None,  # IVF probe selection is approximation — rows-only;
-    # recall vs exact q28 asserted in tests/test_llm.py
-    survey_ref="extension: IVF-flat ANN (inverted lists; the other scale path next to LSH)",
+    headline=True,
+    oracle=_ivf_oracle(nlist=16, nprobe=6, k=10),
+    survey_ref="extension: IVF-flat ANN (inverted lists; the other scale "
+    "path next to LSH) — fully deterministic, so it carries a complete "
+    "value oracle; recall vs exact q28 additionally asserted in tests",
 )
 def q53_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1578,6 +1640,7 @@ def _minhash_oracle(n: int = 3, num_perm: int = 64, bands: int = 16) -> str:
 
 @register(
     "q54_minhash_lsh_verified",
+    headline=True,
     oracle=_minhash_oracle(n=3, num_perm=64, bands=16),
     survey_ref="extension: MinHash+LSH with a FULL value oracle — portable "
     "polynomial shingle hash + integer band folds reproduce every "
@@ -1766,8 +1829,9 @@ def q61_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines see identical values, no timestamp-diff semantics drift
     (DuckDB date_diff counts boundary crossings, Spark counts elapsed
     units; µs subtraction sidesteps both)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    from stock_data_pipeline_spark.catalog import load_events_raw
+
+    raw = load_events_raw(spark, sf_dir).select(
         "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -1816,6 +1880,7 @@ def q62_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q56_tfidf",
+    headline=True,
     oracle="""
     WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
@@ -1966,6 +2031,7 @@ def q63_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q64_chunking",
+    headline=True,
     oracle="""
     WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
@@ -2040,6 +2106,7 @@ def q65_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q66_dup_clusters",
+    headline=True,
     oracle="""
     WITH RECURSIVE toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
@@ -2083,10 +2150,14 @@ def q65_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q66_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group near-dup pairs (trigram Jaccard ≥ 0.8) into clusters: each
     doc in any pair gets the component-minimum doc_id as cluster id.
-    The Spark side is a genuinely iterative algorithm (driver loop,
-    O(diameter) rounds, lineage truncated per round) — exactly the shape
-    Spark handles that single-pass SQL cannot; the oracle reproduces it
-    with a recursive CTE."""
+    The Spark side is a genuinely iterative algorithm — propagate +
+    pointer-jump rounds (O(log diameter)), disk-checkpointed between
+    rounds so neither lineage nor executor memory grows with iteration
+    count — exactly the shape Spark handles that single-pass SQL
+    cannot; the oracle reproduces it with a recursive CTE. The
+    convergence loop necessarily runs Spark jobs while "building" this
+    query — the registry's one documented exception to action-free
+    plan construction."""
     doc = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs_prefix(doc, "doc_id", "text", n=3, threshold=0.8)
     return dedup.connected_components(pairs.select("id_a", "id_b"))
@@ -2100,6 +2171,7 @@ def q66_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q67_vwap",
+    headline=True,
     oracle="""
     WITH c AS (
         SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_returnflag,
@@ -2130,6 +2202,7 @@ def q67_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q68_ema",
+    headline=True,
     oracle="""
     WITH RECURSIVE seq AS (
         SELECT o_custkey, o_orderkey,
@@ -2167,6 +2240,7 @@ def q68_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q69_drawdown",
+    headline=True,
     oracle="""
     SELECT o_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
@@ -2192,6 +2266,7 @@ def q69_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q70_bollinger",
+    headline=True,
     oracle="""
     WITH c AS (
         SELECT o_custkey, o_orderkey,
@@ -2233,6 +2308,7 @@ def q70_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q71_rsi",
+    headline=True,
     oracle="""
     WITH c AS (
         SELECT o_custkey, o_orderkey,
@@ -2270,6 +2346,143 @@ def q71_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = indicators.rsi(o, ["o_custkey"], ["order_date", "o_orderkey"], "o_totalprice", n=5)
     return out.select("o_custkey", "o_orderkey", "order_date", "rsi")
+
+
+def _simhash_oracle(max_hamming: int = 3, bits: int = 64) -> str:
+    """Generate the DuckDB oracle for portable-hash SimHash pairs: the
+    same tokens, polynomial token hash, universal-family parity votes,
+    bit sums, 16-bit block candidates, and hamming distance as the
+    Spark plan (dedup.simhash_pairs(portable_hash=True)) — all exact
+    integer arithmetic. The 64-bit fingerprint is carried as two 32-bit
+    halves because DuckDB's BIGINT left-shift throws on 1<<63."""
+    from stock_data_pipeline_spark.llm.dedup import _MERSENNE_31, _perm_constants
+
+    consts = _perm_constants(bits)
+    vote_cols = ",\n               ".join(
+        f"SUM(CASE WHEN ((h * {a} + {b}) % {_MERSENNE_31}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    lo = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    hi = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << (j - 32)} ELSE 0 END)" for j in range(32, 64))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+        FROM documents
+    ), th AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(tok)),
+                                  i -> CAST(ord(substr(tok, i, 1)) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM toks
+    ), sig AS (
+        SELECT doc_id,
+               {vote_cols}
+        FROM th GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id, CAST({lo} AS BIGINT) AS lo, CAST({hi} AS BIGINT) AS hi FROM sig
+    ), blocks AS (
+        SELECT doc_id, 0 AS block_idx, lo % 65536 AS bv FROM fp
+        UNION ALL SELECT doc_id, 1, lo // 65536 FROM fp
+        UNION ALL SELECT doc_id, 2, hi % 65536 FROM fp
+        UNION ALL SELECT doc_id, 3, hi // 65536 FROM fp
+    ), cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM blocks a JOIN blocks b ON a.block_idx = b.block_idx AND a.bv = b.bv
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT cand.id_a, cand.id_b,
+               CAST(bit_count(xor(fa.lo, fb.lo)) + bit_count(xor(fa.hi, fb.hi)) AS INTEGER) AS hamming
+        FROM cand
+        JOIN fp fa ON fa.doc_id = cand.id_a
+        JOIN fp fb ON fb.doc_id = cand.id_b
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+def _ann_lsh_oracle(num_planes: int = 3, num_tables: int = 10, dim: int = 64, k: int = 10) -> str:
+    """Generate the DuckDB oracle for portable-weight hyperplane-LSH
+    ANN: the identical dyadic weight literals are embedded here and in
+    the Spark plan (similarity.portable_plane_weights), so signature
+    bits, buckets, candidates, and rerank scores all reproduce exactly.
+    The bucket is Σ sign-bit·2^(planes−1−p) — the same integer Spark's
+    acc*2+bit fold computes."""
+    from stock_data_pipeline_spark.llm.similarity import portable_plane_weights
+
+    ws = portable_plane_weights(num_tables, num_planes, dim)
+    rows = []
+    for t in range(num_tables):
+        for p in range(num_planes):
+            lst = ", ".join(repr(w) for w in ws[t][p])
+            rows.append(f"({t}, {1 << (num_planes - 1 - p)}, [{lst}])")
+    values = ",\n            ".join(rows)
+
+    def bucketed(side: str, idc: str, vc: str) -> str:
+        return f"""
+        SELECT {idc}, table_idx,
+               SUM(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(generate_series(1, {dim}), i -> wv[i] * CAST({vc}[i] AS DOUBLE))),
+                       (a, b) -> a + b) >= 0 THEN pw ELSE 0 END) AS bucket
+        FROM {side} CROSS JOIN w GROUP BY 1, 2"""
+
+    return f"""
+    WITH w(table_idx, pw, wv) AS (
+        VALUES {values}
+    ), c AS (
+        SELECT vec_id AS match_id, embedding AS cv FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), cb AS ({bucketed("c", "match_id", "cv")}
+    ), qb AS ({bucketed("q", "query_id", "qv")}
+    ), cand AS (
+        SELECT DISTINCT query_id, match_id
+        FROM cb JOIN qb ON cb.table_idx = qb.table_idx AND cb.bucket = qb.bucket
+        WHERE query_id <> match_id
+    ), scored AS (
+        SELECT query_id, match_id,
+               {_duck_cos("qv", "cv")} AS score
+        FROM cand JOIN q USING (query_id) JOIN c USING (match_id)
+    )
+    SELECT query_id, match_id, score, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, match_id ASC) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "q73_simhash_verified",
+    oracle=_simhash_oracle(max_hamming=3),
+    survey_ref="extension: SimHash near-dup with a FULL value oracle — "
+    "portable polynomial token hash + universal-family parity votes "
+    "reproduce fingerprints, blocks, and hamming in ANSI SQL "
+    "(q27 is the faster xxhash64 twin)",
+)
+def q73_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(
+        doc, "doc_id", "text", max_hamming=3, blocks=4, portable_hash=True
+    )
+
+
+@register(
+    "q74_ann_lsh_verified",
+    headline=True,
+    oracle=_ann_lsh_oracle(num_planes=3, num_tables=10, dim=64, k=10),
+    survey_ref="extension: hyperplane-LSH ANN with a FULL value oracle — "
+    "the same literal dyadic plane weights embedded in both plans make "
+    "buckets and rerank scores bit-reproducible (q29 is the "
+    "hashed-weights twin; recall-vs-exact asserted in tests)",
+)
+def q74_ann_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_lsh_topk(
+        emb, qs, k=10, num_planes=3, num_tables=10,
+        portable_weights=similarity.portable_plane_weights(10, 3, 64),
+    )
 
 
 @register(

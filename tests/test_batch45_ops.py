@@ -32,6 +32,55 @@ def test_cc_min_label_regardless_of_direction(spark):
     assert out == {1: 1, 9: 1, 5: 1}
 
 
+def _union_find_oracle(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_cc_variants_match_union_find_on_random_graphs(spark):
+    """Both the to-convergence loop and the fixed-round lazy variant
+    must agree with a driver-side union-find on adversarial shapes:
+    long chains (diameter stress for pointer jumping), stars, cliques,
+    and a deterministic pseudo-random graph."""
+    import random
+
+    rng = random.Random(7)
+    shapes = {
+        # chain of diameter 40: pointer jumping must converge in
+        # O(log 40) ≈ 7 loop rounds, not 40
+        "chain": [(i, i + 1) for i in range(40)],
+        "star": [(0, i) for i in range(1, 30)],
+        "clique": [(i, j) for i in range(8) for j in range(i + 1, 8)],
+        "random": [(rng.randrange(60), rng.randrange(60)) for _ in range(80)],
+    }
+    # the lazy fixed-round variant (reach 2^4 = 16 at default rounds)
+    # is only exercised on the bounded-diameter shapes it is meant for
+    fixed_ok = {"star", "clique"}
+    for name, pairs in shapes.items():
+        pairs = [(a, b) for a, b in pairs if a != b]
+        expected = _union_find_oracle(pairs)
+        edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        loop = {r["vertex"]: r["cluster_id"]
+                for r in dedup.connected_components(edges).collect()}
+        assert loop == expected, f"loop variant wrong on {name}"
+        if name in fixed_ok:
+            fixed = {r["vertex"]: r["cluster_id"]
+                     for r in dedup.connected_components_fixed(edges).collect()}
+            assert fixed == expected, f"fixed variant wrong on {name}"
+
+
 # ---------------------------------------------------------------------------
 # chunking semantics (mirrors q64's expression)
 # ---------------------------------------------------------------------------

@@ -113,6 +113,61 @@ def test_replay_reference_calculated_price(spark, sector):
     )
 
 
+# Empirical replay coverage, pinned (committed dates / exactly-replayed
+# suffix, measured 2026-08-13). A drop below a floor means a change
+# silently shrank the comparable or replayed set — the failure mode this
+# table exists to catch; membership-churn sectors must not erode.
+COVERAGE_FLOORS = {
+    # sector: (min committed-and-comparable dates, min exact suffix)
+    "xlb": (151, 34),
+    "xlc": (151, 61),
+    "xle": (151, 151),
+    "xlf": (149, 34),
+    "xli": (150, 21),
+    "xlk": (148, 77),
+    "xlp": (149, 52),
+    "xlre": (148, 148),
+    "xlu": (148, 148),
+    "xlv": (148, 148),
+    "xly": (148, 49),
+}
+
+
+def test_replay_coverage_counts_per_sector(spark):
+    """Per-sector coverage accounting: every committed date must remain
+    comparable (none silently dropped by the loader), and the
+    replays-to-the-cent suffix must not shrink below the pinned floor."""
+    assert set(SECTORS) == set(COVERAGE_FLOORS), (
+        "sector universe changed — re-pin COVERAGE_FLOORS deliberately"
+    )
+    for sector in SECTORS:
+        prices, shares_df, outst_df, golden = _load_sector(spark, sector)
+        out = {
+            r["date"]: r["calc_price"]
+            for r in calculate_sector_price(
+                prices.dropna(), shares_df.dropna(), outst_df
+            ).collect()
+        }
+        committed = sorted(d for d, v in golden.items() if v is not None)
+        comparable = [d for d in committed if d in out]
+        assert len(comparable) == len(committed), (
+            f"{sector}: {len(committed) - len(comparable)} committed dates "
+            "dropped from the replay input"
+        )
+        suffix = 0
+        for d in reversed(comparable):
+            if abs(out[d] - golden[d]) <= 0.011:
+                suffix += 1
+            else:
+                break
+        floor_comparable, floor_suffix = COVERAGE_FLOORS[sector]
+        assert len(comparable) >= floor_comparable, f"{sector}: comparable set shrank"
+        assert suffix >= floor_suffix, (
+            f"{sector}: exact-replay suffix shrank to {suffix} "
+            f"(floor {floor_suffix})"
+        )
+
+
 def test_membership_stable_sectors_replay_completely(spark):
     """Sectors whose constituent list never changed over the snapshot
     window must replay every committed value exactly."""

@@ -91,6 +91,33 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
+def test_portable_lsh_recall_vs_exact(spark):
+    """The literal-weight (oracle-verifiable) LSH path must hold the
+    same recall bar as the hashed-weight path."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["match_id"]) for r in
+             similarity.cosine_topk(emb, queries, k=10).collect()}
+    approx = {(r["query_id"], r["match_id"]) for r in
+              similarity.ann_lsh_topk(
+                  emb, queries, k=10, num_planes=3, num_tables=10,
+                  portable_weights=similarity.portable_plane_weights(10, 3, 64),
+              ).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"portable LSH recall too low: {recall}"
+
+
+def test_portable_simhash_finds_near_dups(spark, docs):
+    """Portable-hash SimHash keeps the semantics: exact dups at hamming
+    0, the one-token near-dup within the hamming budget."""
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3,
+                                 portable_hash=True).collect()}
+    assert pairs[(1, 4)] == 0           # exact duplicate
+    assert (1, 2) in pairs              # near-dup caught within hamming ≤ 3
+
+
 def test_lang_id_picks_marked_language(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog of a house"), (2, "el gato y la casa de que si")],
