@@ -2514,6 +2514,345 @@ def q72_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(mixed < cut).select("doc_id", "lang", "source")
 
 
+@register(
+    "q75_bpe_pair_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), prs AS (
+        SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                      i -> {'lt': tk[i], 'rt': tk[i + 1]})) AS p
+        FROM toks WHERE len(tk) > 1
+    ), cnt AS (
+        SELECT p.lt AS left_tok, p.rt AS right_tok,
+               CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM prs GROUP BY 1, 2
+    )
+    SELECT left_tok, right_tok, pair_count, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC,
+                       left_tok ASC, right_tok ASC) AS INTEGER) AS rank
+        FROM cnt
+    ) WHERE rank <= 40
+    """,
+    survey_ref="extension: adjacent-token-pair frequencies — the counting "
+    "step of one BPE/WordPiece merge iteration over the corpus",
+)
+def q75_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent adjacent token pairs — the statistic a BPE trainer
+    computes every merge round (vocabulary induction over the corpus).
+
+    Pairs are built row-locally (transform over the token index range —
+    no self-join on position, no shuffle before the count); the top-k
+    is orderBy().limit() = TakeOrderedAndProject (per-partition heaps,
+    no global sort) exactly like q50, then ranks are assigned over the
+    ≤40 survivors. At 100 TB the only shuffle is the pair-count
+    aggregate, map-side combined on (left, right).
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    tk = doc.select(text.tokens(F.col("text")).alias("tk")).filter(F.size("tk") > 1)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.struct(
+            F.element_at("tk", i).alias("lt"), F.element_at("tk", i + 1).alias("rt")
+        ),
+    )
+    cnt = (
+        tk.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.lt").alias("left_tok"), F.col("p.rt").alias("right_tok"))
+        .agg(F.count("*").alias("pair_count"))
+    )
+    top = cnt.orderBy(
+        F.col("pair_count").desc(), F.col("left_tok").asc(), F.col("right_tok").asc()
+    ).limit(40)
+    w = Window.orderBy(
+        F.col("pair_count").desc(), F.col("left_tok").asc(), F.col("right_tok").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+@register(
+    "q76_sequence_packing",
+    oracle="""
+    WITH sized AS (
+        SELECT source, doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                    AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT source, doc_id, n_tok,
+           (run - n_tok) // 2048 AS pack_id,
+           (run - n_tok) % 2048 AS pack_offset
+    FROM (
+        SELECT source, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS run
+        FROM sized
+    )
+    """,
+    survey_ref="extension: sequence packing — deterministic assignment of "
+    "documents into fixed 2048-token training contexts",
+)
+def q76_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed 2048-token training contexts: each doc
+    gets the context id and intra-context offset where its tokens start,
+    filling contexts contiguously in doc order (docs may straddle a
+    boundary — the standard pre-tokenization packing layout).
+
+    Pure integer math over one running sum. The window partitions by
+    ``source`` (packing is per-shard, as a real pipeline packs per input
+    shard so shards stay independently reshufflable) — so there is no
+    global single-partition window; scale-out is the number of sources.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    sized = doc.select(
+        "source", "doc_id", F.size(text.tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    run = F.sum("n_tok").over(w)
+    start = (run - F.col("n_tok"))
+    return sized.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        (start / 2048).cast("long").alias("pack_id"),
+        F.pmod(start, F.lit(2048)).cast("long").alias("pack_offset"),
+    )
+
+
+def _contamination_oracle(n: int = 8, min_overlap: float = 0.5) -> str:
+    """DuckDB oracle for q77: identical word-8-gram construction and
+    polynomial shingle hash (base 31 mod 1e9+7 over the characters of
+    the space-joined shingle) as the Spark plan, then the same
+    distinct-hash overlap count and integer→double division."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - {n} + 1),
+                       i -> array_to_string(tk[i:i+{n}-1], ' '))) AS s
+        FROM toks WHERE len(tk) >= {n}
+    ), hashed AS (
+        SELECT DISTINCT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(s)),
+                                  i -> CAST(ord(substr(s, i, 1)) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM sh
+    ), bench AS (
+        SELECT doc_id AS bench_id, h FROM hashed WHERE doc_id % 50 = 0
+    ), corpus AS (
+        SELECT doc_id, h FROM hashed WHERE doc_id % 50 <> 0
+    ), totals AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM corpus GROUP BY 1
+    ), overlap AS (
+        SELECT corpus.doc_id, bench.bench_id, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM corpus JOIN bench USING (h) GROUP BY 1, 2
+    )
+    SELECT doc_id, bench_id, n_common, n_shingles,
+           CAST(n_common AS DOUBLE) / n_shingles AS overlap_frac
+    FROM overlap JOIN totals USING (doc_id)
+    WHERE CAST(n_common AS DOUBLE) / n_shingles >= {min_overlap}
+    """
+
+
+@register(
+    "q77_contamination",
+    oracle=_contamination_oracle(n=8, min_overlap=0.5),
+    survey_ref="extension: benchmark-contamination detection — distinct "
+    "word-8-gram overlap of every corpus doc against a benchmark set, "
+    "flagging docs whose shingles are mostly contained in a benchmark doc",
+)
+def q77_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus documents contaminated by a benchmark set (here: the
+    doc_id % 50 == 0 slice standing in for an eval benchmark): for each
+    (corpus doc, benchmark doc) pair sharing ≥50% of the corpus doc's
+    distinct word-8-grams, emit the overlap.
+
+    Candidates come from an equi-join on the 8-gram hash — shuffle ∝
+    postings (shingle occurrences), never corpus × benchmark; the
+    benchmark side of a real run is small and broadcasts. The portable
+    polynomial hash keeps the whole pipeline value-verifiable; swap for
+    xxhash64 at production scale (q25/q54 pattern).
+    """
+    from stock_data_pipeline_spark.llm.dedup import _portable_shingle_hash, _spread
+
+    doc = load_table(spark, sf_dir, "documents")
+    tk = _spread(doc, "doc_id").select(
+        "doc_id", text.tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= 8)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 7),
+        lambda i: F.array_join(F.slice("tk", i, F.lit(8)), " "),
+    )
+    hashed = (
+        tk.select("doc_id", F.explode(shingles).alias("s"))
+        .select("doc_id", _portable_shingle_hash(F.col("s")).alias("h"))
+        .distinct()
+    )
+    bench = hashed.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    corpus = hashed.filter(F.col("doc_id") % 50 != 0)
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    overlap = (
+        corpus.join(bench, "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    frac = F.col("n_common").cast("double") / F.col("n_shingles")
+    return (
+        overlap.join(totals, "doc_id")
+        .withColumn("overlap_frac", frac)
+        .filter(F.col("overlap_frac") >= 0.5)
+        .select("doc_id", "bench_id", "n_common", "n_shingles", "overlap_frac")
+    )
+
+
+def _corpus_filter_oracle(quality_cut: float = 0.5, min_tok: int = 10, max_tok: int = 5000) -> str:
+    """Composed oracle for q78: the q49 near-dup pair block, the q30
+    language-ID scoring, and the q31 quality expression chained into one
+    pipeline — each stage already hash-matches on its own, so the
+    composition is mechanical."""
+    from stock_data_pipeline_spark.llm.text import LANG_MARKERS
+
+    tk = _duck_tokens()
+    hits = {
+        lang: _LANG_HIT.format(tk=tk, lst=str(markers))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    hit_cols = ",\n               ".join(f"{h} AS {lang}_hits" for lang, h in hits.items())
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"{lang}_hits" for lang in langs) + ")"
+    whens = " ".join(f"WHEN {lang}_hits = {best} THEN '{lang}'" for lang in langs)
+    quality = f"""0.4 * least(CAST(len({tk}) AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (CAST(len(list_filter({tk}, t -> list_contains(
+                 ['the','and','of','to','a','in','is','it','that','for','on','with','as','at','by'],
+                 lower(t)))) AS DOUBLE)
+               / CAST(greatest(len({tk}), 1) AS DOUBLE))
+           + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE))"""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+            FROM toks
+        )
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b USING (sh)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+    ), keep AS (
+        SELECT d.* FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
+    ), scored AS (
+        SELECT doc_id,
+               {hit_cols},
+               CAST(len({tk}) AS BIGINT) AS n_tokens,
+               {quality} AS quality
+        FROM keep
+    )
+    SELECT doc_id, n_tokens, quality FROM scored
+    WHERE (CASE WHEN {best} = 0 THEN 'und' {whens} END) = 'en'
+      AND quality >= {quality_cut}
+      AND n_tokens BETWEEN {min_tok} AND {max_tok}
+    """
+
+
+@register(
+    "q78_corpus_filter_pipeline",
+    oracle=_corpus_filter_oracle(quality_cut=0.5, min_tok=10, max_tok=5000),
+    survey_ref="extension: composed C4-style cleanup — near-dup removal + "
+    "language-ID + quality cut + length bounds as ONE declarative plan "
+    "(each stage is an independently hash-verified operator)",
+)
+def q78_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus cleanup a C4-style pipeline runs:
+    drop near-duplicates (trigram Jaccard ≥ 0.8, keep lowest doc_id),
+    keep docs *predicted* English, quality ≥ 0.5, 10–5000 tokens.
+
+    Composition is free in Spark: every stage is a declarative operator,
+    so Catalyst sees ONE plan — the scalar filters (lang, quality,
+    length) run in the same codegen'd scan pass, and only the near-dup
+    anti-join adds its (already postings-bounded) shuffles. No
+    stage-by-stage materialization like a pandas pipeline would pay.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs_prefix(doc, "doc_id", "text", n=3, threshold=0.8)
+    dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = doc.join(dupes, "doc_id", "left_anti")
+    scored = kept.select(
+        "doc_id",
+        text.lang_id("text").alias("lang_pred"),
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+    )
+    return scored.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.5)
+        & F.col("n_tokens").between(10, 5000)
+    ).select("doc_id", "n_tokens", "quality")
+
+
+@register(
+    "q79_domain_mixing",
+    oracle="""
+    WITH cnt AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1
+    ), mn AS (
+        SELECT MIN(c) AS mc FROM cnt
+    ), thr AS (
+        SELECT lang,
+               CAST(floor(CAST(mc AS DOUBLE) / c * 4294967296) AS BIGINT) AS thr
+        FROM cnt, mn
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+    WHERE (d.doc_id * 2654435761) % 4294967296 < thr
+    """,
+    survey_ref="extension: domain-mixing resample — deterministic per-domain "
+    "downsampling to the smallest domain's size (uniform mixture weights; "
+    "domain = language, the skewed axis of this corpus)",
+)
+def q79_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus mixture: downsample every domain (language
+    here — the skewed axis) to the smallest domain's expected size — the
+    mixture-weighting step before training-data tokenization, done with
+    the q59/q72 multiplicative hash so the sample is reproducible under
+    retries and repartitioning.
+
+    The per-domain rate table is tiny (one row per domain): built with
+    two aggregates and joined back via broadcast — the corpus itself is
+    touched in a single scan+filter pass, no corpus-sized shuffle.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    cnt = doc.groupBy("lang").agg(F.count("*").alias("c"))
+    mn = cnt.agg(F.min("c").alias("mc"))
+    thr = cnt.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        F.floor(F.col("mc").cast("double") / F.col("c") * F.lit(4294967296)).alias("thr"),
+    )
+    mixed = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    return (
+        doc.join(F.broadcast(thr), "lang")
+        .filter(mixed < F.col("thr"))
+        .select("doc_id", "lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,94 @@
+"""Invariant tests for the training-corpus pipeline queries q75–q79
+(pair stats, sequence packing, contamination, composed cleanup, domain
+mixing). Value-level correctness is covered by each query's DuckDB
+oracle; these tests pin the *semantics* that a value hash alone would
+not explain — packing layout arithmetic, rank shape, mixture bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_data_pipeline_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    cache: dict[str, list] = {}
+
+    def _run(name):
+        if name not in cache:
+            cache[name] = REGISTRY[name].fn(spark, SF).collect()
+        return cache[name]
+
+    return _run
+
+
+def test_pair_stats_is_ranked_topk(rows):
+    out = rows("q75_bpe_pair_stats")
+    assert len(out) == 40
+    ranks = [r["rank"] for r in out]
+    assert sorted(ranks) == list(range(1, 41))
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    counts = [r["pair_count"] for r in by_rank]
+    assert counts == sorted(counts, reverse=True), "counts must be non-increasing in rank"
+
+
+def test_sequence_packing_layout(rows):
+    out = rows("q76_sequence_packing")
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, docs in by_source.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in docs:
+            # the doc's start position is the running token count; its
+            # (pack_id, pack_offset) must be exactly that position in
+            # 2048-token contexts
+            assert r["pack_id"] == run // 2048, (source, r)
+            assert r["pack_offset"] == run % 2048, (source, r)
+            run += r["n_tok"]
+
+
+def test_contamination_fractions_bounded(rows):
+    out = rows("q77_contamination")
+    for r in out:
+        assert 0.5 <= r["overlap_frac"] <= 1.0
+        assert 0 < r["n_common"] <= r["n_shingles"]
+        assert r["bench_id"] % 50 == 0 and r["doc_id"] % 50 != 0
+
+
+def test_corpus_filter_is_intersection_of_stages(rows):
+    out = rows("q78_corpus_filter_pipeline")
+    assert out, "cleanup pipeline should keep a non-empty corpus"
+    kept_ids = {r["doc_id"] for r in out}
+    dedup_ids = {r["doc_id"] for r in rows("q49_dedup_corpus")}
+    assert kept_ids <= dedup_ids, "cleanup output must be a subset of the dedup corpus"
+    for r in out:
+        assert r["quality"] >= 0.5
+        assert 10 <= r["n_tokens"] <= 5000
+
+
+def test_domain_mixing_rebalances(rows, spark):
+    orig = {
+        r["lang"]: r["c"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    out = rows("q79_domain_mixing")
+    kept: dict[str, int] = {}
+    for r in out:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    mc = min(orig.values())
+    for lang, c in orig.items():
+        assert kept.get(lang, 0) <= c
+        # expectation is mc per language; allow generous sampling slack
+        assert kept.get(lang, 0) >= mc * 0.4, (lang, kept.get(lang), mc)
+    # the dominant class must actually be cut down
+    dominant = max(orig, key=lambda k: orig[k])
+    assert kept[dominant] < orig[dominant]
