@@ -2853,6 +2853,75 @@ def q79_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int = 8, rounds: int = 2, dim: int = 64, bits: int = 10) -> str:
+    """DuckDB oracle for q80: unrolled Lloyd rounds. Quantization makes
+    every per-cluster per-dimension sum exact int64 (order-independent),
+    centroid means one double division of identical operands, and the
+    distance² fold runs in the same left-to-right order as the Spark
+    plan — each round reproduces bit-identically."""
+    scale = 1 << bits
+
+    def dist(qv: str, cv: str) -> str:
+        return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, {dim}),
+                   i -> (CAST({qv}[i] AS DOUBLE) - {cv}[i]) * (CAST({qv}[i] AS DOUBLE) - {cv}[i]))),
+               (a, b) -> a + b)"""
+
+    parts = [
+        f"""q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+        FROM embeddings
+    ), c0 AS (
+        SELECT CAST(rn - 1 AS INTEGER) AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+        FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, qv FROM q) t
+        WHERE rn <= {k}
+    )"""
+    ]
+    for r in range(rounds):
+        prev = f"c{r}"
+        parts.append(f"""a{r + 1} AS (
+        SELECT vec_id, qv, cid, dist2 FROM (
+            SELECT q.vec_id, q.qv, {prev}.cid,
+                   {dist("q.qv", f"{prev}.cv")} AS dist2,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {dist("q.qv", f"{prev}.cv")} ASC, {prev}.cid ASC) AS rn
+            FROM q CROSS JOIN {prev}
+        ) WHERE rn = 1
+    )""")
+        if r < rounds - 1:
+            parts.append(f"""sums{r + 1} AS (
+        SELECT cid, i, SUM(qv[i]) AS s FROM a{r + 1}, generate_series(1, {dim}) AS g(i)
+        GROUP BY 1, 2
+    ), cnt{r + 1} AS (
+        SELECT cid, COUNT(*) AS n FROM a{r + 1} GROUP BY 1
+    ), c{r + 1} AS (
+        SELECT cid, list_transform(list(s ORDER BY i), s -> CAST(s AS DOUBLE) / n) AS cv
+        FROM sums{r + 1} JOIN cnt{r + 1} USING (cid)
+        GROUP BY cid, n
+    )""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT vec_id, cid AS cluster_id, dist2 FROM a{rounds}\n    "
+    )
+
+
+@register(
+    "q80_kmeans",
+    oracle=_kmeans_oracle(k=8, rounds=2, dim=64, bits=10),
+    survey_ref="extension: fixed-round Lloyd k-means over quantized "
+    "embeddings — iterative ML as unrolled declarative rounds "
+    "(broadcast assignment, exact-integer centroid sums), with a FULL "
+    "value oracle",
+)
+def q80_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_data_pipeline_spark.llm.clustering import kmeans_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fixed(emb, "vec_id", "embedding", k=8, rounds=2, quant_bits=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -72,6 +72,52 @@ def test_corpus_filter_is_intersection_of_stages(rows):
         assert 10 <= r["n_tokens"] <= 5000
 
 
+def test_kmeans_partitions_all_points(rows, spark):
+    out = rows("q80_kmeans")
+    n_emb = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(out) == n_emb, "every vector must get exactly one cluster"
+    clusters = {r["cluster_id"] for r in out}
+    assert clusters <= set(range(8))
+    assert len(clusters) >= 2, "degenerate clustering: everything in one cluster"
+    assert all(r["dist2"] >= 0 for r in out)
+
+
+def test_kmeans_assignment_is_locally_optimal(spark):
+    """After the final assignment, no point can be closer to a
+    different final-round centroid than to its own (Lloyd invariant for
+    the assignment step)."""
+    from stock_data_pipeline_spark.llm.clustering import kmeans_fixed
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(60)
+    out = kmeans_fixed(emb, k=4, rounds=2).collect()
+    # recompute quantized vectors + round-1 centroids in Python
+    vecs = {
+        r["vec_id"]: [int(__import__("math").floor(float(x) * 1024)) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    first_ids = sorted(vecs)[:4]
+    cents = {i: [float(v) for v in vecs[vid]] for i, vid in enumerate(first_ids)}
+
+    def assign(cents):
+        a = {}
+        for vid, q in vecs.items():
+            best = min(
+                cents.items(),
+                key=lambda kv: (sum((x - c) * (x - c) for x, c in zip(q, kv[1])), kv[0]),
+            )
+            a[vid] = best[0]
+        return a
+
+    a1 = assign(cents)
+    c1 = {}
+    for cid in set(a1.values()):
+        members = [vecs[v] for v in a1 if a1[v] == cid]
+        c1[cid] = [sum(col) / len(members) for col in zip(*members)]
+    a2 = assign(c1)
+    got = {r["vec_id"]: r["cluster_id"] for r in out}
+    assert got == a2, "Spark assignment diverges from the reference Lloyd loop"
+
+
 def test_domain_mixing_rebalances(rows, spark):
     orig = {
         r["lang"]: r["c"]
