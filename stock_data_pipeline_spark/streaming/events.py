@@ -126,6 +126,34 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same event
+    (at-least-once sources re-emit on retry) across micro-batches.
+
+    ``dropDuplicatesWithinWatermark`` keeps first-seen per key and
+    evicts key state once the watermark passes — bounded state, which
+    plain ``dropDuplicates`` on a stream does not give you (its state
+    grows forever). The batch twin of this operator is q13/q24-style
+    ``groupBy(key).min`` — same semantics, oracle-checkable; this is
+    the production stream shape.
+    """
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    # batch fallback: deterministic keep-first (no arbitrary-row
+    # dropDuplicates — see the NULL-fill refresh lesson in etl.py)
+    w = Window.partitionBy(*keys).orderBy("ts", *keys)
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def session_window_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
     """Streaming-native sessionization via ``session_window`` (dynamic
     gap windows with watermarked state eviction)."""

@@ -120,3 +120,56 @@ def test_readstream_tumbling_memory_sink(spark):
         assert total == load_events(spark, SF).count()
     finally:
         q.stop()
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """Re-delivered events (same event_id in a later file → later
+    micro-batch) must be dropped by dropDuplicatesWithinWatermark;
+    maxFilesPerTrigger=1 forces the duplicate to arrive in a separate
+    batch, so surviving requires cross-batch key state."""
+    from stock_data_pipeline_spark.streaming.events import stream_dedup
+
+    rows1 = [(1, "2024-01-01 00:00:00", 100, "click", 1.0)]
+    rows2 = [
+        (1, "2024-01-01 00:00:00", 100, "click", 1.0),   # re-delivery
+        (2, "2024-01-01 00:05:00", 100, "click", 2.0),   # new event
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    src = tmp_path / "src"
+    for i, rows in enumerate((rows1, rows2)):
+        spark.createDataFrame(rows, cols).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append" if i else "overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stream_dedup(stream, ["event_id"], watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_smoke")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_smoke").collect())
+        assert got == [1, 2], f"expected each event once, got {got}"
+    finally:
+        q.stop()
+
+
+def test_stream_dedup_batch_twin_keeps_first(spark):
+    from stock_data_pipeline_spark.streaming.events import stream_dedup
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 100),
+        (1, "2024-01-01 00:00:00", 101),   # earlier ts wins
+        (2, "2024-01-01 00:05:00", 102),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {r["event_id"]: r["user_id"] for r in stream_dedup(df, ["event_id"]).collect()}
+    assert got == {1: 101, 2: 102}
