@@ -2922,6 +2922,57 @@ def q80_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fixed(emb, "vec_id", "embedding", k=8, rounds=2, quant_bits=10)
 
 
+@register(
+    "q81_range_join",
+    headline=True,
+    oracle="""
+    WITH ivl AS (
+        SELECT o_orderkey,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS w_start
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
+    )
+    SELECT i.o_orderkey,
+           CAST(i.w_start AS BIGINT) AS w_start,
+           COUNT(*) AS n_shipped,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM ivl i JOIN lineitem l
+      ON datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+         BETWEEN i.w_start AND i.w_start + 7
+    GROUP BY 1, 2
+    """,
+    survey_ref="extension: range (interval) join — Spark's BETWEEN join "
+    "predicate is a nested-loop; bucketization turns it into an "
+    "equi-join (rangejoin.py), the lakehouse 'range join hint' pattern",
+)
+def q81_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per high-value urgent order: lineitems (corpus-wide) shipped in
+    the 8-day window starting at the order date. Points = lineitem ship
+    days, intervals = [order day, order day + 7]; bucket=8 so each
+    interval explodes to ≤2 buckets."""
+    from stock_data_pipeline_spark.operators.rangejoin import bucketed_range_join
+
+    epoch = F.lit("1970-01-01").cast("date")
+    ivl = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 400000))
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("long").alias("w_start"),
+        )
+        .withColumn("w_end", F.col("w_start") + F.lit(7))
+    )
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate").cast("date"), epoch).cast("long").alias("ship_day"),
+        "l_quantity",
+    )
+    joined = bucketed_range_join(pts, ivl, "ship_day", "w_start", "w_end", bucket=8)
+    return joined.groupBy("o_orderkey", "w_start").agg(
+        F.count(F.lit(1)).alias("n_shipped"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
