@@ -69,3 +69,54 @@ def bucketed_range_join(
     return joined.filter(
         F.col(ts_col).between(F.col(start_col), F.col(end_col))
     ).drop("__bkt")
+
+
+def bucketed_interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket: int,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Inner-join each left interval to every right interval it overlaps
+    (``l_start <= r_end AND r_start <= l_end``, closed intervals on a
+    numeric axis).
+
+    Both sides explode over the buckets they span and equi-join on the
+    bucket; a pair overlapping several buckets would match once per
+    shared bucket, so the refine keeps only the bucket that contains
+    ``max(l_start, r_start)`` — the overlap's left edge — which every
+    true pair shares exactly once. No dedup pass, shuffle stays
+    ∝ Σ span/bucket per side.
+
+    Column names must be disjoint across the two sides (rename before
+    calling); ``extra_keys`` adds shared equality columns.
+    """
+    extra_keys = extra_keys or []
+    lb = left.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(F.floor(F.col(l_start) / bucket), F.floor(F.col(l_end) / bucket))
+        ),
+    )
+    rb = right.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(F.floor(F.col(r_start) / bucket), F.floor(F.col(r_end) / bucket))
+        ),
+    )
+    return (
+        lb.join(rb, extra_keys + ["__bkt"], "inner")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (
+                F.col("__bkt")
+                == F.floor(F.greatest(F.col(l_start), F.col(r_start)) / bucket)
+            )
+        )
+        .drop("__bkt")
+    )

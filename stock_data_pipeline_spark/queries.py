@@ -2973,6 +2973,203 @@ def q81_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q82_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS c_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL 1 HOUR
+        GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 24 HOUR
+        GROUP BY 1
+    )
+    SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', COUNT(*) FROM c
+    UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+    """,
+    survey_ref="extension: ordered conversion funnel with per-step time "
+    "bounds (view → click ≤1h → purchase ≤24h) — sequential-event "
+    "matching as equi-joins on user_id, one reusable shuffle key, no "
+    "self-cross-join",
+)
+def q82_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: users whose first view is followed by a
+    click within 1 h, then a purchase within 24 h of that click. Each
+    step is min-timestamp-after-previous, all joins on user_id."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def _step(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+
+    return (
+        _step(v, "1_view").unionByName(_step(c, "2_click")).unionByName(_step(p, "3_purchase"))
+    )
+
+
+@register(
+    "q83_retention",
+    headline=True,
+    oracle="""
+    WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS d FROM events
+    ), f AS (
+        SELECT user_id, MIN(d) AS cohort_d FROM d GROUP BY 1
+    )
+    SELECT strftime(f.cohort_d, '%Y-%m-%d') AS cohort_date,
+           CAST(datediff('day', f.cohort_d, d.d) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT d.user_id) AS n_active
+    FROM d JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    survey_ref="extension: cohort retention matrix — first-seen-day "
+    "cohort × activity-day offset × distinct users; the canonical "
+    "events-table rollup, one user_id shuffle + one (cohort, offset) "
+    "distinct agg",
+)
+def q83_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: users grouped by first-seen date,
+    distinct-active counts per day offset from the cohort date."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff("d", "cohort_d").cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "q84_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS DOUBLE) AS lo_edge,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    survey_ref="extension: fixed-width histogram (width_bucket family) — "
+    "single map-side-combinable groupBy, decimal-exact per-bucket sums",
+)
+def q84_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value histogram in 50k-wide buckets with exact sums."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        o.groupBy(
+            bucket.alias("bucket"),
+            (bucket * 50000).cast("double").alias("lo_edge"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "q85_interval_overlap",
+    headline=True,
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS a_key,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS a_s,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 7 AS a_e
+        FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
+    ), b AS (
+        SELECT o_orderkey AS b_key,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS b_s,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 7 AS b_e
+        FROM orders WHERE o_orderpriority = '2-HIGH' AND o_totalprice > 400000
+    )
+    SELECT a.a_key,
+           COUNT(*) AS n_overlap,
+           CAST(SUM(LEAST(a.a_e, b.b_e) - GREATEST(a.a_s, b.b_s) + 1) AS BIGINT)
+             AS overlap_days
+    FROM a JOIN b ON a.a_s <= b.b_e AND b.b_s <= a.a_e
+    GROUP BY 1
+    """,
+    survey_ref="extension: interval-overlap join (interval × interval) — "
+    "bucketized, each true pair survives in exactly the bucket holding "
+    "max(starts); rangejoin.bucketed_interval_overlap_join",
+)
+def q85_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 8-day order windows between urgent and high-priority
+    high-value orders: per urgent window, how many high windows touch
+    it and the total overlap length in days."""
+    from stock_data_pipeline_spark.operators.rangejoin import (
+        bucketed_interval_overlap_join,
+    )
+
+    epoch = F.lit("1970-01-01").cast("date")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+
+    def windows(priority: str, key: str, s: str, e: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderpriority") == priority)
+            .select(
+                F.col("o_orderkey").alias(key),
+                F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("long").alias(s),
+            )
+            .withColumn(e, F.col(s) + F.lit(7))
+        )
+
+    a = windows("1-URGENT", "a_key", "a_s", "a_e")
+    b = windows("2-HIGH", "b_key", "b_s", "b_e")
+    pairs = bucketed_interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", bucket=8)
+    return pairs.groupBy("a_key").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.sum(
+            F.least(F.col("a_e"), F.col("b_e"))
+            - F.greatest(F.col("a_s"), F.col("b_s"))
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -83,3 +83,35 @@ def test_plan_is_equi_join_not_nested_loop(spark):
         .toString()
     )
     assert "NestedLoop" not in plan, plan[:2000]
+
+
+def test_interval_overlap_matches_naive(spark):
+    from stock_data_pipeline_spark.operators.rangejoin import (
+        bucketed_interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 0, 20), (2, 5, 9), (3, 30, 31), (4, 100, 100)],
+        "aid long, a_s long, a_e long",
+    )
+    b = spark.createDataFrame(
+        [(10, 8, 40), (11, 0, 3), (12, 99, 120), (13, 50, 60)],
+        "bid long, b_s long, b_e long",
+    )
+    naive = sorted(
+        (r.aid, r.bid)
+        for r in a.join(
+            b, (F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e"))
+        ).collect()
+    )
+    for bucket in (1, 4, 8, 1000):
+        got = sorted(
+            (r.aid, r.bid)
+            for r in bucketed_interval_overlap_join(
+                a, b, "a_s", "a_e", "b_s", "b_e", bucket=bucket
+            ).collect()
+        )
+        assert got == naive, f"bucket={bucket}"
+        # pairs spanning many shared buckets (e.g. [0,20]x[8,40]) still
+        # appear exactly once — the max-start bucket rule dedups them
+        assert len(got) == len(set(got))
