@@ -3170,6 +3170,382 @@ def q85_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 6 (round 2): span-level dup stats, grouped quantiles, SCD2,
+# embedding quantization, multi-join analytics classics
+# ---------------------------------------------------------------------------
+
+@register(
+    "q86_dup_ngram_spans",
+    headline=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                        || ' ' || tk[i+4])) AS g
+        FROM toks
+    ), per_doc AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+    ), df AS (
+        SELECT g, COUNT(*) AS n_docs FROM per_doc GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+             / CAST(SUM(c) AS BIGINT) AS dup_ratio
+    FROM per_doc p JOIN df USING (g)
+    GROUP BY 1
+    """,
+    survey_ref="extension: span-level duplication stats (Deduplicating "
+    "Training Data Makes Language Models Better, Lee et al. 2022 — the "
+    "per-document fraction of word-5-gram positions that also occur in "
+    "another document; the substring-dedup decision metric)",
+)
+def q86_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span ratio over word 5-grams.
+
+    Plan: one (doc, gram) partial count, one gram-level doc-frequency
+    aggregate, equi-join back, one doc-level rollup — shuffle is
+    proportional to the distinct-posting count, never pairwise. At
+    100 TB you'd hash the gram to 64 bits first (collisions only
+    perturb a ratio statistic, q25's xxhash64 pattern); the string form
+    here keeps the full value oracle.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    grams = doc.select(
+        "doc_id", F.explode(dedup.word_ngrams("text", 5)).alias("g")
+    )
+    per_doc = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    docfreq = per_doc.groupBy("g").agg(F.count("*").alias("n_docs"))
+    dup_c = F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(F.lit(0))
+    return (
+        per_doc.join(docfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_spans"),
+            F.sum(dup_c).cast("long").alias("n_dup_spans"),
+        )
+        .withColumn("dup_ratio", F.col("n_dup_spans") / F.col("n_spans"))
+    )
+
+
+@register(
+    "q87_group_quantiles",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90,
+           MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99
+    FROM ranked GROUP BY 1
+    """,
+    survey_ref="G family extension: exact discrete per-group quantiles "
+    "(quantile_disc semantics spelled out as row_number = ceil(p*n) so "
+    "both engines pick the identical element — no interpolation, no "
+    "approx sketch; the engine-portable twin of percentile_approx)",
+)
+def q87_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of order value per priority class.
+
+    One shuffle on the group key serves the rank window, the count
+    window, and the final aggregate (same partitioning). Scale note:
+    exact per-group quantiles need the group sorted — fine when groups
+    are wide but bounded (priority classes); for quantiles over the
+    whole table switch to approx_percentile's PercentileDisc sketch.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice", "o_orderkey")
+    wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+
+    def pick(p: float, name: str) -> F.Column:
+        at = F.ceil(F.lit(p) * F.col("n"))
+        return F.max(F.when(F.col("rn") == at, F.col("o_totalprice"))).alias(name)
+
+    return ranked.groupBy("o_orderpriority").agg(
+        pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99")
+    )
+
+
+@register(
+    "q88_scd2_priority",
+    oracle="""
+    WITH feed AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ), changes AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+        FROM feed WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_n,
+           o_orderpriority AS priority,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to
+    FROM changes
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    survey_ref="D3/J3 extension: slowly-changing-dimension type 2 build "
+    "from a change feed — collapse consecutive equal values, emit "
+    "versioned validity intervals (valid_from, valid_to, NULL = "
+    "current); the warehouse-side twin of the reference's "
+    "drop-and-reload state refresh (main.py:113-121)",
+)
+def q88_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of each customer's order-priority: one row per
+    change, with half-open validity intervals.
+
+    Single shuffle on o_custkey: the lag dedup, the version numbering,
+    and the lead valid_to all share the same window partitioning, so
+    Catalyst plans one Exchange + one Sort feeding three Window ops.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = o.withColumn("prev", F.lag("o_orderpriority").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
+    )
+    return changes.select(
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("version_n"),
+        F.col("o_orderpriority").alias("priority"),
+        _d("o_orderdate").alias("valid_from"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("valid_to"),
+    )
+
+
+@register(
+    "q89_embedding_quantize",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), scaled AS (
+        SELECT vec_id, v,
+               127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM base
+        WHERE list_max(list_transform(v, x -> abs(x))) > 0
+    )
+    SELECT vec_id, scale,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT))),
+               (a, b) -> a + b) AS BIGINT) AS qsum,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)
+                                      * CAST(floor(x * scale + 0.5) AS BIGINT))),
+               (a, b) -> a + b) AS BIGINT) AS qnorm,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(v, x -> (x - floor(x * scale + 0.5) / scale)
+                                      * (x - floor(x * scale + 0.5) / scale))),
+               (a, b) -> a + b) AS recon_err
+    FROM scaled
+    """,
+    survey_ref="extension: int8 scalar quantization of embeddings "
+    "(symmetric, per-vector scale) + exact reconstruction error — the "
+    "compression step before ANN index build; pure narrow map, zero "
+    "shuffle, every value integer/IEEE-exact in both engines",
+)
+def q89_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per embedding: scale = 127/max|v|,
+    q_i = floor(v_i*scale + 0.5) (round-half-up, engine-portable —
+    round() half-even vs half-away varies by engine), plus the exact
+    L2 reconstruction error via an in-order left fold.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    base = emb.select("vec_id", v.alias("v"), amax.alias("amax")).filter(
+        F.col("amax") > 0
+    )
+    scale = F.lit(127.0) / F.col("amax")
+    q = lambda x: F.floor(x * scale + F.lit(0.5))  # noqa: E731
+    err = lambda x: (x - q(x) / scale) * (x - q(x) / scale)  # noqa: E731
+    return base.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.aggregate(F.col("v"), F.lit(0).cast("long"), lambda a, x: a + q(x))
+        .cast("long")
+        .alias("qsum"),
+        F.aggregate(F.col("v"), F.lit(0).cast("long"), lambda a, x: a + q(x) * q(x))
+        .cast("long")
+        .alias("qnorm"),
+        F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + err(x)).alias("recon_err"),
+    )
+
+
+@register(
+    "q90_shipping_priority",
+    headline=True,
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-30'
+      AND l_shipdate > TIMESTAMP '1998-06-30'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    survey_ref="J1 extension: TPC-H Q3 shape — selective 3-way join + "
+    "decimal-exact revenue + global top-10; the canonical multi-join "
+    "the optimizer must order (filter customer first, broadcast it, "
+    "shuffle lineitem once)",
+)
+def q90_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped high-revenue orders for one market segment (TPC-H Q3).
+
+    Scale plan: both date filters push to the parquet scans; the
+    filtered customer side is a fifth of a dimension table →
+    broadcast-joined into orders (no shuffle), so the only wide
+    exchange is lineitem↔orders on orderkey. The top-10 compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of 10
+    rows), never a global sort.
+    """
+    cutoff = "1998-06-30"
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            _d("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q91_returned_revenue",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS lost_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_returned_items
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R' AND year(o_orderdate) = 1997
+    GROUP BY 1, 2
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    survey_ref="J1 extension: TPC-H Q10 shape — returned-item revenue "
+    "per customer, fact-fact join then dimension enrich, top-20",
+)
+def q91_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in 1997 (TPC-H Q10).
+
+    Join order matters at scale: lineitem('R') ⋈ orders(1997) first
+    (both filters pushed to scans, shuffle on orderkey), aggregate down
+    to one row per customer BEFORE joining the customer dimension —
+    the dim join then moves n_customers rows, not n_lineitems.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    per_cust = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(rev).cast("double").alias("lost_revenue"),
+            F.count("*").alias("n_returned_items"),
+        )
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "lost_revenue", "n_returned_items")
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q92_promo_share",
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+           100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE year(l_shipdate) = 1997
+    GROUP BY 1
+    """,
+    survey_ref="J1/G2 extension: TPC-H Q14 shape — conditional aggregate "
+    "over a fact⋈dimension broadcast join (promo revenue share per "
+    "ship month); the CASE-inside-SUM pattern",
+)
+def q92_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly share of revenue from PROMO-type parts (TPC-H Q14).
+
+    part is a pure dimension → broadcast join, zero shuffle on the
+    fact side until the final month rollup; both aggregates are
+    decimal-exact, the share is one double division of two exact
+    values (identical operands → identical IEEE result in any engine).
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_share",
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
