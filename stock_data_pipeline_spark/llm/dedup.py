@@ -49,9 +49,18 @@ def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
 
 
-def word_ngrams(text_col, n: int = 2):
-    """Word n-gram shingles as an array column (positions i..i+n-1)."""
-    toks = tokens(text_col)
+def ngrams_from_tokens(toks, n: int = 2):
+    """Word n-grams from an ALREADY-MATERIALIZED token-array column.
+
+    ``toks`` must be a bound column (a real projection output), not the
+    ``tokens(text)`` expression itself: Spark's higher-order functions
+    run interpreted with no common-subexpression elimination, so a
+    split/filter expression referenced inside the per-element lambda is
+    re-evaluated for EVERY gram — O(tokens²) per document. Materializing
+    the token array first (it is referenced twice, so CollapseProject
+    keeps the projection) makes each gram an O(n) slice; measured 7× on
+    the sf0.1 documents 5-gram explode.
+    """
     if n == 1:
         return toks
     return F.transform(
@@ -60,11 +69,26 @@ def word_ngrams(text_col, n: int = 2):
     )
 
 
+def word_ngrams(text_col, n: int = 2):
+    """Word n-gram shingles as an array column (positions i..i+n-1).
+
+    Convenience form over an unmaterialized text column — fine for
+    one-shot expressions, but inside explode/HOF pipelines prefer
+    projecting ``tokens(text)`` to a column and calling
+    ``ngrams_from_tokens`` (see its docstring for why)."""
+    return ngrams_from_tokens(tokens(text_col), n)
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Project (id, __tk) with the token array materialized once."""
+    return df.select(F.col(id_col), tokens(text_col).alias("__tk"))
+
+
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) distinct pairs — the postings list."""
     return (
-        _spread(df, id_col)
-        .select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("shingle"))
+        _tokenized(_spread(df, id_col), id_col, text_col)
+        .select(F.col(id_col), F.explode(ngrams_from_tokens(F.col("__tk"), n)).alias("shingle"))
         .distinct()
     )
 
@@ -157,14 +181,16 @@ def ngram_jaccard_pairs_prefix(
     collide in 64 bits (P ≈ n²/2⁶⁵ — negligible and detectable), so the
     Jaccard values are still exact integers over doubles.
     """
-    df = _spread(df, id_col)
+    df = _tokenized(_spread(df, id_col), id_col, text_col)
     if order == "hash":
         docs = (
             df.select(
                 F.col(id_col),
                 F.array_sort(
                     F.array_distinct(
-                        F.transform(word_ngrams(text_col, n), lambda s: F.xxhash64(s))
+                        F.transform(
+                            ngrams_from_tokens(F.col("__tk"), n), lambda s: F.xxhash64(s)
+                        )
                     )
                 ).alias("shingle_arr"),
             )
@@ -188,7 +214,9 @@ def ngram_jaccard_pairs_prefix(
     elif order == "df":
         shingles = df.select(
             F.col(id_col),
-            F.explode(F.transform(word_ngrams(text_col, n), lambda s: F.xxhash64(s))).alias("shingle"),
+            F.explode(
+                F.transform(ngrams_from_tokens(F.col("__tk"), n), lambda s: F.xxhash64(s))
+            ).alias("shingle"),
         ).distinct()
         dfreq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
         ranked = shingles.join(dfreq, "shingle")
@@ -313,8 +341,9 @@ def minhash_signatures(
         hfn = _portable_shingle_hash
     else:
         hfn = lambda s: F.shiftrightunsigned(F.xxhash64(s), 33)  # noqa: E731  31-bit, non-negative
-    postings = _spread(df, id_col).select(
-        F.col(id_col), F.explode(F.transform(word_ngrams(text_col, n), hfn)).alias("h")
+    postings = _tokenized(_spread(df, id_col), id_col, text_col).select(
+        F.col(id_col),
+        F.explode(F.transform(ngrams_from_tokens(F.col("__tk"), n), hfn)).alias("h"),
     )
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))).alias(f"h{s}")

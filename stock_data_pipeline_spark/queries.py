@@ -3216,19 +3216,26 @@ def q86_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     perturb a ratio statistic, q25's xxhash64 pattern); the string form
     here keeps the full value oracle.
     """
+    from stock_data_pipeline_spark.llm.text import tokens
+
     doc = load_table(spark, sf_dir, "documents")
-    grams = doc.select(
-        "doc_id", F.explode(dedup.word_ngrams("text", 5)).alias("g")
+    grams = doc.select("doc_id", tokens("text").alias("__tk")).select(
+        "doc_id", F.explode(dedup.ngrams_from_tokens(F.col("__tk"), 5)).alias("g")
     )
     per_doc = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-    docfreq = per_doc.groupBy("g").agg(F.count("*").alias("n_docs"))
-    dup_c = F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(F.lit(0))
+    # doc-frequency via a window over the SAME per_doc result instead of
+    # a groupBy+join back: the join form plans the scan→gram-explode→
+    # aggregate subtree twice (the two partial aggregates differ, so no
+    # ReusedExchange); the window re-shuffles only per_doc's (doc, gram,
+    # c) rows — gram generation runs exactly once.
+    n_docs = F.count("*").over(Window.partitionBy("g"))
+    dup_c = F.when(n_docs >= 2, F.col("c")).otherwise(F.lit(0))
     return (
-        per_doc.join(docfreq, "g")
+        per_doc.select("doc_id", "c", dup_c.alias("dc"))
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_spans"),
-            F.sum(dup_c).cast("long").alias("n_dup_spans"),
+            F.sum("dc").cast("long").alias("n_dup_spans"),
         )
         .withColumn("dup_ratio", F.col("n_dup_spans") / F.col("n_spans"))
     )
@@ -3542,6 +3549,215 @@ def q92_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "promo_share",
             F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q93_profile_table",
+    oracle="""
+    WITH m AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(o_orderkey) AS c1, COUNT(DISTINCT o_orderkey) AS d1,
+                 CAST(MIN(o_orderkey) AS VARCHAR) AS lo1, CAST(MAX(o_orderkey) AS VARCHAR) AS hi1,
+               COUNT(o_custkey) AS c2, COUNT(DISTINCT o_custkey) AS d2,
+                 CAST(MIN(o_custkey) AS VARCHAR) AS lo2, CAST(MAX(o_custkey) AS VARCHAR) AS hi2,
+               COUNT(o_orderstatus) AS c3, COUNT(DISTINCT o_orderstatus) AS d3,
+                 MIN(o_orderstatus) AS lo3, MAX(o_orderstatus) AS hi3,
+               COUNT(o_totalprice) AS c4, COUNT(DISTINCT o_totalprice) AS d4,
+                 CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS lo4,
+                 CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS hi4,
+               COUNT(o_orderdate) AS c5, COUNT(DISTINCT o_orderdate) AS d5,
+                 strftime(MIN(o_orderdate), '%Y-%m-%d') AS lo5,
+                 strftime(MAX(o_orderdate), '%Y-%m-%d') AS hi5,
+               COUNT(o_orderpriority) AS c6, COUNT(DISTINCT o_orderpriority) AS d6,
+                 MIN(o_orderpriority) AS lo6, MAX(o_orderpriority) AS hi6
+        FROM orders
+    )
+    SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct, min_repr, max_repr
+    FROM (
+        SELECT 'o_orderkey' AS col_name, n_rows, n_rows - c1 AS n_nulls, d1 AS n_distinct, lo1 AS min_repr, hi1 AS max_repr FROM m
+        UNION ALL SELECT 'o_custkey', n_rows, n_rows - c2, d2, lo2, hi2 FROM m
+        UNION ALL SELECT 'o_orderstatus', n_rows, n_rows - c3, d3, lo3, hi3 FROM m
+        UNION ALL SELECT 'o_totalprice', n_rows, n_rows - c4, d4, lo4, hi4 FROM m
+        UNION ALL SELECT 'o_orderdate', n_rows, n_rows - c5, d5, lo5, hi5 FROM m
+        UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - c6, d6, lo6, hi6 FROM m
+    )
+    """,
+    survey_ref="extension: single-pass table profiler (null rate, exact "
+    "distinct, min/max per column) — the data-quality gate a training "
+    "pipeline runs before ingest; one scan, one Expand-based "
+    "multi-distinct aggregate, then an unpivot of the 1-row result",
+)
+def q93_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of ``orders`` in ONE pass: a single aggregate row
+    (Spark plans multi-distinct via Expand — one shuffle) stacked to a
+    row per column. min/max are emitted as engine-neutral strings
+    (doubles via lossless DECIMAL(18,2), dates via yyyy-MM-dd);
+    n_distinct is exact — swap in approx_count_distinct when profiling
+    ultra-wide tables at 100 TB.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    num = lambda agg: agg.cast("decimal(18,2)").cast("string")  # noqa: E731
+    reprs = {
+        "o_orderkey": (F.min("o_orderkey").cast("string"), F.max("o_orderkey").cast("string")),
+        "o_custkey": (F.min("o_custkey").cast("string"), F.max("o_custkey").cast("string")),
+        "o_orderstatus": (F.min("o_orderstatus"), F.max("o_orderstatus")),
+        "o_totalprice": (num(F.min("o_totalprice")), num(F.max("o_totalprice"))),
+        "o_orderdate": (_d(F.min("o_orderdate")), _d(F.max("o_orderdate"))),
+        "o_orderpriority": (F.min("o_orderpriority"), F.max("o_orderpriority")),
+    }
+    aggs = [F.count("*").alias("n_rows")]
+    for c, (lo, hi) in reprs.items():
+        aggs += [
+            F.count(c).alias(f"c_{c}"),
+            F.count_distinct(F.col(c)).alias(f"d_{c}"),
+            lo.alias(f"lo_{c}"),
+            hi.alias(f"hi_{c}"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = []
+    for c in reprs:
+        stack_args += [
+            F.lit(c),
+            (F.col("n_rows") - F.col(f"c_{c}")).cast("long"),
+            F.col(f"d_{c}").cast("long"),
+            F.col(f"lo_{c}"),
+            F.col(f"hi_{c}"),
+        ]
+    return one.select(
+        F.stack(
+            F.lit(len(reprs)), *stack_args
+        ).alias("col_name", "n_nulls", "n_distinct", "min_repr", "max_repr"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
+
+
+@register(
+    "q94_zscore_outliers",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id, value,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ), stats AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean_c,
+               sqrt(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE) / COUNT(*)
+                    - (CAST(SUM(cents) AS DOUBLE) / COUNT(*))
+                      * (CAST(SUM(cents) AS DOUBLE) / COUNT(*))) AS std_c
+        FROM c GROUP BY 1
+    )
+    SELECT c.user_id, c.event_id, c.value,
+           (CAST(c.cents AS DOUBLE) - s.mean_c) / s.std_c AS z
+    FROM c JOIN stats s ON c.user_id = s.user_id
+    WHERE s.std_c > 0
+      AND abs((CAST(c.cents AS DOUBLE) - s.mean_c) / s.std_c) > 2.5
+    """,
+    survey_ref="extension: per-entity z-score outlier flagging — "
+    "population moments from exact integer-cents sums (the q57 "
+    "DECIMAL(38,0) discipline), so mean/std/z are the identical IEEE "
+    "value in any engine; anomaly gate for metric streams",
+)
+def q94_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value sits >2.5 population-σ from their user's mean.
+
+    Exact integer moments (Σc, Σc² in DECIMAL(38,0)) make the double
+    arithmetic a *function* of exact inputs — both engines run the same
+    op sequence on the same operands, so even the z>2.5 boundary
+    comparison agrees bit-for-bit. One shuffle on user_id shared by the
+    aggregate and the stats join (broadcast: one row per user).
+    """
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "value", (_dec("value") * 100).cast("long").alias("cents")
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_c"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("sumsq_c"),
+    )
+    mean_c = F.col("sum_c").cast("double") / F.col("n")
+    std_c = F.sqrt(
+        F.col("sumsq_c").cast("double") / F.col("n") - mean_c * mean_c
+    )
+    z = (F.col("cents").cast("double") - F.col("mean_c")) / F.col("std_c")
+    return (
+        ev.join(
+            F.broadcast(stats.select("user_id", mean_c.alias("mean_c"), std_c.alias("std_c"))),
+            "user_id",
+        )
+        .filter((F.col("std_c") > 0) & (F.abs(z) > 2.5))
+        .select("user_id", "event_id", "value", z.alias("z"))
+    )
+
+
+@register(
+    "q95_twap",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               strftime(ts, '%Y-%m-%d') AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ), held AS (
+        SELECT user_id, day, cents,
+               LEAD(ts_us) OVER (PARTITION BY user_id, day
+                                 ORDER BY ts_us, event_id) - ts_us AS dur_us
+        FROM c
+    )
+    SELECT user_id, day,
+           CAST(SUM(CAST(cents AS DECIMAL(38,0)) * dur_us) AS DOUBLE)
+             / CAST(SUM(dur_us) AS DOUBLE) / 100.0 AS twap,
+           CAST(SUM(dur_us) AS BIGINT) AS held_us,
+           CAST(COUNT(*) AS BIGINT) AS n_holds
+    FROM held
+    WHERE dur_us IS NOT NULL
+    GROUP BY 1, 2
+    HAVING SUM(dur_us) > 0
+    """,
+    survey_ref="extension: time-weighted average price (last-point-hold "
+    "TWAP per user-day) — the TimescaleDB time_weight rollup over an "
+    "irregular tick series; exact integer µs × cents weights in "
+    "DECIMAL(38,0), one (user, day) shuffle for window + rollup",
+)
+def q95_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean value per user-day: each tick's value
+    holds until the next tick that day (the final tick holds nothing).
+    Weights are exact integer microseconds; the weighted sum
+    accumulates in DECIMAL(38,0) so scale can't overflow it.
+    """
+    from stock_data_pipeline_spark.catalog import load_events_raw
+
+    c = load_events_raw(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.date_format(
+            F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"), "yyyy-MM-dd"
+        ).alias("day"),
+        (_dec("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+    held = c.withColumn("dur_us", F.lead("ts_us").over(w) - F.col("ts_us")).filter(
+        F.col("dur_us").isNotNull()
+    )
+    return (
+        held.groupBy("user_id", "day")
+        .agg(
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dur_us")).alias("wsum"),
+            F.sum("dur_us").alias("held_us"),
+            F.count("*").alias("n_holds"),
+        )
+        .filter(F.col("held_us") > 0)
+        .select(
+            "user_id",
+            "day",
+            (F.col("wsum").cast("double") / F.col("held_us").cast("double") / F.lit(100.0)).alias("twap"),
+            F.col("held_us").cast("long"),
+            F.col("n_holds").cast("long"),
         )
     )
 
