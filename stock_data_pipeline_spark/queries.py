@@ -3762,6 +3762,57 @@ def q95_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q96_click_attribution",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id AS view_id, ts AS v_ts
+        FROM events WHERE event_type = 'view'
+    ), c AS (
+        SELECT user_id, event_id AS click_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT v.user_id, view_id, click_id,
+           CAST(epoch_us(c_ts) - epoch_us(v_ts) AS BIGINT) AS lag_us
+    FROM v JOIN c
+      ON v.user_id = c.user_id
+     AND c.c_ts > v.v_ts
+     AND c.c_ts <= v.v_ts + INTERVAL 1 HOUR
+    """,
+    survey_ref="extension: attribution interval join — the batch twin "
+    "of streaming/joins.stream_stream_interval_join (every click within "
+    "1h after a view by the same user); on a stream the identical call "
+    "is a watermarked stream-stream join with bounded state",
+)
+def q96_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(view, click) attribution pairs via the SAME function the
+    streaming path uses (``withWatermark`` is a no-op on batch).
+    Equi-key on user_id carries the join; the time bound is the
+    residual — and on a stream it is also the state-eviction bound.
+    Lag is exact integer µs, so the oracle is TZ-proof.
+    """
+    from stock_data_pipeline_spark.streaming.joins import stream_stream_interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_events(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")  # watermark type-checks LTZ even on batch
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), ts.alias("v_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), ts.alias("c_ts")
+    )
+    joined = stream_stream_interval_join(
+        v, c, key="user_id", l_ts="v_ts", r_ts="c_ts", within="1 hour"
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
