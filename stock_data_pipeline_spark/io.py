@@ -154,6 +154,66 @@ def write_parquet_table(
     writer.parquet(path)
 
 
+def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """B2 at scale — dynamic partition overwrite: replace ONLY the
+    partitions present in ``df``, leaving every other partition of the
+    table untouched. This is the idempotent daily-load sink (re-running
+    a day's job rewrites that day's partitions, never truncates the
+    table the way static overwrite mode would). The per-write option
+    scopes the behavior to this write — no session-level conf leak."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def compact_parquet_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite ``src_path`` into
+    ``ceil(total_bytes / target_file_bytes)`` output files (per
+    partition directory when ``partition_by`` is given, via
+    ``maxRecordsPerFile``-free explicit repartition).
+
+    Streaming sinks and incremental appends accumulate files far below
+    the HDFS/S3 sweet spot; scan parallelism then pays per-file open
+    cost and the NameNode/listing pays per-file metadata. Sizes come
+    from the Hadoop FileSystem of the source path (works for s3a/hdfs,
+    not just local), listed driver-side — metadata only, no Spark job.
+    Writes to ``dst_path`` (atomic swap is the caller's move — engines
+    shouldn't guess rename semantics on object stores). Returns the
+    target file count.
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jpath.getFileSystem(hconf)
+    it = fs.listFiles(jpath, True)
+    total = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    if partition_by:
+        # cluster rows of one partition dir together; files-per-dir
+        # follows the hash spread of the partition columns
+        out = df.repartition(n_files, *[F.col(c) for c in partition_by])
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(dst_path)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
 def write_csv_export(df: DataFrame, path: str, single_file: bool = False) -> None:
     """B3/B4 — CSV export (COPY … TO STDOUT CSV HEADER,
     postgresql_connection.py:42-45; S3 upload s3_connection.py:41-53).
