@@ -4061,6 +4061,198 @@ def q100_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q101_repetition_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), base AS (
+        SELECT doc_id, len(tk) AS n_tokens,
+               len(list_distinct(tk)) AS n_distinct_tokens, tk
+        FROM toks
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                   i -> tk[i] || ' ' || tk[i+1])) AS g
+        FROM toks
+    ), gc AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+    ), top AS (
+        SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams FROM gc GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           (b.n_tokens - b.n_distinct_tokens) / b.n_tokens AS dup_token_frac,
+           CAST(t.top_c AS BIGINT) AS top_bigram_count,
+           t.top_c / t.n_bigrams AS top_bigram_frac
+    FROM base b JOIN top t ON b.doc_id = t.doc_id
+    WHERE b.n_tokens >= 2
+    """,
+    survey_ref="extension: within-document repetition filters (Gopher / "
+    "Rae et al. 2021 — duplicate-token fraction and top-2-gram "
+    "fraction; the quality signals that catch boilerplate and "
+    "degenerate repetition before training)",
+)
+def q101_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: fraction of tokens that repeat,
+    and the mass share of the single most frequent bigram.
+
+    Token-level stats are row-local expressions (size/array_distinct
+    over the materialized token array — zero shuffle); the bigram branch
+    is one (doc, gram) count + per-doc rollup. Both branches key on
+    doc_id, so the final join co-partitions with no extra exchange. The
+    fractions are exact-int divisions — IEEE-identical in any engine.
+    """
+    from stock_data_pipeline_spark.llm.text import tokens
+
+    tk = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("__tk")
+    )
+    base = tk.select(
+        "doc_id",
+        F.size("__tk").alias("n_tokens"),
+        F.size(F.array_distinct("__tk")).alias("n_distinct"),
+    ).filter(F.col("n_tokens") >= 2)
+    grams = tk.select(
+        "doc_id", F.explode(dedup.ngrams_from_tokens(F.col("__tk"), 2)).alias("g")
+    )
+    top = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        ((F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens")).alias(
+            "dup_token_frac"
+        ),
+        F.col("top_c").cast("long").alias("top_bigram_count"),
+        (F.col("top_c") / F.col("n_bigrams")).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "q102_interpolate",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, CAST(MAX(o_orderdate) AS DATE) AS hi
+        FROM orders
+    ), spine AS (
+        SELECT p.o_orderpriority,
+               CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds, (SELECT DISTINCT o_orderpriority FROM orders) p
+    ), known AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+               MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        FROM orders WHERE o_totalprice > 450000
+        GROUP BY 1, 2
+    ), marked AS (
+        SELECT s.o_orderpriority, s.d,
+               datediff('day', DATE '1970-01-01', s.d) AS i,
+               k.cents
+        FROM spine s LEFT JOIN known k
+          ON s.o_orderpriority = k.o_orderpriority AND s.d = k.d
+    ), edged AS (
+        SELECT *,
+               last_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY o_orderpriority ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+               last_value(CASE WHEN cents IS NOT NULL THEN i END IGNORE NULLS) OVER (
+                   PARTITION BY o_orderpriority ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_i,
+               first_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY o_orderpriority ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+               first_value(CASE WHEN cents IS NOT NULL THEN i END IGNORE NULLS) OVER (
+                   PARTITION BY o_orderpriority ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_i
+        FROM marked
+    )
+    SELECT o_orderpriority, strftime(d, '%Y-%m-%d') AS date,
+           CASE
+             WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE) / 100.0
+             WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN
+               (CAST(prev_c AS DOUBLE)
+                + CAST(next_c - prev_c AS DOUBLE) * CAST(i - prev_i AS DOUBLE)
+                  / CAST(next_i - prev_i AS DOUBLE)) / 100.0
+             ELSE NULL
+           END AS value,
+           cents IS NOT NULL AS observed
+    FROM edged
+    """,
+    survey_ref="X10 extension: gap-fill with linear interpolation over "
+    "a densified calendar (the time-series imputation step between "
+    "densify q19 and the window indicators q67-q71); per-series "
+    "windows, exact integer anchors so the interpolated doubles are "
+    "IEEE-identical cross-engine",
+)
+def q102_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of a sparse daily series (per-priority max
+    order value on >$450k days) over the dense calendar spine.
+    Leading/trailing gaps stay NULL.
+
+    One shuffle on the series key serves all four edge windows (same
+    partitioning, forward + reverse frames); anchors are exact integer
+    cents and day ordinals, and the interpolation expression applies
+    the identical operation order in both engines, so even the doubles
+    hash-match. At 100 TB the spine×series frame is series-partitioned
+    — each window sorts one series, never the globe.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spine = densify_dates(o, "o_orderdate", alias="d").crossJoin(
+        o.select("o_orderpriority").distinct()
+    )
+    known = (
+        o.filter(F.col("o_totalprice") > 450000)
+        .groupBy("o_orderpriority", F.to_date("o_orderdate").alias("d"))
+        .agg(F.max((_dec("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    marked = spine.join(known, ["o_orderpriority", "d"], "left").withColumn(
+        "i", F.datediff(F.col("d"), epoch)
+    )
+    back = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_i = F.when(F.col("cents").isNotNull(), F.col("i"))
+    edged = (
+        marked.withColumn("prev_c", F.last("cents", ignorenulls=True).over(back))
+        .withColumn("prev_i", F.last(known_i, ignorenulls=True).over(back))
+        .withColumn("next_c", F.first("cents", ignorenulls=True).over(fwd))
+        .withColumn("next_i", F.first(known_i, ignorenulls=True).over(fwd))
+    )
+    interp = (
+        F.col("prev_c").cast("double")
+        + (F.col("next_c") - F.col("prev_c")).cast("double")
+        * (F.col("i") - F.col("prev_i")).cast("double")
+        / (F.col("next_i") - F.col("prev_i")).cast("double")
+    )
+    value = (
+        F.when(F.col("cents").isNotNull(), F.col("cents").cast("double") / F.lit(100.0))
+        .when(
+            F.col("prev_c").isNotNull() & F.col("next_c").isNotNull(),
+            interp / F.lit(100.0),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return edged.select(
+        "o_orderpriority",
+        F.date_format("d", "yyyy-MM-dd").alias("date"),
+        value.alias("value"),
+        F.col("cents").isNotNull().alias("observed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
