@@ -4253,6 +4253,249 @@ def q102_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q103_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+    GROUP BY 1
+    """,
+    survey_ref="J/E breadth: EXISTS-correlated subquery as a left-semi "
+    "join (TPC-H Q4 shape; the reference's membership checks in "
+    "sectors.py are the same semi-join semantics at pandas scale)",
+)
+def q103_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority counts for 1996 orders that shipped at least one
+    near-full-quantity line (EXISTS → left-semi join).
+
+    The semi join probes with only the join key and stops at the first
+    match — no row multiplication, no lineitem payload carried. Both
+    sides' filters sit in their scans (pushed to parquet), and the
+    high-qty lineitem side shrinks ~6% before the shuffle. At 100 TB
+    the shuffle carries two narrow key columns, nothing else.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@register(
+    "q104_conditional_counts",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY 1
+    """,
+    survey_ref="G breadth: conditional aggregation — CASE-WHEN pivoted "
+    "counts in one pass (TPC-H Q12 shape; the reference's per-flag "
+    "pandas value_counts splits are this operator)",
+)
+def q104_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-vs-other line counts per linestatus for one ship year —
+    the conditional-aggregate idiom that replaces N filtered passes
+    with one scan.
+
+    One join (fact filtered in-scan to the year before shuffling), one
+    hash aggregate; the CASE branches are codegen'd expressions, so
+    adding more breakdown columns costs zero extra passes — the point
+    of the pattern at 100 TB, where each extra scan is the expense.
+    """
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q105_small_qty_revenue",
+    oracle="""
+    WITH stats AS (
+        SELECT l_partkey,
+               COUNT(*) AS n,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_qc
+        FROM lineitem
+        GROUP BY 1
+    )
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_weekly_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN stats s ON l.l_partkey = s.l_partkey
+    WHERE p.p_size <= 2
+      AND 5 * CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * s.n < s.sum_qc
+    GROUP BY 1
+    """,
+    survey_ref="G/E breadth: correlated-average subquery (TPC-H Q17 "
+    "shape) — per-group mean joined back and compared row-wise, with "
+    "the comparison done in exact integers so both engines agree on "
+    "every boundary row",
+)
+def q105_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from small-quantity lines: lines whose quantity is below
+    20% of their part's average quantity, for small-size parts.
+
+    The per-part average never materializes as a double: ``q <
+    0.2·(sum/n)`` is evaluated as ``5·q·n < sum`` in exact integer
+    cents — no float boundary rows, hash-exact in any engine. The
+    stats aggregate shuffles on l_partkey, the same key the probe join
+    uses, so AQE coalesces into one exchange; the part dim filters in
+    its scan and broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qc = (_dec("l_quantity") * 100).cast("long")
+    stats = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(qc).alias("sum_qc")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 2)
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        li.select("l_partkey", "l_extendedprice", qc.alias("__qc"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(stats, "l_partkey")
+        .filter(F.lit(5) * F.col("__qc") * F.col("n") < F.col("sum_qc"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_weekly_revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q106_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1998-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM rev r
+    JOIN (SELECT MAX(total_rev) AS mx FROM rev) m ON r.total_rev = m.mx
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    """,
+    survey_ref="G/S breadth: argmax-by-join — rows achieving the global "
+    "aggregate max, ties preserved (TPC-H Q15 view shape); exact "
+    "decimal revenue so the equality join is well-defined",
+)
+def q106_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with the highest discounted revenue in 1998Q1.
+
+    Argmax via self-aggregate: the per-supplier revenue frame is built
+    once, its 1-row MAX is broadcast back, and equality on exact
+    DECIMAL revenue selects the winner(s) — ties survive, unlike
+    ORDER BY/LIMIT 1, and no global sort happens anywhere. Revenue is
+    decimal so 'equal to the max' is exact in both engines.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+@register(
+    "q107_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'P'
+        GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+    survey_ref="E/G breadth: outer join preserved through two-level "
+    "aggregation (TPC-H Q13 shape) — the zero-activity class must "
+    "survive, which an inner join silently drops",
+)
+def q107_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by number of non-pending orders —
+    including the customers with zero (the LEFT JOIN is the point:
+    COUNT(col) over the null-extended rows yields the 0 bucket).
+
+    Two hash aggregates: the first shuffles on custkey (same key as
+    the join, one exchange under AQE), the second on the tiny c_count
+    domain. The join condition's status filter rides on the orders
+    scan. No sort, no fact-side row expansion.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "P")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
