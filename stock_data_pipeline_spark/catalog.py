@@ -65,8 +65,8 @@ SHARES_OUTSTANDING_SCHEMA = T.StructType(
 # before any real work; (b) at 100 TB the catalog, not the files, should
 # own the contract (a stray file with a drifted schema fails loudly at
 # scan, not silently at merge). ``events.ts`` is declared LONG because
-# the file stores TIMESTAMP(NANOS), which the vectorized reader only
-# accepts via the nanosAsLong conf (see load_events).
+# the file's int64 timestamp unit has varied between fixture
+# generations (NANOS/MICROS) — see events_ts_unit / load_events.
 TABLE_SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(
         [
@@ -165,31 +165,65 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one shared test table with its catalog schema (no footer
     probe — plan construction stays action-free). ``events`` needs
-    special handling (TIMESTAMP(NANOS) parquet type — see
-    :func:`load_events`)."""
+    special handling (int64 timestamp unit varies by fixture
+    generation — see :func:`load_events`)."""
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events fixture: parquet stores ``ts`` as INT64 TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects. Read nanos as long
-    (legacy conf) and convert with *integer* division — ``ts div 1000``
-    — so the ns→µs truncation matches DuckDB's read of the same file.
-    (Float division would lose precision: epoch-nanos needs 61 bits,
-    double mantissa has 53.)
+def events_ts_unit(events_path: str) -> str:
+    """``'ns'`` or ``'us'`` — the physical unit of ``events.ts``.
+
+    The fixture has shipped with BOTH units (TIMESTAMP(NANOS)
+    originally, TIMESTAMP(MICROS) after a regeneration), and reading
+    one as the other silently shifts every timestamp 1000×. One
+    pyarrow footer read (driver-side I/O, NOT a Spark job — plan
+    construction stays action-free), cached per path.
     """
-    raw = load_events_raw(spark, sf_dir)
+    if events_path not in _TS_UNIT_CACHE:
+        import pyarrow.parquet as pq
+
+        t = pq.ParquetFile(events_path).schema_arrow.field("ts").type
+        # raw INT64 with no logical type was only ever the nanos fixture
+        _TS_UNIT_CACHE[events_path] = getattr(t, "unit", "ns")
+    return _TS_UNIT_CACHE[events_path]
+
+
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events fixture with ``ts`` as TIMESTAMP_NTZ at µs precision —
+    the exact value DuckDB sees reading the same file (its TIMESTAMP is
+    µs; a nanos fixture is µs-truncated identically by both engines).
+    """
+    raw = load_events_us(spark, sf_dir)
     return raw.withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+        "ts", F.expr("timestamp_micros(ts)").cast("timestamp_ntz")
     )
 
 
+def load_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as exact integer epoch-MICROSECONDS — for
+    queries doing integer time arithmetic (gap/session/TWAP math) where
+    timestamp-diff semantics drift between engines. Unit-normalized:
+    nanos fixtures are integer-divided (``div 1000`` — float division
+    would lose precision: epoch-nanos needs 61 bits, double mantissa
+    has 53), micros fixtures pass through.
+    """
+    raw = load_events_raw(spark, sf_dir)
+    if events_ts_unit(f"{sf_dir}/events.parquet") == "ns":
+        raw = raw.withColumn("ts", F.expr("ts div 1000"))
+    return raw
+
+
 def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` left as raw int64 nanoseconds — for queries
-    that do exact integer µs arithmetic (``ts div 1000``) instead of
-    timestamp semantics."""
+    """events with ``ts`` left as the file's raw int64 (ns OR µs —
+    check :func:`events_ts_unit`; prefer :func:`load_events_us`).
+    The nanosAsLong conf lets the vectorized reader accept a
+    TIMESTAMP(NANOS) column as LONG; a MICROS column reads as the raw
+    int64 under the forced LONG schema either way."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.schema(TABLE_SCHEMAS["events"]).parquet(f"{sf_dir}/events.parquet")
 

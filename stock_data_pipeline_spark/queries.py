@@ -730,12 +730,12 @@ def q22_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="§2-K extension: gap sessionization (30 min)",
 )
 def q23_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap sessionization on exact microsecond arithmetic (ts is stored
-    as int64 nanos; both engines see identical µs-truncated values)."""
-    from stock_data_pipeline_spark.catalog import load_events_raw
+    """Gap sessionization on exact microsecond arithmetic (unit-
+    normalized integer µs; both engines see identical values)."""
+    from stock_data_pipeline_spark.catalog import load_events_us
 
-    raw = load_events_raw(spark, sf_dir).select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    raw = load_events_us(spark, sf_dir).select(
+        "user_id", "event_id", F.col("ts").alias("ts_us")
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap_us = 1800 * 1000 * 1000
@@ -1825,14 +1825,14 @@ def q60_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q61_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps ≥ 2h between consecutive events per user. Exact integer µs
-    math on the raw int64 nanos (ts div 1000), same trick as q23 — both
-    engines see identical values, no timestamp-diff semantics drift
-    (DuckDB date_diff counts boundary crossings, Spark counts elapsed
-    units; µs subtraction sidesteps both)."""
-    from stock_data_pipeline_spark.catalog import load_events_raw
+    math on the unit-normalized ts, same trick as q23 — both engines
+    see identical values, no timestamp-diff semantics drift (DuckDB
+    date_diff counts boundary crossings, Spark counts elapsed units;
+    µs subtraction sidesteps both)."""
+    from stock_data_pipeline_spark.catalog import load_events_us
 
-    raw = load_events_raw(spark, sf_dir).select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    raw = load_events_us(spark, sf_dir).select(
+        "user_id", "event_id", F.col("ts").alias("ts_us")
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     seq = raw.withColumn("next_us", F.lead("ts_us").over(w)).withColumn(
@@ -3750,14 +3750,14 @@ def q95_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weights are exact integer microseconds; the weighted sum
     accumulates in DECIMAL(38,0) so scale can't overflow it.
     """
-    from stock_data_pipeline_spark.catalog import load_events_raw
+    from stock_data_pipeline_spark.catalog import load_events_us
 
-    c = load_events_raw(spark, sf_dir).select(
+    c = load_events_us(spark, sf_dir).select(
         "user_id",
         "event_id",
-        F.expr("ts div 1000").alias("ts_us"),
+        F.col("ts").alias("ts_us"),
         F.date_format(
-            F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"), "yyyy-MM-dd"
+            F.expr("timestamp_micros(ts)").cast("timestamp_ntz"), "yyyy-MM-dd"
         ).alias("day"),
         (_dec("value") * 100).cast("long").alias("cents"),
     )
@@ -4493,6 +4493,281 @@ def q107_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@register(
+    "q108_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+        FROM orders GROUP BY 1, 2
+    ), pairs AS (
+        SELECT o_orderpriority, x,
+               lead(x) OVER (PARTITION BY o_orderpriority ORDER BY d) AS y
+        FROM daily
+    ), s AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM pairs WHERE y IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           n AS n_pairs,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS autocorr_lag1
+    FROM s
+    """,
+    survey_ref="W/G extension: lag-k autocorrelation of a daily series "
+    "(serial dependence — the signal the reference's SMA/gap charts "
+    "eyeball); q57's exact integer-moment Pearson applied to "
+    "(x_t, x_{t+1}) pairs from one window pass",
+)
+def q108_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily order revenue per priority.
+
+    Series build is one hash aggregate; the (x_t, x_{t+1}) pairing is
+    one lead() over the series key — the window partition is a few
+    thousand rows per series even at sf1000, because the series is
+    already aggregated to one row per day. Moment sums are exact
+    integers (cents, DECIMAL(38,0) accumulators — q57's technique), so
+    the closed-form correlation consumes identical operands in both
+    engines and the doubles hash-match.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum((_dec("o_totalprice") * 100).cast("long")).cast("decimal(18,0)").alias("x"))
+    w = Window.partitionBy("o_orderpriority").orderBy("d")
+    pairs = daily.withColumn("y", F.lead("x").over(w)).filter(F.col("y").isNotNull())
+    s = pairs.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx")) * F.sqrt(
+        d("n") * d("syy") - d("sy") * d("sy")
+    )
+    return s.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_pairs"),
+        (num / den).alias("autocorr_lag1"),
+    )
+
+
+@register(
+    "q109_rolling_beta",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+        FROM orders GROUP BY 1, 2
+    ), market AS (
+        SELECT d, SUM(y) AS x FROM daily GROUP BY 1
+    ), joined AS (
+        SELECT dl.o_orderpriority, dl.d, CAST(m.x AS HUGEINT) AS x, CAST(dl.y AS HUGEINT) AS y
+        FROM daily dl JOIN market m ON dl.d = m.d
+    ), win AS (
+        SELECT o_orderpriority, d,
+               COUNT(*) OVER w AS n,
+               SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+               SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx
+        FROM joined
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY d
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_orderpriority, strftime(d, '%Y-%m-%d') AS date,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS beta_20d
+    FROM win WHERE n = 20
+    """,
+    survey_ref="W extension: rolling regression beta of a series vs the "
+    "aggregate market (the cross-series analogue of q70 Bollinger) — "
+    "windowed exact-integer covariance moments, one shuffle on the "
+    "series key serves the join and every window",
+)
+def q109_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-day rolling beta of each priority's daily revenue against the
+    whole-market daily revenue.
+
+    The market series is the per-day rollup of the same aggregate that
+    builds the per-priority series — one scan feeds both, and the join
+    back is on the date key of an already-tiny frame. All five moment
+    sums run in one window pass over exact integer cents (DECIMAL
+    accumulators); only the final beta expression is floating point,
+    on identical operands. Rows with fewer than 20 days of history are
+    excluded (n = 20), so every emitted beta has a full frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum((_dec("o_totalprice") * 100).cast("long")).cast("decimal(18,0)").alias("y"))
+    market = daily.groupBy("d").agg(F.sum("y").cast("decimal(18,0)").alias("x"))
+    joined = daily.join(market, "d").select("o_orderpriority", "d", "x", "y")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    win = joined.select(
+        "o_orderpriority",
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    ).filter(F.col("n") == 20)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    beta = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    return win.select(
+        "o_orderpriority",
+        F.date_format("d", "yyyy-MM-dd").alias("date"),
+        beta.alias("beta_20d"),
+    )
+
+
+def _pagerank_oracle(rounds: int = 3, damping: float = 0.85) -> str:
+    """DuckDB oracle for q110: unrolled PageRank rounds over the
+    event-type transition graph. Mirrors operators.graph.pagerank_fixed
+    exactly: integer edge weights, left-to-right contribution folds in
+    source-node order, and the identical damping expression — every
+    round's doubles are bit-identical (teleport/damping literals are
+    emitted with repr() so both engines parse the same IEEE values)."""
+    tp = repr(1.0 - damping)  # repr round-trips the exact double Spark uses
+    dp = repr(damping)
+    parts = [
+        f"""seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), ed AS (
+        SELECT event_type AS src, nxt AS dst, COUNT(*) AS w
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM ed
+        UNION SELECT DISTINCT dst FROM ed
+    ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS ow FROM ed GROUP BY 1),
+    e AS (
+        SELECT src, dst, CAST(w AS DOUBLE) / CAST(ow AS DOUBLE) AS p
+        FROM ed JOIN outw USING (src)
+    ), r0 AS (
+        SELECT node, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS pr
+        FROM nodes CROSS JOIN nn
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""c{r + 1} AS (
+        SELECT e.dst AS node,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(r{r}.pr * e.p ORDER BY e.src)), (a, b) -> a + b) AS s
+        FROM r{r} JOIN e ON r{r}.node = e.src
+        GROUP BY 1
+    ), r{r + 1} AS (
+        SELECT nodes.node,
+               CAST({tp} AS DOUBLE) / CAST(n AS DOUBLE)
+                 + CAST({dp} AS DOUBLE) * COALESCE(c{r + 1}.s, CAST(0.0 AS DOUBLE)) AS pr
+        FROM nodes CROSS JOIN nn LEFT JOIN c{r + 1} ON nodes.node = c{r + 1}.node
+    )""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, pr FROM r{rounds}\n    "
+    )
+
+
+@register(
+    "q110_pagerank",
+    oracle=_pagerank_oracle(rounds=3, damping=0.85),
+    survey_ref="extension: fixed-round weighted PageRank over the "
+    "event-transition graph (operators/graph.py) — iterative graph "
+    "analytics as unrolled declarative rounds with a FULL value "
+    "oracle, the q80-kmeans technique applied to link analysis",
+)
+def q110_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 rounds, d=0.85) over the event-type transition graph:
+    edges are consecutive-event transitions per user, weighted by count.
+
+    Graph build is one window pass + one hash aggregate; each unrolled
+    round is one equi-join on src plus one grouped fold on dst — the
+    Pregel superstep cost profile, shuffle ∝ |edges|. Contributions
+    fold left-to-right in source order (pinned summation), so the
+    ranks are bit-identical to the oracle's unrolled SQL rounds.
+    """
+    from stock_data_pipeline_spark.operators.graph import pagerank_fixed
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("event_type").over(w))
+    edges = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return pagerank_fixed(edges, rounds=3, damping=0.85)
+
+
+@register(
+    "q111_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), ed AS (
+        SELECT event_type AS src, nxt AS dst, COUNT(*) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src, dst, CAST(c AS BIGINT) AS transitions,
+           CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY src) AS DOUBLE) AS prob
+    FROM ed
+    """,
+    survey_ref="extension: first-order Markov transition matrix of user "
+    "event sequences (row-normalized transition counts — the "
+    "behavioral-model twin of q82's funnel; also the edge build for "
+    "q110's PageRank)",
+)
+def q111_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-normalized event-type transition probabilities: P(next=dst |
+    current=src) from per-user consecutive event pairs.
+
+    One window pass builds the pairs (partitioned by user — bounded,
+    parallel), one hash aggregate counts them, and the row
+    normalization is a window sum over the tiny (src,dst) matrix.
+    Counts are exact integers; each probability is one correctly-
+    rounded double division, so values hash-match cross-engine.
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("event_type").over(w))
+    ed = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = Window.partitionBy("src")
+    return ed.select(
+        "src",
+        "dst",
+        F.col("c").cast("long").alias("transitions"),
+        (F.col("c").cast("double") / F.sum("c").over(tot).cast("double")).alias("prob"),
     )
 
 

@@ -48,9 +48,9 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs the engine relies on to a session we
     did not create (the driver hands us one in ``__spark_entry__``).
 
-    - ``nanosAsLong``: the ``events`` fixture stores TIMESTAMP(NANOS),
-      which Spark's parquet reader rejects by default; read as long and
-      convert (see ``catalog.load_events``).
+    - ``nanosAsLong``: lets the parquet reader accept an events fixture
+      generated with TIMESTAMP(NANOS) (unit varies by generation —
+      harmless for MICROS fixtures; see ``catalog.load_events``).
     - UTC session timezone: keeps ``date_format`` / LTZ casts stable and
       comparable with DuckDB's naive timestamps.
     """

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-# Raw on-disk schema: ts is INT64 TIMESTAMP(NANOS) → read as long
+# Raw on-disk schema: ts is INT64 (ns or µs by fixture gen) → read as long
 # (see catalog.load_events for the batch path + why integer division).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
@@ -44,7 +44,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # keep TIMESTAMP (LTZ): watermarks reject TIMESTAMP_NTZ event time
     # (the batch loader uses NTZ for oracle comparability instead)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from stock_data_pipeline_spark.catalog import events_ts_unit
+
+    if events_ts_unit(f"{sf_dir}/events.parquet") == "ns":
+        raw = raw.withColumn("ts", F.expr("ts div 1000"))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts)"))
 
 
 def tumbling_window_agg(events: DataFrame, width: str = "1 hour", watermark: str | None = None) -> DataFrame:
