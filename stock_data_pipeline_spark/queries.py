@@ -2853,7 +2853,13 @@ def q79_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, rounds: int = 2, dim: int = 64, bits: int = 10) -> str:
+def _kmeans_oracle(
+    k: int = 8,
+    rounds: int = 2,
+    dim: int = 64,
+    bits: int = 10,
+    final_select: str | None = None,
+) -> str:
     """DuckDB oracle for q80: unrolled Lloyd rounds. Quantization makes
     every per-cluster per-dimension sum exact int64 (order-independent),
     centroid means one double division of identical operands, and the
@@ -2900,11 +2906,8 @@ def _kmeans_oracle(k: int = 8, rounds: int = 2, dim: int = 64, bits: int = 10) -
         FROM sums{r + 1} JOIN cnt{r + 1} USING (cid)
         GROUP BY cid, n
     )""")
-    return (
-        "\n    WITH "
-        + ",\n    ".join(parts)
-        + f"\n    SELECT vec_id, cid AS cluster_id, dist2 FROM a{rounds}\n    "
-    )
+    final = final_select or f"SELECT vec_id, cid AS cluster_id, dist2 FROM a{rounds}"
+    return "\n    WITH " + ",\n    ".join(parts) + f"\n    {final}\n    "
 
 
 @register(
@@ -4768,6 +4771,158 @@ def q111_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dst",
         F.col("c").cast("long").alias("transitions"),
         (F.col("c").cast("double") / F.sum("c").over(tot).cast("double")).alias("prob"),
+    )
+
+
+@register(
+    "q112_fuzzy_pair_stats",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey,
+               split_part(p_name, ' ', 1) AS adj,
+               split_part(p_name, ' ', 2) AS noun
+        FROM part
+    )
+    SELECT a.noun,
+           CAST(levenshtein(a.adj, b.adj) AS BIGINT) AS edit_dist,
+           COUNT(*) AS n_pairs
+    FROM p a JOIN p b
+      ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.adj, b.adj) <= 2
+    GROUP BY 1, 2
+    """,
+    survey_ref="E extension: fuzzy (edit-distance) self-join with a "
+    "blocking key — entity-resolution candidate generation; the "
+    "blocked equi-join bounds the quadratic levenshtein work to "
+    "within-block pairs, never the full cross product",
+)
+def q112_fuzzy_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part-name pair counts: same noun token (blocking
+    key), adjective edit distance ≤ 2, bucketed by distance.
+
+    The blocking key turns an O(N²) fuzzy match into per-block
+    quadratic work — the standard entity-resolution shape. Blocks
+    shuffle once on the noun; levenshtein runs JVM-side (built-in,
+    whole-stage codegen) only on within-block pairs. At corpus scale
+    you'd block on a higher-selectivity key (q25's shingle postings
+    are exactly that); the operator shape is identical.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.split(F.col("p_name"), " ").getItem(0).alias("adj"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.adj"), F.col("b.adj"))
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 2)
+        .groupBy(F.col("a.noun").alias("noun"), dist.cast("long").alias("edit_dist"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "q113_weighted_sample",
+    oracle="""
+    WITH mx AS (SELECT MAX(n_chars) AS maxc FROM documents)
+    SELECT doc_id, n_chars
+    FROM documents, mx
+    WHERE ((doc_id * 2654435761) % 4294967296) * maxc < n_chars * 4294967296
+    """,
+    survey_ref="extension: deterministic WEIGHTED sampling (inclusion "
+    "probability ∝ length — the length-balanced variant of q59/q72's "
+    "uniform hash sampling; exact integer threshold comparison, no "
+    "float boundary rows, reproducible under retries/repartitioning)",
+)
+def q113_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample: include each document with
+    probability n_chars/max(n_chars), decided by multiplicative hash.
+
+    The inclusion test is exact integer arithmetic — ``h·maxc <
+    n_chars·2³²`` (h < 2³², maxc ≤ ~10³ here: no overflow; headroom to
+    2³¹ char docs in int64·2³² → decimal if ever needed) — so both
+    engines agree on every boundary row. The 1-row MAX broadcasts; the
+    corpus is one scan+filter, zero shuffle, and the predicate rides
+    into codegen.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    mx = doc.agg(F.max("n_chars").alias("maxc"))
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    return (
+        doc.crossJoin(F.broadcast(mx))
+        .filter(h * F.col("maxc") < F.col("n_chars") * F.lit(4294967296))
+        .select("doc_id", "n_chars")
+    )
+
+
+_SEMDEDUP_FINAL = """, pairs AS (
+        SELECT x.cid,
+               x.vec_id AS a_id, y.vec_id AS b_id,
+               {cos} AS cos
+        FROM (SELECT a2.vec_id, a2.cid, e.embedding AS v
+              FROM a2 JOIN embeddings e USING (vec_id)) x
+        JOIN (SELECT a2.vec_id, a2.cid, e.embedding AS v
+              FROM a2 JOIN embeddings e USING (vec_id)) y
+          ON x.cid = y.cid AND x.vec_id < y.vec_id
+    )
+    SELECT cid AS cluster_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+           MAX(cos) AS max_cos
+    FROM pairs
+    GROUP BY 1"""
+
+
+@register(
+    "q114_semdedup",
+    oracle=_kmeans_oracle(
+        k=8,
+        rounds=2,
+        dim=64,
+        bits=10,
+        final_select=_SEMDEDUP_FINAL.format(cos=_duck_cos("x.v", "y.v")),
+    ),
+    survey_ref="extension: SemDeDup (Abbas et al. 2023) — semantic "
+    "near-dedup by clustering embeddings (q80's fixed-round k-means) "
+    "then exact cosine only WITHIN clusters; the cluster partition "
+    "bounds the pair space, the at-scale alternative to q28's global "
+    "pair scan",
+)
+def q114_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate statistics per k-means cluster: pair
+    count, near-dup count (cosine ≥ 0.4), and the exact max cosine.
+
+    SemDeDup's scale trick is the cluster gate: exact cosine runs only
+    inside clusters (k=8 → ~k× fewer pairs; at 100 TB k is thousands
+    and the per-cluster pair space fits an executor). The k-means
+    rounds are the q80 unrolled-lazy plan (zero driver actions); the
+    pair join is an equi-join on cluster_id; the cosine fold is
+    left-to-right exact, so even max_cos hash-matches the oracle.
+    """
+    from stock_data_pipeline_spark.llm.clustering import kmeans_fixed
+    from stock_data_pipeline_spark.llm.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fixed(emb, "vec_id", "embedding", k=8, rounds=2, quant_bits=10)
+    sided = assigned.join(emb, "vec_id").select("vec_id", "cluster_id", "embedding")
+    x = sided.alias("x")
+    y = sided.alias("y")
+    cos = cosine(F.col("x.embedding"), F.col("y.embedding"))
+    pairs = x.join(
+        y,
+        (F.col("x.cluster_id") == F.col("y.cluster_id"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")),
+    ).select(F.col("x.cluster_id").alias("cluster_id"), cos.alias("cos"))
+    return pairs.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("cos") >= 0.4, 1).otherwise(0)).cast("long").alias("n_neardup"),
+        F.max("cos").alias("max_cos"),
     )
 
 
