@@ -30,6 +30,42 @@ def upsert(
     return kept.unionByName(updates)
 
 
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot (Delta's ``APPLY CHANGES`` /
+    Debezium-consumer semantics on plain DataFrames).
+
+    ``changes`` carries full row images plus ``op_col`` ('U'/'I' upsert,
+    'D' delete) and ``seq_cols`` (change order — e.g. commit timestamp +
+    LSN). Per key only the LATEST change (max seq) wins: stale updates
+    arriving late are ignored, an out-of-order delete-then-update
+    resolves to the update. Deletes remove the key; upserts replace the
+    base row or insert a new one.
+
+    One shuffle on the key serves the latest-change window AND both
+    joins; re-applying the same changelog is a no-op (idempotent
+    backfill). At 100 TB the snapshot side stays partitioned/bucketed by
+    key and only touched keys rewrite — pair with
+    ``io.overwrite_partitions`` for the physical layout.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in seq_cols])
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    kept = base.join(latest.select(*keys), on=keys, how="left_anti")
+    upserts = latest.filter(F.col(op_col) != "D").select(*base.columns)
+    return kept.unionByName(upserts)
+
+
 def coalesce_merge(
     target: DataFrame,
     updates: DataFrame,

@@ -4926,6 +4926,268 @@ def q114_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q115_cdc_apply",
+    oracle="""
+    WITH ch AS (
+        SELECT o_custkey AS c_custkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+               'upd_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+               CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey,
+               o_totalprice AS c_acctbal,
+               o_orderpriority AS c_mktsegment,
+               o_orderdate, o_orderkey
+        FROM orders
+    ), latest AS (
+        SELECT * FROM (
+            SELECT ch.*, ROW_NUMBER() OVER (
+                PARTITION BY c_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM ch
+        ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+    FROM customer c ANTI JOIN latest l ON c.c_custkey = l.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM latest WHERE op <> 'D'
+    """,
+    survey_ref="B/D extension: CDC changelog apply (operators.merge."
+    "apply_changes) — latest-change-wins upsert/delete resolution, the "
+    "engine-side half of a Debezium/Delta APPLY CHANGES flow; the "
+    "reference's replace-table reload (sector.py:138-145) is the "
+    "degenerate full-image case",
+)
+def q115_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot ⊕ changelog: a deterministic change feed derived from
+    orders (latest order per customer wins; every 13th orderkey is a
+    delete) applied onto the customer snapshot.
+
+    Per-key latest-change resolution is one window over the key —
+    the same shuffle the anti-join and upsert reuse. Re-applying the
+    feed is a no-op (idempotent). Change values are copied columns
+    (no float math), so the applied snapshot hash-matches exactly.
+    """
+    from stock_data_pipeline_spark.operators.merge import apply_changes
+
+    o = load_table(spark, sf_dir, "orders")
+    ch = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.pmod("o_orderkey", F.lit(13)) == 0, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("upd_"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.pmod("o_orderkey", F.lit(25)).cast("int").alias("c_nationkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    base = load_table(spark, sf_dir, "customer")
+    return apply_changes(
+        base, ch, keys=["c_custkey"], seq_cols=["o_orderdate", "o_orderkey"]
+    )
+
+
+@register(
+    "q116_nation_trade",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE ((cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_7')
+        OR (cn.n_name = 'NATION_7' AND sn.n_name = 'NATION_3'))
+    GROUP BY 1, 2, 3
+    """,
+    survey_ref="E/G breadth: 6-way snowflake join with a symmetric "
+    "nation-pair predicate (TPC-H Q7 shape) — dims broadcast, the "
+    "fact shuffles once on orderkey, revenue in exact decimals",
+)
+def q116_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume between two nations by ship year.
+
+    Join order matters at scale and is declared accordingly: customer
+    and supplier enrich through BROADCAST nation dims (the selective
+    nation filter shrinks both before touching the fact), then the
+    fact joins orders on the one shuffled key. The symmetric pair
+    predicate can't be pushed to either scan alone, but each side's
+    nation membership (3 or 7) can — Catalyst infers it from the
+    disjunction via constraint propagation; the residual cross-side
+    condition filters post-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q117_market_share",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+               sn.n_name AS supp_nation,
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS vol
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = 'ASIA'
+    )
+    SELECT order_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM base
+    GROUP BY 1
+    """,
+    survey_ref="E/G breadth: market-share ratio inside a region (TPC-H "
+    "Q8 shape) — conditional decimal sum over total decimal sum; both "
+    "operands exact, one double division, so the ratio hash-matches",
+)
+def q117_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_5's share of supplier revenue for orders from ASIA
+    customers, by order year.
+
+    The region filter propagates through broadcast dims to gate the
+    fact before its one shuffle. Numerator and denominator accumulate
+    as exact decimals in the same aggregate (one pass, no second scan
+    for the total), and the share is a single correctly-rounded
+    division of exact operands — bit-stable across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    base = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            "supp_nation",
+            vol.alias("vol"),
+        )
+    )
+    zero = F.lit(0).cast(base.schema["vol"].dataType)
+    return base.groupBy("order_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("vol")).otherwise(zero)).cast("double")
+            / F.sum("vol").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q118_dormant_rich_customers",
+    oracle="""
+    WITH pos AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_c
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c CROSS JOIN pos
+    WHERE CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * pos.n > pos.sum_c
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '1999-01-01')
+    GROUP BY 1
+    """,
+    survey_ref="E/G breadth: above-average filter + NOT EXISTS anti "
+    "join (TPC-H Q22 shape) — the global average comparison done in "
+    "exact integers (cents·n > sum), the dormancy check as a "
+    "left-anti join on the narrow key",
+)
+def q118_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average balances (vs positive-balance
+    customers) and no orders since 1999, grouped by nation.
+
+    The scalar average broadcasts as a 1-row aggregate and the
+    comparison ``bal > sum/n`` is evaluated as ``bal_cents·n > sum``
+    in exact integers — no float boundary. NOT EXISTS is a left-anti
+    join carrying only custkey (the recency filter rides the orders
+    scan). Two scans (customer twice — once for the scalar, once for
+    the probe) and the orders key column; at 100 TB the anti join is
+    the only shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = (_dec("c_acctbal") * 100).cast("long")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sum_c")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(cents * F.col("n") > F.col("sum_c"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

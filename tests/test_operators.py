@@ -115,6 +115,38 @@ def test_upsert_replaces_and_inserts(spark):
     assert again == out
 
 
+def test_apply_changes_cdc_semantics(spark):
+    from stock_data_pipeline_spark.operators.merge import apply_changes
+
+    base = _dates(spark, [("a", 1.0), ("b", 2.0), ("c", 3.0)], "k string, v double")
+    changes = _dates(
+        spark,
+        [
+            # stale update then delete for a (delete is latest → a gone)
+            ("a", 10.0, "U", 1),
+            ("a", 10.0, "D", 2),
+            # out-of-order: delete at seq 1, update at seq 2 → update wins
+            ("b", 20.0, "D", 1),
+            ("b", 22.0, "U", 2),
+            # brand-new key inserted
+            ("d", 40.0, "U", 1),
+        ],
+        "k string, v double, op string, seq long",
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in apply_changes(base, changes, ["k"], ["seq"]).collect()
+    }
+    assert out == {"b": 22.0, "c": 3.0, "d": 40.0}
+    # idempotent: re-applying the same changelog is a no-op
+    applied = apply_changes(base, changes, ["k"], ["seq"])
+    again = {
+        r["k"]: r["v"]
+        for r in apply_changes(applied, changes, ["k"], ["seq"]).collect()
+    }
+    assert again == out
+
+
 def test_nyse_calendar_matches_reference_market_days(spark):
     """Every date the reference's daily CI actually committed data for
     must be a member of our NYSE market-day dimension — cross-validating
