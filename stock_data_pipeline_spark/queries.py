@@ -5188,6 +5188,182 @@ def q118_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q119_cheapest_per_type",
+    oracle="""
+    WITH mn AS (
+        SELECT p_type, MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS min_price
+        FROM part GROUP BY 1
+    )
+    SELECT p.p_type, p.p_partkey, CAST(mn.min_price AS DOUBLE) AS min_price
+    FROM part p JOIN mn
+      ON p.p_type = mn.p_type
+     AND CAST(p.p_retailprice AS DECIMAL(18,2)) = mn.min_price
+    """,
+    survey_ref="G/S breadth: grouped argmin-by-join (TPC-H Q2's "
+    "min-cost-supplier core) — all rows achieving their group's MIN, "
+    "ties preserved, exact decimal equality; the grouped twin of "
+    "q106's global argmax",
+)
+def q119_cheapest_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest part(s) per type: group-MIN joined back on (group, exact
+    decimal price).
+
+    Same aggregate-then-rejoin shape as q106 but keyed: the MIN frame
+    is one hash aggregate (map-side partial), and the equality join on
+    (p_type, decimal price) broadcasts because |types| is small. At
+    100 TB you'd express the identical plan; a window row_number()
+    twin would sort each group instead — strictly more work when only
+    the minimum row(s) matter.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_type", "p_partkey", _dec("p_retailprice").alias("price")
+    )
+    mn = p.groupBy("p_type").agg(F.min("price").alias("min_price"))
+    mn = mn.select(F.col("p_type").alias("__mt"), "min_price")
+    return (
+        p.join(
+            F.broadcast(mn),
+            (p.p_type == mn.__mt) & (p.price == mn.min_price),
+        )
+        .select(
+            "p_type",
+            "p_partkey",
+            F.col("min_price").cast("double").alias("min_price"),
+        )
+    )
+
+
+@register(
+    "q120_random_projection",
+    oracle="""
+    SELECT vec_id, CAST(j AS BIGINT) AS out_dim,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, 64),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * (CAST(((i - 1) * 2654435761 + j * 40503) % 4294967296 % 2
+                           AS DOUBLE) * 2 - 1))),
+               (a, b) -> a + b) AS value
+    FROM embeddings, generate_series(0, 15) AS g(j)
+    """,
+    survey_ref="extension: random-projection dimensionality reduction "
+    "(Achlioptas ±1 signs) — the cheap JL-lemma step before ANN at "
+    "scale; sign matrix derived from a portable integer hash so the "
+    "projection is reproducible in ANY engine, folds pinned "
+    "left-to-right for bit-exact doubles",
+)
+def q120_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project 64-dim embeddings to 16 dims with a deterministic ±1
+    sign matrix (no stored projection — signs are a pure function of
+    (in_dim, out_dim) via a multiplicative hash).
+
+    Zero shuffle, zero state: the whole projection is row-local
+    higher-order-function arithmetic inside whole-stage codegen.
+    Long-format output (vec_id, out_dim, value) via posexplode. The
+    sign hash and the fold order are engine-portable, so the projected
+    doubles hash-match bit-for-bit. At 100 TB this is a map-only stage
+    feeding the LSH/IVF family (q29/q53) at 4× less vector I/O.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sign = lambda i, j: (  # noqa: E731
+        F.pmod(F.pmod(i * F.lit(2654435761) + j * F.lit(40503), F.lit(4294967296)), F.lit(2))
+        .cast("double")
+        * 2
+        - 1
+    )
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda x, i: x.cast("double") * sign(i, j),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return emb.select("vec_id", F.posexplode(proj).alias("out_dim", "value")).select(
+        "vec_id", F.col("out_dim").cast("long").alias("out_dim"), "value"
+    )
+
+
+@register(
+    "q121_winsorize",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ), cuts AS (
+        SELECT l_returnflag,
+               MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN cents END) AS lo,
+               MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN cents END) AS hi
+        FROM ranked GROUP BY 1
+    )
+    SELECT r.l_returnflag,
+           SUM(CASE WHEN r.cents < c.lo THEN 1 ELSE 0 END) AS n_clipped_low,
+           SUM(CASE WHEN r.cents > c.hi THEN 1 ELSE 0 END) AS n_clipped_high,
+           CAST(SUM(CASE WHEN r.cents < c.lo THEN c.lo
+                         WHEN r.cents > c.hi THEN c.hi
+                         ELSE r.cents END) AS DOUBLE) / 100.0 AS winsorized_sum
+    FROM ranked r JOIN cuts c ON r.l_returnflag = c.l_returnflag
+    GROUP BY 1
+    """,
+    survey_ref="F/G extension: winsorization (outlier clipping) at "
+    "exact per-group percentiles — the robust-statistics cleaning "
+    "step; q87's discrete-quantile rank technique feeding a clipped "
+    "exact-integer aggregate",
+)
+def q121_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip extended prices to their group's exact [p05, p95] discrete
+    percentiles and report clip counts plus the winsorized sum.
+
+    The percentile cut is q87's technique — rank + count in ONE window
+    pass (same partition key, one shuffle), the cut row selected by
+    ``rn = ceil(p·n)`` in exact integers (no interpolation, so both
+    engines pick the identical physical row; ties broken by the full
+    sort key). The clip-and-sum reuses the same shuffle via a
+    broadcast of the tiny cuts frame. All money stays integer cents
+    until the final display division.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (_dec("l_extendedprice") * 100).cast("long")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        cents.alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    cut_at = lambda p: F.ceil(F.lit(p) * F.col("n")).cast("long")  # noqa: E731
+    cuts = ranked.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == cut_at(0.05), F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rn") == cut_at(0.95), F.col("cents"))).alias("hi"),
+    )
+    j = ranked.join(F.broadcast(cuts), "l_returnflag")
+    clipped = (
+        F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+        .when(F.col("cents") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("cents"))
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+        (F.sum(clipped).cast("double") / F.lit(100.0)).alias("winsorized_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
