@@ -5364,6 +5364,182 @@ def q121_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q122_cluster_canonical",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+            FROM toks
+        )
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b USING (sh)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) i
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), members AS (
+        SELECT u AS vertex, LEAST(u, MIN(v)) AS cluster_id
+        FROM reach GROUP BY u
+    ), scored AS (
+        SELECT m.cluster_id, m.vertex, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                                  ORDER BY d.n_chars DESC, m.vertex ASC) AS rn
+        FROM members m JOIN documents d ON m.vertex = d.doc_id
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN rn = 1 THEN vertex END) AS kept_doc,
+           COUNT(*) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars
+    FROM scored GROUP BY 1
+    """,
+    survey_ref="extension: dup-cluster canonical selection — the "
+    "retention policy half of corpus dedup (Lee et al. 2022 keep-one-"
+    "per-cluster): q66's connected components composed with a "
+    "keep-longest argmax per cluster, all in one lazy plan",
+)
+def q122_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every near-dup cluster: the kept (longest, then lowest-id)
+    document, member count, and the kept doc's length.
+
+    Composition of three registry operators in one plan: exact Jaccard
+    pairs (prefix-filtered), connected components (unrolled pointer-
+    jumping rounds), and a per-cluster argmax window. The cluster
+    frame is tiny relative to the corpus (only docs appearing in
+    pairs), so the scoring join broadcasts it; the window sorts
+    within clusters, never globally.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs_prefix(doc, "doc_id", "text", n=3, threshold=0.8)
+    members = dedup.connected_components(pairs, "id_a", "id_b")
+    scored = members.join(
+        doc.select(F.col("doc_id").alias("vertex"), "n_chars"), "vertex"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("vertex").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("vertex"))).alias("kept_doc"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("kept_chars"),
+    )
+
+
+@register(
+    "q123_pivot_multi_agg",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) FILTER (WHERE o.o_orderpriority = '1-URGENT') AS urgent_n,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o.o_orderpriority = '1-URGENT'), 0) AS DOUBLE) AS urgent_total,
+           COUNT(*) FILTER (WHERE o.o_orderpriority = '5-LOW') AS low_n,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o.o_orderpriority = '5-LOW'), 0) AS DOUBLE) AS low_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    survey_ref="G3 breadth: pivot with MULTIPLE aggregates per pivot "
+    "value (count + exact-decimal sum) — the reference's single-agg "
+    "pivot (sector.py:167) generalized; one pass, no per-agg re-scan",
+)
+def q123_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order count AND exact revenue per market segment, pivoted by
+    priority (urgent vs low) — two aggregates per pivot cell in one
+    hash aggregate.
+
+    Spark's pivot with an explicit values list plus multiple aggs
+    compiles to a single Expand-free conditional aggregate — adding
+    aggregates or pivot values never adds scans. Missing cells
+    coalesce to 0 so the wide schema is total.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wide = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).alias("total"),
+        )
+    )
+    return wide.select(
+        "c_mktsegment",
+        F.col("`1-URGENT_n`").cast("long").alias("urgent_n"),
+        F.coalesce(F.col("`1-URGENT_total`"), F.lit(0)).cast("double").alias("urgent_total"),
+        F.col("`5-LOW_n`").cast("long").alias("low_n"),
+        F.coalesce(F.col("`5-LOW_total`"), F.lit(0)).cast("double").alias("low_total"),
+    )
+
+
+@register(
+    "q124_trailing_actives",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, user_id FROM events
+    ), ex AS (
+        SELECT event_type, user_id,
+               CAST(unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS rd
+        FROM du
+    ), mx AS (SELECT MAX(CAST(ts AS DATE)) AS m FROM events)
+    SELECT event_type, strftime(rd, '%Y-%m-%d') AS date,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM ex, mx WHERE rd <= m
+    GROUP BY 1, 2
+    """,
+    survey_ref="W/G extension: trailing 7-day distinct actives — "
+    "COUNT(DISTINCT) over a sliding window, which no engine supports "
+    "directly, rewritten as contribution-explode + plain distinct "
+    "aggregate (each active day contributes to 7 report days)",
+)
+def q124_trailing_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per event type, exactly.
+
+    Windowed COUNT(DISTINCT) doesn't exist as a window function (state
+    isn't mergeable); the scalable rewrite explodes each (user, day)
+    into the ≤7 report days it supports, then runs an ordinary
+    distinct aggregate — shuffle ∝ 7×|active-days|, embarrassingly
+    parallel, no per-day self-joins. Report days past the data's end
+    are cut by a broadcast 1-row MAX.
+    """
+    ev = load_events(spark, sf_dir)
+    du = ev.select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    mx = ev.agg(F.max(F.to_date("ts")).alias("m"))
+    ex = du.select(
+        "event_type",
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("rd"),
+    )
+    return (
+        ex.crossJoin(F.broadcast(mx))
+        .filter(F.col("rd") <= F.col("m"))
+        .groupBy("event_type", F.date_format("rd", "yyyy-MM-dd").alias("date"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
