@@ -5540,6 +5540,164 @@ def q124_trailing_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q125_lang_confusion",
+    oracle=f"""
+    SELECT lang AS actual, lang_pred AS predicted, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE) AS frac
+    FROM ({_lang_oracle()}) p
+    GROUP BY 1, 2
+    """,
+    survey_ref="extension: classifier evaluation — confusion matrix of "
+    "the q30 language-ID heuristic vs labels, with per-actual-class "
+    "row normalization (the QA step after any labeling operator)",
+)
+def q125_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix (counts + per-class fractions) of predicted vs
+    labeled language over the corpus.
+
+    Composes the q30 predictor (pure row-local expressions) with a
+    tiny groupBy on the (actual, predicted) matrix and a window
+    row-normalization — evaluation costs one aggregate over the
+    label-pair domain, not a second corpus pass. Fractions are exact
+    integer divisions.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    pred = doc.select("lang", text.lang_id("text").alias("lang_pred"))
+    return (
+        pred.groupBy(F.col("lang").alias("actual"), F.col("lang_pred").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "frac",
+            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("actual")).cast("double"),
+        )
+    )
+
+
+@register(
+    "q126_token_diversity",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           SUM(c) AS n_tokens,
+           COUNT(*) AS vocab,
+           1.0 - CAST(SUM(c * c) AS DOUBLE)
+                 / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS simpson_diversity
+    FROM counts GROUP BY 1
+    """,
+    survey_ref="extension: lexical diversity per corpus source — "
+    "Simpson index 1 − Σp² (rational, unlike Shannon entropy's ln "
+    "whose libm rounding differs between engines); the "
+    "mixture-quality signal next to q79's domain balancing",
+)
+def q126_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level Simpson diversity per source: 1 − Σc²/N² over the
+    token frequency distribution (plus size and vocabulary).
+
+    Two hash aggregates on the same key prefix (source, token) →
+    (source); all moments are exact integers, and the diversity is a
+    division of exact operands — no logarithms, so the doubles
+    hash-match cross-engine (Shannon entropy would need ln, whose
+    last-ulp rounding is libm-specific).
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    counts = (
+        doc.select("source", F.explode(text.tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c").cast("double") * F.sum("c").cast("double"))
+        ).alias("simpson_diversity"),
+    )
+
+
+@register(
+    "q127_basket_lift",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type FROM events
+    ), n_days AS (
+        SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, d FROM ud)
+    ), singles AS (
+        SELECT event_type, COUNT(*) AS c FROM ud GROUP BY 1
+    ), pairs AS (
+        SELECT a.event_type AS ev_a, b.event_type AS ev_b, COUNT(*) AS c_ab
+        FROM ud a JOIN ud b
+          ON a.user_id = b.user_id AND a.d = b.d AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.ev_a, p.ev_b, p.c_ab AS support,
+           (CAST(p.c_ab AS DOUBLE) * CAST(n.n AS DOUBLE))
+             / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.ev_a
+    JOIN singles sb ON sb.event_type = p.ev_b
+    CROSS JOIN n_days n
+    """,
+    survey_ref="extension: market-basket co-occurrence lift over "
+    "(user, day) baskets — association-rule mining's support/lift on "
+    "exact integer counts; the self-join is blocked on the basket key "
+    "so candidate pairs never leave their basket",
+)
+def q127_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift within (user, day) baskets:
+    lift = P(a∧b) / (P(a)·P(b)) over baskets, plus raw support.
+
+    The pair join is blocked on the basket key (user, day) — within-
+    basket quadratic in the ≤5 event types, never cross-basket. All
+    four counts are exact integers; lift is computed with a pinned
+    operand order so the double hash-matches. Two shuffles total:
+    basket dedup and the blocked self-join reuse the same key.
+    """
+    ev = load_events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("d"), "event_type").distinct()
+    n_days = ud.select("user_id", "d").distinct().agg(F.count(F.lit(1)).alias("n"))
+    singles = ud.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ud.alias("a")
+    b = ud.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ev_a"), F.col("b.event_type").alias("ev_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("ev_a"), F.col("c").alias("c_a"))
+    sb = singles.select(F.col("event_type").alias("ev_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(sa), "ev_a")
+        .join(F.broadcast(sb), "ev_b")
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "ev_a",
+            "ev_b",
+            F.col("c_ab").alias("support"),
+            (
+                (F.col("c_ab").cast("double") * F.col("n").cast("double"))
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
