@@ -71,3 +71,33 @@ def enforce_primary_key(df: DataFrame, keys: list[str], order_by: list[str] | No
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    max_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental materialized-view maintenance: merge a persisted
+    partial-aggregate ``state`` with a ``delta`` partial computed over
+    only the new data — the at-scale alternative to re-aggregating all
+    of history on every refresh.
+
+    Works for aggregates that are commutative monoids per column:
+    ``sum_cols`` re-SUM (COUNT is SUM of partial counts), ``max_cols``
+    re-MAX, ``min_cols`` re-MIN. Derived aggregates (AVG, stddev,
+    ratios) must be stored as their mergeable parts (sum+count,
+    moment sums — see q57/q94) and computed at read time.
+
+    One union + one hash aggregate over the key domain (map-side
+    combine makes the shuffle carry one row per key per side). Keys
+    present in only one side pass through — unionByName is the
+    null-safe outer merge.
+    """
+    agg = [F.sum(c).alias(c) for c in sum_cols]
+    agg += [F.max(c).alias(c) for c in (max_cols or [])]
+    agg += [F.min(c).alias(c) for c in (min_cols or [])]
+    return state.unionByName(delta).groupBy(*keys).agg(*agg)

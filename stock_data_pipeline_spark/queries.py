@@ -5698,6 +5698,144 @@ def q127_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q128_mad_outliers",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ), med AS (
+        SELECT l_returnflag, MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                                      THEN cents END) AS med
+        FROM c GROUP BY 1
+    ), dev AS (
+        SELECT c.l_returnflag, abs(c.cents - m.med) AS adev, m.med,
+               ROW_NUMBER() OVER (PARTITION BY c.l_returnflag
+                                  ORDER BY abs(c.cents - m.med), c.rn) AS drn,
+               COUNT(*) OVER (PARTITION BY c.l_returnflag) AS n
+        FROM c JOIN med m USING (l_returnflag)
+    ), mad AS (
+        SELECT l_returnflag, MAX(CASE WHEN drn = CAST(ceil(0.5 * n) AS BIGINT)
+                                      THEN adev END) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.l_returnflag,
+           CAST(MAX(d.med) AS DOUBLE) / 100.0 AS median_price,
+           CAST(MAX(m.mad) AS DOUBLE) / 100.0 AS mad_price,
+           SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY 1
+    """,
+    survey_ref="G extension: robust outlier detection via median "
+    "absolute deviation — the heavy-tail-safe twin of q94's z-score; "
+    "discrete medians by exact integer rank (q87 technique) so the "
+    "3·MAD flags agree on every boundary row",
+)
+def q128_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag robust outlier counts: |x − median| > 3·MAD, with the
+    median and MAD as exact discrete order statistics.
+
+    Two ranked window passes on the same partition key (one shuffle
+    each — price rank, then deviation rank), both medians selected by
+    ``rn = ceil(n/2)`` in exact integers. Everything stays cents until
+    display, so the outlier flag is an integer comparison — unlike
+    mean/σ (q94), a single corrupt extreme can't drag the threshold.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (_dec("l_extendedprice") * 100).cast("long")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        cents.alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick_med = lambda v, rk: F.max(  # noqa: E731
+        F.when(F.col(rk) == F.ceil(F.lit(0.5) * F.col("n")).cast("long"), v)
+    )
+    med = c.groupBy("l_returnflag").agg(pick_med(F.col("cents"), "rn").alias("med"))
+    dw = Window.partitionBy("l_returnflag").orderBy(F.abs(F.col("cents") - F.col("med")), "rn")
+    dev = (
+        c.join(F.broadcast(med), "l_returnflag")
+        .withColumn("adev", F.abs(F.col("cents") - F.col("med")))
+        .withColumn("drn", F.row_number().over(dw))
+    )
+    mad = dev.groupBy("l_returnflag").agg(pick_med(F.col("adev"), "drn").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            (F.max("med").cast("double") / F.lit(100.0)).alias("median_price"),
+            (F.max("mad").cast("double") / F.lit(100.0)).alias("mad_price"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "q129_incremental_agg_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+    survey_ref="G extension: incremental materialized-view maintenance "
+    "— partial-aggregate state merged with a delta instead of a full "
+    "recompute (operators.incremental.merge_agg_state); the oracle IS "
+    "the full recompute, proving state+delta ≡ from-scratch",
+)
+def q129_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-level order stats computed INCREMENTALLY: a state frame
+    aggregated over history (orders before 1999) merged with a delta
+    aggregate (1999 onward) — never re-scanning history — and checked
+    against the oracle's full recompute.
+
+    The merge works because COUNT/SUM are commutative monoids: state
+    and delta partials re-aggregate with one tiny shuffle over the key
+    domain, and AVG is derived at read time from merged SUM/COUNT
+    (storing AVG itself would not merge). At 100 TB this is the
+    difference between scanning yesterday's partition and scanning
+    seven years — the daily-refresh pattern the reference's append
+    pipeline (functions.py:84-101) approximates with row appends.
+    """
+    from stock_data_pipeline_spark.operators.incremental import merge_agg_state
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("total"),
+        )
+
+    state = partial(o.filter(F.col("o_orderdate") < cut))
+    delta = partial(o.filter(F.col("o_orderdate") >= cut))
+    merged = merge_agg_state(
+        state, delta, keys=["o_orderpriority"], sum_cols=["n_orders", "total"]
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total").cast("double").alias("total"),
+        (F.col("total").cast("double") / F.col("n_orders").cast("double")).alias(
+            "avg_price"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

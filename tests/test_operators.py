@@ -147,6 +147,25 @@ def test_apply_changes_cdc_semantics(spark):
     assert again == out
 
 
+def test_merge_agg_state_monoid_merge(spark):
+    from stock_data_pipeline_spark.operators.incremental import merge_agg_state
+
+    state = _dates(
+        spark, [("a", 2, 10.0, 7), ("b", 1, 5.0, 3)], "k string, n long, s double, mx long"
+    )
+    delta = _dates(
+        spark, [("a", 3, 1.5, 9), ("c", 4, 2.0, 1)], "k string, n long, s double, mx long"
+    )
+    out = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in merge_agg_state(
+            state, delta, ["k"], sum_cols=["n", "s"], max_cols=["mx"]
+        ).collect()
+    }
+    # merged keys re-sum/re-max; one-sided keys pass through
+    assert out == {"a": (5, 11.5, 9), "b": (1, 5.0, 3), "c": (4, 2.0, 1)}
+
+
 def test_nyse_calendar_matches_reference_market_days(spark):
     """Every date the reference's daily CI actually committed data for
     must be a member of our NYSE market-day dimension — cross-validating
