@@ -66,3 +66,65 @@ def asof_join(
         *[_carried(c) for c in value_cols],
     )
     return filled.filter(F.col("__is_left") == 1).drop("__is_left", "__t")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Nearest as-of join: left row at time t gets the right row
+    minimizing |t_right − t| per key; equal distances resolve BACKWARD
+    (the earlier right row), matching pandas ``merge_asof(direction=
+    'nearest')``. Assumes right timestamps are unique per key (ours
+    are) — otherwise the winner among identical-time rows is undefined.
+
+    Same union-once shape as :func:`asof_join`, but both directions:
+    one exchange on the key, two in-partition window sorts (backward
+    carry via ``last``, forward via ``first``), then an exact integer
+    microsecond distance comparison picks a side. Still no UDF, no
+    range explosion — at 100 TB the cost is one shuffle + two sorts of
+    the unioned sides.
+    """
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    l = (
+        left.withColumn("__tus", us(left_time)).withColumn("__is_left", F.lit(1))
+    )
+    r = (
+        right.select(*on, us(right_time).alias("__tus"), *value_cols)
+        .withColumn("__is_left", F.lit(0))
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__tus").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__tus").asc(), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+    def _pick(c: str):
+        wrapped = F.when(
+            F.col("__is_left") == 0, F.struct(F.col("__tus").alias("t"), F.col(c).alias("v"))
+        )
+        back = F.last(wrapped, ignorenulls=True).over(wb)
+        fwd = F.first(wrapped, ignorenulls=True).over(wf)
+        return (
+            F.when(back.isNull(), fwd["v"])
+            .when(fwd.isNull(), back["v"])
+            .when(F.col("__tus") - back["t"] <= fwd["t"] - F.col("__tus"), back["v"])
+            .otherwise(fwd["v"])
+            .alias(c)
+        )
+
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in value_cols],
+        *[_pick(c) for c in value_cols],
+    )
+    return filled.filter(F.col("__is_left") == 1).drop("__is_left", "__tus")

@@ -5836,6 +5836,120 @@ def q129_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q130_asof_nearest",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           v.value AS nearest_view_value
+    FROM purchases p
+    LEFT JOIN LATERAL (
+        SELECT value FROM views v
+        WHERE v.user_id = p.user_id
+        ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)), epoch_us(v.ts)
+        LIMIT 1
+    ) v ON true
+    """,
+    survey_ref="E breadth: nearest-direction as-of join "
+    "(operators.asof.asof_join_nearest — merge_asof direction="
+    "'nearest') — both-direction carry in one shuffle, exact integer "
+    "µs distance tie-broken backward; the oracle is an independent "
+    "LATERAL argmin, not a re-statement of the window algebra",
+)
+def q130_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase picks up the value of the same user's CLOSEST view
+    in time, either direction (ties → the earlier view).
+
+    One exchange on user_id, two in-partition window sorts (backward
+    carry + forward carry), and an exact µs distance comparison — no
+    per-row subqueries, no range join. The DuckDB oracle computes the
+    same semantics as a LATERAL top-1, so agreement is evidence of the
+    semantics, not of shared plan shape.
+    """
+    from stock_data_pipeline_spark.operators.asof import asof_join_nearest
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("nearest_view_value")
+    )
+    out = asof_join_nearest(
+        purchases, views, ["user_id"], "ts", "ts", ["nearest_view_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "nearest_view_value",
+    )
+
+
+@register(
+    "q131_vocab_growth",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                                     i -> tk[i] || ' ' || tk[i+1])) AS token
+        FROM toks
+    ), firsts AS (
+        SELECT token, MIN(doc_id) AS first_doc FROM grams GROUP BY 1
+    ), mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    bucketed AS (
+        SELECT first_doc * 10 // (m + 1) AS decile, COUNT(*) AS new_tokens
+        FROM firsts, mx GROUP BY 1
+    )
+    SELECT decile, new_tokens,
+           SUM(new_tokens) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+    FROM bucketed
+    """,
+    survey_ref="extension: vocabulary growth curve (Heaps' law "
+    "diagnostic) over bigram types — first-occurrence attribution via "
+    "MIN(doc_id) per type, integer decile bucketing, cumulative "
+    "window; the corpus-saturation signal for dedup/mixture decisions",
+)
+def q131_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How fast the corpus bigram vocabulary grows: new (first-seen)
+    types per doc-id decile and the cumulative vocabulary curve.
+
+    First occurrence is a MIN aggregate over the exploded bigrams (one
+    shuffle on type), the decile is exact integer arithmetic against
+    a broadcast 1-row MAX, and the cumulative sum runs on ten rows. A
+    flattening curve says more data adds few new types — the cheap
+    proxy for corpus saturation.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    tk = doc.select("doc_id", text.tokens("text").alias("__tk"))
+    firsts = (
+        tk.select(
+            "doc_id", F.explode(dedup.ngrams_from_tokens(F.col("__tk"), 2)).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    mx = doc.agg(F.max("doc_id").alias("m"))
+    bucketed = (
+        firsts.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.expr("first_doc * 10 div (m + 1)").alias("decile")
+        )
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return bucketed.withColumn("cum_vocab", F.sum("new_tokens").over(w))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -92,6 +92,31 @@ def test_asof_null_value_propagates(spark):
     assert out[0]["px"] is None  # quote@20 (NULL) shadows quote@10 (5.0)
 
 
+def test_asof_nearest_tie_backward_and_forward_fill(spark):
+    from stock_data_pipeline_spark.operators.asof import asof_join_nearest
+
+    trades, quotes = _asof_fixture(spark)
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join_nearest(trades, quotes, ["acct"], "t", "t", ["px"]).collect()
+    }
+    # t=10: quotes@5 and @15 equidistant → tie resolves BACKWARD (px 1.0)
+    # t=20: exact match (dist 0) → px 3.0
+    # t=5/acct 200: nothing before → forward quote@99 (px 9.0), not NULL
+    assert out == {1: 1.0, 2: 3.0, 3: 9.0}
+
+
+def test_asof_nearest_prefers_closer_forward(spark):
+    from stock_data_pipeline_spark.operators.asof import asof_join_nearest
+
+    trades = spark.createDataFrame([(1, "a", 14)], ["trade_id", "acct", "t"])
+    quotes = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 15, 2.0)], ["acct", "t", "px"]
+    )
+    out = asof_join_nearest(trades, quotes, ["acct"], "t", "t", ["px"]).collect()
+    assert out[0]["px"] == 2.0  # forward dist 1 beats backward dist 4
+
+
 def test_salted_join_rejects_right_outer(spark):
     import pytest as _pytest
 
