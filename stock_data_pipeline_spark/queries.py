@@ -5950,6 +5950,137 @@ def q131_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.withColumn("cum_vocab", F.sum("new_tokens").over(w))
 
 
+@register(
+    "q132_disjunctive_join",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#8' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    survey_ref="E/F breadth: disjunctive multi-attribute join predicate "
+    "(TPC-H Q19 shape) — the OR-of-conjunctions that defeats naive "
+    "pushdown; Catalyst extracts the common equi-key and the "
+    "per-side implied filters (brand/size membership to the part "
+    "scan, quantity envelope to the fact scan)",
+)
+def q132_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three OR'd brand/size/quantity windows — one join,
+    one residual disjunction.
+
+    The equi-join key (partkey) is common to all three branches, so
+    the join stays a hash join with the OR as a residual filter;
+    Catalyst additionally pushes the UNION of each side's implied
+    constraints into the scans (brand IN (...) to part, quantity ≤ 30
+    envelope to lineitem) — the scans shrink even though no single
+    branch predicate holds globally. One aggregate row out.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    branch = lambda b, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            branch("Brand#4", 5, 1, 11)
+            | branch("Brand#19", 10, 10, 20)
+            | branch("Brand#8", 15, 20, 30)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q133_bag_set_ops",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderpriority AS v FROM orders WHERE o_orderstatus = 'F'
+    ), b AS (
+        SELECT o_orderpriority AS v FROM orders WHERE o_orderstatus = 'O'
+    ), i AS (
+        SELECT v FROM a INTERSECT ALL SELECT v FROM b
+    ), e AS (
+        SELECT v FROM a EXCEPT ALL SELECT v FROM b
+    )
+    SELECT 'intersect_all' AS op, v, COUNT(*) AS n FROM i GROUP BY 1, 2
+    UNION ALL
+    SELECT 'except_all' AS op, v, COUNT(*) AS n FROM e GROUP BY 1, 2
+    """,
+    survey_ref="I breadth: bag-semantics set operations (INTERSECT ALL "
+    "/ EXCEPT ALL — multiplicity min(a,b) and a−b, not the set "
+    "variants q58 covers); Spark intersectAll/exceptAll",
+)
+def q133_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicity-preserving set algebra over the priority bags of
+    two order-status populations, summarized as value counts.
+
+    intersectAll keeps min(count_a, count_b) copies, exceptAll keeps
+    count_a − count_b — semantics a groupBy-join reproduces only with
+    explicit count arithmetic; the built-ins plan it as one aggregate
+    per side plus a join, no row-at-a-time work. Output is the count
+    per (op, value) so multiplicities are what's verified.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("v")
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("v")
+    )
+    count_of = lambda df, op: df.groupBy("v").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit(op).alias("op"), "v", "n")
+    return count_of(a.intersectAll(b), "intersect_all").unionByName(
+        count_of(a.exceptAll(b), "except_all")
+    )
+
+
+@register(
+    "q134_rank_fractions",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    survey_ref="W breadth: fractional rank family — percent_rank "
+    "(rank−1)/(n−1) and cume_dist peers/n; exact integer ratios, one "
+    "window pass, completes q38's integer rank family",
+)
+def q134_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile position of every customer within their market
+    segment by balance: percent_rank and cume_dist in one window.
+
+    Both are integer-ratio window functions — (rank−1)/(n−1) and
+    cumulative-peers/n — so the doubles are single exact divisions
+    and hash-match. One shuffle on the segment, one sort; the total
+    order (balance, key) makes ranks deterministic under ties.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
