@@ -5422,11 +5422,13 @@ def q122_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, member count, and the kept doc's length.
 
     Composition of three registry operators in one plan: exact Jaccard
-    pairs (prefix-filtered), connected components (unrolled pointer-
-    jumping rounds), and a per-cluster argmax window. The cluster
-    frame is tiny relative to the corpus (only docs appearing in
-    pairs), so the scoring join broadcasts it; the window sorts
-    within clusters, never globally.
+    pairs (prefix-filtered), connected components (checkpointed
+    pointer-jumping rounds — like q66 this runs the convergence loop's
+    Spark jobs at build time, the registry's documented iterative
+    exception), and a per-cluster argmax window. The cluster frame is
+    tiny relative to the corpus (only docs appearing in pairs), so the
+    scoring join broadcasts it; the window sorts within clusters,
+    never globally.
     """
     doc = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs_prefix(doc, "doc_id", "text", n=3, threshold=0.8)
@@ -6078,6 +6080,62 @@ def q134_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "q135_threshold_cross",
+    oracle="""
+    WITH cum AS (
+        SELECT user_id,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_c,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), crossed AS (
+        SELECT user_id, run_c, rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS pick
+        FROM cum WHERE run_c >= 100000
+    )
+    SELECT user_id,
+           CAST(run_c AS DOUBLE) / 100.0 AS crossed_at_total,
+           CAST(rn AS BIGINT) AS events_until_cross
+    FROM crossed WHERE pick = 1
+    """,
+    survey_ref="K/W extension: first threshold crossing per key — the "
+    "batch twin of streaming.stateful.threshold_alerts_per_user "
+    "(exactly-once quota/fraud alerts); cumulative exact-integer cents "
+    "in (ts, event_id) order, so stream and batch agree row-for-row",
+)
+def q135_threshold_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first moment each user's cumulative event value reaches
+    $1,000: total at crossing and how many events it took.
+
+    One shuffle on user_id serves the cumulative sum, the row_number,
+    and the first-crossing pick (same partitioning, one sort). Money
+    accumulates as integer cents — order-fixed and exact, which is
+    what lets the streaming operator's incremental alerts match this
+    full-log recompute exactly (tests/test_streaming.py).
+    """
+    ev = load_events(spark, sf_dir)
+    cents = (_dec("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = ev.select(
+        "user_id",
+        F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("run_c"),
+        F.row_number().over(w).alias("rn"),
+    )
+    crossed = cum.filter(F.col("run_c") >= 100000)
+    pick = Window.partitionBy("user_id").orderBy("rn")
+    return (
+        crossed.withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "user_id",
+            (F.col("run_c").cast("double") / F.lit(100.0)).alias("crossed_at_total"),
+            F.col("rn").cast("long").alias("events_until_cross"),
+        )
     )
 
 

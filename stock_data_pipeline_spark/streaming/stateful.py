@@ -64,3 +64,66 @@ def running_totals_per_user(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ALERT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("crossed_at_total", DoubleType()),
+        StructField("events_until_cross", LongType()),
+    ]
+)
+ALERT_STATE_SCHEMA = StructType(
+    [
+        StructField("running_cents", LongType()),
+        StructField("n", LongType()),
+        StructField("alerted", LongType()),  # 0/1 — fired exactly once
+    ]
+)
+
+
+def _update_threshold_alert(threshold_cents: int):
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        running, n, alerted = state.get if state.exists else (0, 0, 0)
+        out = []
+        for pdf in pdfs:
+            # rows must fold in event order — micro-batch frames arrive
+            # unsorted after the shuffle; the money accumulates in exact
+            # integer cents so the fold is order-robust across replays
+            # and bit-identical to the batch twin (q135)
+            for v in pdf.sort_values(["ts", "event_id"])["value"]:
+                n += 1
+                running += int(round(float(v) * 100))
+                if not alerted and running >= threshold_cents:
+                    alerted = 1
+                    out.append((key[0], running / 100.0, n))
+        state.update((running, n, alerted))
+        yield pd.DataFrame(
+            out, columns=["user_id", "crossed_at_total", "events_until_cross"]
+        )
+
+    return update
+
+
+def threshold_alerts_per_user(events: DataFrame, threshold_cents: int) -> DataFrame:
+    """Exactly-once threshold-crossing alerts: for each user, emit ONE
+    row the first time their cumulative ``value`` reaches the threshold
+    — the rate-limit / fraud-alert / quota shape.
+
+    State is 3 scalars per user (running cents, event count, fired
+    flag): O(keys) memory, each micro-batch touches only its keys.
+    The append-mode output is the alert stream. The deterministic
+    batch twin (same fold: cumulative integer-cent sum in (ts,
+    event_id) order, first row reaching the threshold) is q135's
+    oracle-checked query — what the streaming path emits
+    incrementally, the batch path must reproduce from the full log.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_threshold_alert(threshold_cents),
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=ALERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

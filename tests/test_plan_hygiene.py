@@ -11,12 +11,13 @@ from stock_data_pipeline_spark.queries import REGISTRY
 
 SF = "/root/testdata/sf0.001"
 
-# The one documented exception: q66 runs connected-components to
+# The documented exceptions: queries composing connected-components to
 # convergence — an inherently iterative algorithm whose per-round
 # checkpoint barrier + convergence test ARE Spark jobs (and must be:
 # without the materialization barrier the unrolled plan grows ~4^rounds,
-# see dedup.connected_components_fixed's caveat).
-ITERATIVE = {"q66_dup_clusters"}
+# see dedup.connected_components_fixed's caveat). q122 layers the
+# canonical-selection argmax on q66's clusters, so it inherits the loop.
+ITERATIVE = {"q66_dup_clusters", "q122_cluster_canonical"}
 
 
 def test_plan_construction_triggers_no_jobs(spark):

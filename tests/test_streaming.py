@@ -75,6 +75,41 @@ def test_stateful_running_totals(spark):
         q.stop()
 
 
+def test_threshold_alerts_match_batch_twin(spark):
+    """Exactly-once threshold alerts: the streaming operator's
+    incremental emissions must equal q135's full-log recompute row for
+    row (same integer-cent fold, same (ts, event_id) order), and each
+    user must alert at most once."""
+    from stock_data_pipeline_spark.queries import REGISTRY
+    from stock_data_pipeline_spark.streaming.stateful import threshold_alerts_per_user
+
+    stream = read_events_stream(spark, SF).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = threshold_alerts_per_user(stream, threshold_cents=100000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("threshold_alerts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: (r["crossed_at_total"], r["events_until_cross"])
+            for r in spark.sql("SELECT * FROM threshold_alerts").collect()
+        }
+        rows = spark.sql("SELECT count(*) AS n FROM threshold_alerts").collect()
+        assert rows[0]["n"] == len(got)  # at most one alert per user
+        truth = {
+            r["user_id"]: (r["crossed_at_total"], r["events_until_cross"])
+            for r in REGISTRY["q135_threshold_cross"].fn(spark, SF).collect()
+        }
+        assert got == truth
+    finally:
+        q.stop()
+
+
 def test_session_window_stream(spark):
     """Streaming-native sessionization (session_window) must produce the
     same (user, n_events-per-session) multiset as the batch lag+cumsum
