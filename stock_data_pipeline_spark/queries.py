@@ -6139,6 +6139,207 @@ def q135_threshold_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q136_equifreq_binning",
+    oracle="""
+    WITH binned AS (
+        SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT bin, COUNT(*) AS n,
+           CAST(MIN(cents) AS DOUBLE) / 100.0 AS lo,
+           CAST(MAX(cents) AS DOUBLE) / 100.0 AS hi
+    FROM binned GROUP BY 1
+    """,
+    survey_ref="G/W extension: equal-frequency feature binning (ntile "
+    "deciles) with per-bin boundary audit — the ML feature-prep twin "
+    "of q84's fixed-width histogram; total order (value, key) makes "
+    "bin membership deterministic under ties",
+)
+def q136_equifreq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning of order values (equal COUNT per bin, not equal
+    width) plus each bin's population and [lo, hi] boundary audit.
+
+    ntile over a total order (value, key) assigns ties
+    deterministically and both engines share the same remainder rule
+    (first bins get the extra row). One global sort — the one operator
+    here that doesn't scale per-partition; at 100 TB swap ntile for
+    q87's rank/count arithmetic on a pre-aggregated value histogram,
+    same output contract.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = (_dec("o_totalprice") * 100).cast("long")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = o.select(F.ntile(10).over(w).alias("bin"), cents.alias("cents"))
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.min("cents").cast("double") / F.lit(100.0)).alias("lo"),
+        (F.max("cents").cast("double") / F.lit(100.0)).alias("hi"),
+    )
+
+
+@register(
+    "q137_feature_hashing",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS t
+        FROM documents
+    ), hashed AS (
+        SELECT source,
+               (list_reduce(list_prepend(CAST(7 AS BIGINT),
+                    list_transform(range(1, length(t) + 1),
+                        i -> CAST(ord(t[i]) AS BIGINT))),
+                    (acc, c) -> (acc * 31 + c) % 1000000007)) % 16 AS bucket
+        FROM tok
+    )
+    SELECT source, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM hashed GROUP BY 1, 2
+    """,
+    survey_ref="extension: feature hashing (hashing-vectorizer trick) "
+    "— tokens folded into a fixed 16-bucket space via the portable "
+    "polynomial hash, the unbounded-vocabulary answer for ML "
+    "featurization at corpus scale (no vocabulary dictionary to "
+    "build, broadcast, or version)",
+)
+def q137_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-vectorizer bucket counts per source: every token folds
+    into one of 16 buckets via a portable polynomial hash — no
+    vocabulary table exists anywhere in the plan.
+
+    That's the operator's point at scale: a dictionary-based
+    vectorizer needs a vocabulary build (a corpus-wide distinct) plus
+    a broadcast that grows with the corpus; the hashing trick is a
+    pure map stage with constant memory. The hash is the registry's
+    portable polynomial (q54/q73 family), so buckets — and therefore
+    counts — reproduce exactly in any engine.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select("source", F.explode(text.tokens("text")).alias("t"))
+    poly = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length("t")),
+            lambda i: F.ascii(F.substring(F.col("t"), i, F.lit(1))),
+        ),
+        F.lit(7).cast("long"),
+        lambda acc, c: F.pmod(acc * 31 + c.cast("long"), F.lit(1000000007)),
+    )
+    hashed = tok.select("source", F.pmod(poly, F.lit(16)).alias("bucket"))
+    return hashed.groupBy("source", F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q138_negative_sampling",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT event_type, EXTRACT(day FROM ts) % 7 AS day_bucket FROM events
+    ), seen AS (
+        SELECT DISTINCT user_id, event_type, EXTRACT(day FROM ts) % 7 AS day_bucket
+        FROM events
+    ), candidates AS (
+        SELECT u.user_id, i.event_type, i.day_bucket,
+               ROW_NUMBER() OVER (PARTITION BY u.user_id
+                   ORDER BY (u.user_id * 40503 + i.day_bucket * 2654435761
+                             + CAST(ord(i.event_type[1]) AS BIGINT)) % 4294967296,
+                            i.event_type, i.day_bucket) AS rn
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN items i
+        ANTI JOIN seen s
+          ON u.user_id = s.user_id AND i.event_type = s.event_type
+         AND i.day_bucket = s.day_bucket
+    )
+    SELECT user_id, event_type AS negative_type,
+           CAST(day_bucket AS BIGINT) AS day_bucket
+    FROM candidates WHERE rn <= 2
+    """,
+    survey_ref="extension: deterministic negative sampling — per user, "
+    "k non-interacted items chosen by hash rank (recsys/contrastive "
+    "training-pair generation); anti join against positives, "
+    "candidate space = users × tiny item dim via broadcast",
+)
+def q138_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up to 2 negative items per user — (event_type, day-bucket)
+    combinations the user never performed — chosen by deterministic
+    hash rank: reproducible training pairs under retries and
+    repartitioning, no RNG state.
+
+    The candidate space is users × the broadcast item dimension minus
+    the positives (anti join on the same key the rank window uses —
+    one shuffle). The hash rank replaces ORDER BY rand(): same
+    contrastive-sampling distribution class, but stable across runs,
+    which is what makes training-data builds auditable.
+    """
+    ev = load_events(spark, sf_dir).withColumn(
+        "day_bucket", F.pmod(F.dayofmonth("ts"), F.lit(7)).cast("long")
+    )
+    users = ev.select("user_id").distinct()
+    items = ev.select("event_type", "day_bucket").distinct()
+    seen = ev.select("user_id", "event_type", "day_bucket").distinct()
+    rank_key = F.pmod(
+        F.col("user_id") * F.lit(40503)
+        + F.col("day_bucket") * F.lit(2654435761)
+        + F.ascii(F.substring("event_type", 1, 1)).cast("long"),
+        F.lit(4294967296),
+    )
+    cands = users.crossJoin(F.broadcast(items)).join(
+        seen, ["user_id", "event_type", "day_bucket"], "left_anti"
+    )
+    w = Window.partitionBy("user_id").orderBy(rank_key, "event_type", "day_bucket")
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "user_id",
+            F.col("event_type").alias("negative_type"),
+            "day_bucket",
+        )
+    )
+
+
+@register(
+    "q139_train_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT source, n_chars,
+               CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM tagged GROUP BY 1, 2
+    """,
+    survey_ref="extension: deterministic train/val/test split (80/10/10 "
+    "by multiplicative hash) with per-split per-source accounting — "
+    "the leakage-safe split is a pure function of the id, never of "
+    "row order or partitioning",
+)
+def q139_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 corpus split with per-source size accounting.
+
+    Split membership is hash(doc_id) mod 100 — a pure row-local
+    function, so re-running, repartitioning, or appending new data
+    never moves an existing document between splits (the leakage
+    property randomSplit() lacks). One scan, one small aggregate.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        doc.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
