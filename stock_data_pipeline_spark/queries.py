@@ -6340,6 +6340,148 @@ def q139_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q140_pareto_frontier",
+    oracle="""
+    WITH g AS (
+        SELECT p_brand, p_size,
+               MAX(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        FROM part GROUP BY 1, 2
+    ), w AS (
+        SELECT p_brand, p_size, cents,
+               MAX(cents) OVER (PARTITION BY p_brand ORDER BY p_size DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        FROM g
+    )
+    SELECT p_brand, p_size, CAST(cents AS DOUBLE) / 100.0 AS price
+    FROM w WHERE mx IS NULL OR cents > mx
+    """,
+    survey_ref="S/W extension: Pareto frontier (skyline) per brand — "
+    "non-dominated (size, price) points when maximizing both; the 2D "
+    "skyline reduces to one sort + a strictly-preceding running MAX, "
+    "no pairwise dominance join",
+)
+def q140_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per brand, the (size, price) points no other part dominates —
+    nothing exists with ≥ size AND ≥ price (one strictly greater).
+
+    The naive skyline is an O(N²) dominance self-join; the sorted
+    rewrite needs one window pass: collapse equal sizes to their max
+    price, order by size descending, and keep points whose price
+    exceeds the running max of all STRICTLY larger sizes (the
+    1-PRECEDING frame excludes self). Prices compare in exact cents,
+    so frontier membership is deterministic cross-engine.
+    """
+    p = load_table(spark, sf_dir, "part")
+    cents = (_dec("p_retailprice") * 100).cast("long")
+    g = p.groupBy("p_brand", "p_size").agg(F.max(cents).alias("cents"))
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        g.withColumn("mx", F.max("cents").over(w))
+        .filter(F.col("mx").isNull() | (F.col("cents") > F.col("mx")))
+        .select(
+            "p_brand",
+            "p_size",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("price"),
+        )
+    )
+
+
+@register(
+    "q141_ab_test",
+    oracle="""
+    WITH flags AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, user_id % 2 AS variant,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+        FROM events GROUP BY 1, 2, 3
+    ), v AS (
+        SELECT variant,
+               SUM(viewed) AS n_exposed,
+               SUM(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 END) AS n_converted
+        FROM flags GROUP BY 1
+    ), wide AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN n_exposed END) AS n0,
+               MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+               MAX(CASE WHEN variant = 1 THEN n_exposed END) AS n1,
+               MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+        FROM v
+    )
+    SELECT n0, c0, n1, c1,
+           CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+           CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+           (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z_stat
+    FROM wide
+    """,
+    survey_ref="G extension: two-proportion z-test (experimentation "
+    "analytics) — user-level conversion by hash-assigned variant, "
+    "pooled-variance z on exact integer counts with a pinned operand "
+    "order so even the statistic hash-matches",
+)
+def q141_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout: view→purchase conversion per user-DAY session,
+    split by (deterministic) variant, plus the pooled two-proportion
+    z-statistic. The unit is the session — users convert on some days
+    and not others, which is what gives the test variance.
+
+    Session-level flags come from one aggregate (no distinct-counting
+    joins), the per-variant rollup is 2 rows, and every input to the
+    z formula is an exact integer — the statistic itself is the only
+    floating-point step, computed in the identical operation order in
+    both engines. The variant hash (user_id % 2) is the same
+    leakage-safe assignment discipline as q139's split.
+    """
+    ev = load_events(spark, sf_dir)
+    flags = ev.groupBy(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.pmod(F.col("user_id"), F.lit(2)).alias("variant"),
+    ).agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("viewed"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchased"
+        ),
+    )
+    v = flags.groupBy("variant").agg(
+        F.sum("viewed").alias("n_exposed"),
+        F.sum(
+            F.when((F.col("viewed") == 1) & (F.col("purchased") == 1), 1).otherwise(0)
+        ).alias("n_converted"),
+    )
+    pick = lambda var, c: F.max(F.when(F.col("variant") == var, F.col(c)))  # noqa: E731
+    wide = v.agg(
+        pick(0, "n_exposed").alias("n0"),
+        pick(0, "n_converted").alias("c0"),
+        pick(1, "n_exposed").alias("n1"),
+        pick(1, "n_converted").alias("c1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p0 = d("c0") / d("n0")
+    p1 = d("c1") / d("n1")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    z = (p0 - p1) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / d("n0") + F.lit(1.0) / d("n1"))
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        p0.alias("p0"),
+        p1.alias("p1"),
+        z.alias("z_stat"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
