@@ -487,8 +487,13 @@ def connected_components(
     # Checkpoint the edge list ONCE: every round's neighbor join scans
     # it, and without the barrier each round would re-run the full
     # upstream edge-generation plan (for near-dup clustering that is the
-    # whole shingle/prefix-filter pipeline — the dominant cost).
-    bidir = _bidir(edges, src, dst).checkpoint(eager=True)
+    # whole shingle/prefix-filter pipeline — the dominant cost). The
+    # repartition on the join key matters twice: AQE sizes the shuffle
+    # to the data (a small dup graph collapses to few partitions, so
+    # every per-round job stops paying one task per upstream partition),
+    # and the checkpointed layout is already co-partitioned with the
+    # labels the rounds join against.
+    bidir = _bidir(edges, src, dst).repartition("u").checkpoint(eager=True)
     labels = (
         bidir.select(F.col("u").alias("vertex")).distinct().withColumn("lbl", F.col("vertex"))
     ).checkpoint(eager=True)
