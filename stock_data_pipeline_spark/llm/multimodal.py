@@ -120,3 +120,40 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = "doc_id long, frame_idx int, n_samples long, energy long, peak long"
+
+
+def audio_frame_energy(media: DataFrame, frame_bytes: int = 32) -> DataFrame:
+    """Audio-style windowing plumbing: treat each binary payload as a
+    PCM sample stream, split into fixed non-overlapping frames
+    (ceil(len/frame_bytes) of them, last one partial), and emit exact
+    integer per-frame statistics — sample count, energy (Σ unsigned
+    byte values), peak. The real resample/filterbank step would slot in
+    where the byte sums are (no audio libs in this container); the
+    1→N frame fan-out, Arrow batch shape, and early payload drop are
+    the production contract.
+
+    Scale: frames multiply rows at the Python boundary exactly once;
+    downstream per-frame work batches over frames so one long file
+    can't skew a task. All statistics are exact integers → the whole
+    Pandas-UDF path is value-verifiable cross-engine (q142).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "n_samples": [], "energy": [], "peak": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                n_frames = (len(data) + frame_bytes - 1) // frame_bytes
+                for idx in range(n_frames):
+                    chunk = data[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_samples"].append(len(chunk))
+                    out["energy"].append(sum(chunk))
+                    out["peak"].append(max(chunk))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=AUDIO_FRAME_SCHEMA)

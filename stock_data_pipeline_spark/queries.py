@@ -6482,6 +6482,50 @@ def q141_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q142_audio_frames",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, (length(text) + 31) // 32 - 1)) AS frame_idx
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(least(32, length(text) - frame_idx * 32) AS BIGINT) AS n_samples,
+           CAST(list_reduce(list_prepend(0, list_transform(
+                    generate_series(frame_idx * 32 + 1,
+                                    least(frame_idx * 32 + 32, length(text))),
+                    i -> ord(substr(text, CAST(i AS INTEGER), 1)))),
+                (a, b) -> a + b) AS BIGINT) AS energy,
+           CAST(list_reduce(list_prepend(0, list_transform(
+                    generate_series(frame_idx * 32 + 1,
+                                    least(frame_idx * 32 + 32, length(text))),
+                    i -> ord(substr(text, CAST(i AS INTEGER), 1)))),
+                (a, b) -> greatest(a, b)) AS BIGINT) AS peak
+    FROM f
+    """,
+    survey_ref="extension: audio-frame windowing plumbing "
+    "(llm.multimodal.audio_frame_energy) — the mapInPandas 1→N frame "
+    "fan-out a PCM pipeline needs, with exact integer frame stats so "
+    "even the Pandas-UDF path is value-verified (the audio sibling of "
+    "q35's image decode and sample_frames' video slicing)",
+)
+def q142_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame sample count / energy / peak over binary payloads
+    framed as 32-byte PCM windows — the audio half of the multimodal
+    plumbing, fully oracle-checked because the stub statistics are
+    exact integer byte math.
+
+    The payload column is dropped at the Python boundary (only frame
+    stats come back), and the frame fan-out happens inside the Arrow
+    batch — no exploded binary ever shuffles.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(doc)
+    return multimodal.audio_frame_energy(media, frame_bytes=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
