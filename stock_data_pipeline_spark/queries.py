@@ -6526,6 +6526,119 @@ def q142_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_frame_energy(media, frame_bytes=32)
 
 
+@register(
+    "q143_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), grouped AS (
+        SELECT user_id, d,
+               datediff('day', DATE '1970-01-01', d)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days
+    ), streaks AS (
+        SELECT user_id, COUNT(*) AS len,
+               strftime(MIN(d), '%Y-%m-%d') AS streak_start
+        FROM grouped GROUP BY user_id, grp
+    ), best AS (
+        SELECT user_id, len, streak_start,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, streak_start ASC) AS rn
+        FROM streaks
+    )
+    SELECT user_id, CAST(len AS BIGINT) AS longest_streak, streak_start
+    FROM best WHERE rn = 1
+    """,
+    survey_ref="W extension: gaps-and-islands — longest consecutive-day "
+    "activity streak per user via the ordinal-minus-row_number "
+    "grouping trick (one window pass turns island detection into a "
+    "plain GROUP BY; no self-join, no recursion)",
+)
+def q143_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user, with its start
+    date (ties → earliest streak).
+
+    The islands trick: day-ordinal − row_number is constant exactly
+    within a consecutive run, so streaks fall out of one window pass
+    plus a GROUP BY on (user, that constant) — the pattern that
+    replaces iterative/self-join streak detection. All three stages
+    share the user partition: one shuffle total.
+    """
+    ev = load_events(spark, sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    epoch = F.lit("1970-01-01").cast("date")
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn(
+        "grp", F.datediff(F.col("d"), epoch) - F.row_number().over(w)
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+    )
+    best = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("streak_start").asc()
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("len").cast("long").alias("longest_streak"), "streak_start")
+    )
+
+
+@register(
+    "q144_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d FROM events GROUP BY 1
+    ), daily AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS active
+        FROM events GROUP BY 1
+    ), news AS (
+        SELECT first_d AS d, COUNT(*) AS new_users FROM firsts GROUP BY 1
+    )
+    SELECT strftime(daily.d, '%Y-%m-%d') AS date,
+           CAST(daily.active AS BIGINT) AS active_users,
+           CAST(COALESCE(news.new_users, 0) AS BIGINT) AS new_users,
+           CAST(daily.active - COALESCE(news.new_users, 0) AS BIGINT) AS returning_users,
+           SUM(COALESCE(news.new_users, 0)) OVER (ORDER BY daily.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM daily LEFT JOIN news ON daily.d = news.d
+    """,
+    survey_ref="G/W extension: new-vs-returning decomposition — "
+    "first-seen attribution + cumulative acquisition curve; the "
+    "audience-growth report every event pipeline ships",
+)
+def q144_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into first-ever-seen vs returning,
+    plus the cumulative distinct-users-acquired curve.
+
+    First-seen is one MIN per user (the only user-keyed shuffle);
+    everything after runs on day-grain frames small enough that the
+    cumulative window's single partition is a non-issue at any scale
+    — the classic shape where the expensive distinct happens once and
+    the report layer is nearly free.
+    """
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_d"))
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("active")
+    )
+    news = firsts.groupBy(F.col("first_d").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    j = daily.join(news, "d", "left").withColumn(
+        "new_users", F.coalesce("new_users", F.lit(0))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return j.select(
+        F.date_format("d", "yyyy-MM-dd").alias("date"),
+        F.col("active").cast("long").alias("active_users"),
+        F.col("new_users").cast("long").alias("new_users"),
+        (F.col("active") - F.col("new_users")).cast("long").alias("returning_users"),
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
