@@ -111,3 +111,41 @@ def pct_vs_first(
     )
     v0 = F.first(F.col(value)).over(w)
     return df.withColumn(out_name, (F.col(value) - v0) / v0 * F.lit(100.0))
+
+
+def clamped_running_sum(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    delta_col: str,
+    floor: int = 0,
+    out_col: str = "balance",
+) -> DataFrame:
+    """Running sum clamped at a floor: balₜ = max(floor, balₜ₋₁ + Δₜ),
+    starting from balance = floor (so bal₀ = max(floor, floor + Δ₀)) —
+    inventory/credit-balance semantics where stock can't go negative.
+
+    Unlike a plain cumulative sum, the clamp makes every row depend on
+    the previous RESULT (max doesn't distribute over +), so no window
+    frame expresses it. Same escape hatch as the EMA recurrence
+    (indicators.ema): cumulative ``collect_list`` + ``F.aggregate``
+    left fold, all JVM-side. With integer deltas the fold is exact —
+    fully oracle-verifiable (q147's recursive-CTE twin).
+
+    Cost: the fold re-scans each prefix → O(n²) per partition key.
+    Right for bounded per-key series (a key's events, a ticker's
+    days); for million-row single keys use applyInPandasWithState
+    (streaming) or an iterative checkpointed rewrite instead.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    arr = F.collect_list(F.col(delta_col).cast("long")).over(w)
+    fold = F.aggregate(
+        arr,
+        F.lit(floor).cast("long"),
+        lambda acc, x: F.greatest(F.lit(floor).cast("long"), acc + x),
+    )
+    return df.withColumn(out_col, fold)

@@ -6639,6 +6639,166 @@ def q144_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q145_relational_division",
+    oracle="""
+    WITH years AS (
+        SELECT DISTINCT EXTRACT(year FROM o_orderdate) AS y FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '2001-01-01'
+    ), cust_years AS (
+        SELECT DISTINCT o_custkey, EXTRACT(year FROM o_orderdate) AS y FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '2001-01-01'
+    )
+    SELECT o_custkey AS c_custkey, COUNT(*) AS n_years
+    FROM cust_years
+    GROUP BY 1
+    HAVING COUNT(*) = (SELECT COUNT(*) FROM years)
+    """,
+    survey_ref="E/G breadth: relational division (FOR ALL) — customers "
+    "active in EVERY year of the window, via distinct-count equality "
+    "against the divisor's cardinality; the set-containment join "
+    "pattern double-NOT-EXISTS expresses, done with one aggregate",
+)
+def q145_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one order in EVERY year 1995–2000 —
+    relational division (⊇ semantics) as distinct-count equality.
+
+    The classical formulation is a double NOT EXISTS (correlated,
+    quadratic-looking); the scalable rewrite is one distinct per
+    (customer, year), one count per customer, and a 1-row divisor
+    cardinality broadcast compared in HAVING. One shuffle on the
+    customer key; the divisor never joins row-wise at all.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp"))
+    )
+    years = o.select(F.year("o_orderdate").alias("y")).distinct()
+    n_years = years.agg(F.count(F.lit(1)).alias("ny"))
+    cust_years = o.select(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    ).distinct()
+    return (
+        cust_years.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_years"))
+        .crossJoin(F.broadcast(n_years))
+        .filter(F.col("n_years") == F.col("ny"))
+        .select("c_custkey", "n_years")
+    )
+
+
+@register(
+    "q146_events_since_purchase",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id, grp ORDER BY ts, event_id)
+                - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT)
+             AS events_since_purchase
+    FROM seq
+    """,
+    survey_ref="W extension: conditional-reset running count — events "
+    "since the last purchase per user (session-progress / recency "
+    "feature); the reset is a conditional cumulative sum defining "
+    "island groups, no stateful loop",
+)
+def q146_events_since_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event: how many events this user has produced since
+    their most recent purchase (0 at and right after each purchase).
+
+    A counter that resets on a condition looks stateful, but the
+    purchase-count running sum IS the island id: row position within
+    (user, island) — minus one on the purchase row itself, which
+    opens its island — is the answer. Two windows, identical
+    partitioning, one shuffle; no UDF, no iteration.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("grp"),
+    )
+    wg = Window.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    return seq.select(
+        "user_id",
+        "event_id",
+        (
+            F.row_number().over(wg)
+            - F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("events_since_purchase"),
+    )
+
+
+@register(
+    "q147_floored_balance",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type IN ('purchase', 'signup')
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS delta,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), rec AS (
+        SELECT user_id, event_id, rn, greatest(0, delta) AS bal
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn, greatest(0, r.bal + s.delta)
+        FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, CAST(bal AS DOUBLE) / 100.0 AS balance
+    FROM rec
+    """,
+    survey_ref="W extension: floored running balance (inventory/credit "
+    "semantics) — the clamp makes each row depend on the previous "
+    "RESULT, inexpressible as a window frame; q68's collect_list+fold "
+    "escape hatch on exact integer cents vs a recursive-CTE oracle",
+)
+def q147_floored_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running balance that can't go negative: purchases and
+    signups credit the event value, everything else debits it, and
+    the balance clamps at zero.
+
+    max(0, ·) doesn't distribute over +, so no cumulative window
+    frame computes this — it's the genuinely-sequential family (EMA's
+    sibling), expressed as a JVM-side prefix fold over exact integer
+    cents (operators.windows.clamped_running_sum). The oracle replays
+    the identical recurrence as a recursive CTE; integer arithmetic
+    makes the match exact, not approximate.
+    """
+    from stock_data_pipeline_spark.operators.windows import clamped_running_sum
+
+    ev = load_events(spark, sf_dir)
+    cents = (_dec("value") * 100).cast("long")
+    delta = F.when(
+        F.col("event_type").isin("purchase", "signup"), cents
+    ).otherwise(-cents)
+    out = clamped_running_sum(
+        ev.select("user_id", "event_id", "ts", delta.alias("delta")),
+        ["user_id"],
+        ["ts", "event_id"],
+        "delta",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        (F.col("balance").cast("double") / F.lit(100.0)).alias("balance"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
