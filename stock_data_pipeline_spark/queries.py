@@ -6799,6 +6799,74 @@ def q147_floored_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q148_weighted_median",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ), ranked AS (
+        SELECT l_returnflag, cents, wt,
+               SUM(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_wt,
+               SUM(wt) OVER (PARTITION BY l_returnflag) AS tot_wt
+        FROM c
+    ), hit AS (
+        SELECT l_returnflag, cents, cum_wt, tot_wt,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cum_wt, cents) AS rn
+        FROM ranked WHERE 2 * cum_wt >= tot_wt
+    )
+    SELECT l_returnflag,
+           CAST(cents AS DOUBLE) / 100.0 AS weighted_median_price,
+           CAST(tot_wt AS BIGINT) AS total_weight
+    FROM hit WHERE rn = 1
+    """,
+    survey_ref="G extension: weighted median (quantity-weighted price) "
+    "— first value whose cumulative weight reaches half the total, "
+    "all in exact integers (2·cum ≥ tot avoids the 0.5·tot float "
+    "boundary); the volume-aware center the plain median ignores",
+)
+def q148_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag: the
+    price at which half the shipped QUANTITY (not half the rows) sits
+    below.
+
+    One shuffle on the group key serves the cumulative-weight window,
+    the total, and the first-hit pick. The half-total test is
+    ``2·cum ≥ tot`` in exact integers — no 0.5 multiplication, no
+    float boundary row. Weights are integral quantities; ties on the
+    cumulative weight resolve by price, deterministically.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (_dec("l_extendedprice") * 100).cast("long")
+    c = li.select(
+        "l_returnflag",
+        cents.alias("cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    ranked = c.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum_wt"),
+        F.sum("wt").over(Window.partitionBy("l_returnflag")).alias("tot_wt"),
+    )
+    hit = ranked.filter(2 * F.col("cum_wt") >= F.col("tot_wt"))
+    pick = Window.partitionBy("l_returnflag").orderBy("cum_wt", "cents")
+    return (
+        hit.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("weighted_median_price"),
+            F.col("tot_wt").cast("long").alias("total_weight"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
