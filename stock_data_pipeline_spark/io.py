@@ -229,3 +229,82 @@ def write_jdbc_append(df: DataFrame, url: str, table: str, properties: dict[str,
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshot publishing — poor-man's time travel over plain parquet
+# ---------------------------------------------------------------------------
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(hconf)
+
+
+def publish_version(df: DataFrame, table_dir: str) -> int:
+    """Publish ``df`` as the next immutable version of a table:
+    write ``{table_dir}/v{N}/`` (never touching earlier versions), then
+    atomically flip the ``_LATEST`` pointer file to ``N``.
+
+    This is Hive-style versioned-location publishing — the capability
+    slice of lakehouse time travel that plain parquet supports: readers
+    holding an old version keep a consistent snapshot (immutable dirs),
+    rollback is a pointer flip (:func:`set_latest_version`), and a
+    failed write never corrupts the current version because the pointer
+    flips only after the data commit. What it does NOT give is
+    row-level ACID merges — that needs a real table format's log.
+
+    Returns the new version number. Pointer write is driver-side
+    Hadoop-FS I/O (s3a/hdfs-safe), no Spark job.
+    """
+    spark = df.sparkSession
+    versions = list_versions(spark, table_dir)
+    n = (max(versions) + 1) if versions else 1
+    df.write.mode("error").parquet(f"{table_dir}/v{n}")
+    set_latest_version(spark, table_dir, n)
+    return n
+
+
+def list_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    """All published version numbers (sorted), from one driver-side
+    directory listing."""
+    jvm, fs = _fs_for(spark, table_dir)
+    root = jvm.org.apache.hadoop.fs.Path(table_dir)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def set_latest_version(spark: SparkSession, table_dir: str, version: int) -> None:
+    """Flip the ``_LATEST`` pointer (rollback = point at an older
+    version; the data directories are immutable either way). Uses
+    create-then-rename so readers never observe a partial pointer."""
+    jvm, fs = _fs_for(spark, table_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/._LATEST.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST")
+    stream = fs.create(tmp, True)
+    stream.write(bytearray(str(version).encode()))
+    stream.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def read_version(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
+    """Read a table snapshot: the ``_LATEST`` pointer's version by
+    default, or any pinned historical version."""
+    if version is None:
+        jvm, fs = _fs_for(spark, table_dir)
+        ptr = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST")
+        stream = fs.open(ptr)
+        try:
+            version = int(bytes(stream.readAllBytes()).decode().strip())
+        finally:
+            stream.close()
+    return spark.read.parquet(f"{table_dir}/v{version}")
