@@ -6867,6 +6867,128 @@ def q148_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q149_scd2_lookup",
+    oracle="""
+    WITH feed AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ), dim AS (
+        SELECT o_custkey, o_orderpriority AS priority, o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS valid_to
+        FROM feed WHERE prev IS NULL OR prev <> o_orderpriority
+    ), fact AS (
+        SELECT o.o_custkey, l.l_shipdate
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT d.priority, COUNT(*) AS n_lineitems
+    FROM fact f
+    LEFT JOIN dim d
+      ON f.o_custkey = d.o_custkey
+     AND f.l_shipdate >= d.valid_from
+     AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+    GROUP BY 1
+    """,
+    survey_ref="E extension: point-in-time (temporal) dimension lookup "
+    "— facts joined to the q88 SCD2 intervals valid at each fact's "
+    "timestamp; equi-join on the key with the interval test as "
+    "residual, ≤1 match guaranteed by disjoint half-open validity",
+)
+def q149_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each lineitem attributed to the customer's order-priority that
+    was CURRENT on its ship date (the consumption side of q88's SCD2
+    build), rolled up to priority counts.
+
+    The temporal lookup is an equi-join on the dimension key — the
+    interval containment is a residual predicate, never a range
+    explosion, because SCD2 validity intervals are disjoint and
+    half-open (≤1 match per fact row; pre-history rows fall to the
+    NULL bucket via the left join). Dimension side is change-rows
+    only, tiny → broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = (
+        o.withColumn("prev", F.lag("o_orderpriority").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+        .select(
+            F.col("o_custkey").alias("d_custkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ok = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fact = li.join(ok, li.l_orderkey == ok.o_orderkey).select("o_custkey", "l_shipdate")
+    joined = fact.join(
+        F.broadcast(dim),
+        (fact.o_custkey == dim.d_custkey)
+        & (fact.l_shipdate >= dim.valid_from)
+        & (dim.valid_to.isNull() | (fact.l_shipdate < dim.valid_to)),
+        "left",
+    )
+    return joined.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems")
+    )
+
+
+@register(
+    "q150_top_dimensions",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, generate_series(1, 64) AS g(i)
+    ), ranked AS (
+        SELECT vec_id, i, v,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY abs(v) DESC, i) AS rnk
+        FROM e
+    )
+    SELECT vec_id, CAST(rnk AS INTEGER) AS rnk,
+           CAST(i AS INTEGER) AS dim_idx, v AS value
+    FROM ranked WHERE rnk <= 3
+    """,
+    survey_ref="extension: vector introspection — top-|value| "
+    "dimensions per embedding (the saliency/debug op for embedding "
+    "pipelines); arg-sort over the array via posexplode + per-vector "
+    "window, deterministic tie order",
+)
+def q150_top_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3 highest-magnitude dimensions of every embedding, with
+    their positions and signed values.
+
+    posexplode keeps the dimension index alongside the value, the
+    per-vector window ranks by |v| (ties by index — deterministic),
+    and only 3 rows per vector survive. Partitions are single vectors
+    — embarrassingly parallel, no global sort.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "raw")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("i"),
+        F.col("raw").cast("double").alias("v"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.abs(F.col("v")).desc(), "i")
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "vec_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("i").alias("dim_idx"),
+            F.col("v").alias("value"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
