@@ -6989,6 +6989,175 @@ def q150_top_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q151_period_over_period",
+    oracle="""
+    WITH q AS (
+        SELECT o_orderpriority,
+               EXTRACT(year FROM o_orderdate) * 4 + (EXTRACT(quarter FROM o_orderdate) - 1) AS qtr,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           CAST(qtr AS BIGINT) AS qtr,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CASE WHEN lag(qtr) OVER w = qtr - 1
+                THEN (CAST(cents AS DOUBLE) - CAST(lag(cents) OVER w AS DOUBLE))
+                     / CAST(lag(cents) OVER w AS DOUBLE)
+           END AS qoq_change
+    FROM q
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY qtr)
+    """,
+    survey_ref="W/G extension: period-over-period report — quarter "
+    "revenue with QoQ percent change; the adjacency guard (lag(qtr) = "
+    "qtr−1) keeps gaps honest instead of comparing across missing "
+    "periods",
+)
+def q151_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly revenue per priority with quarter-over-quarter change
+    — NULL (not a bogus comparison) where the prior quarter is missing.
+
+    The quarter key is a single integer (year·4 + quarter) so lag
+    adjacency is integer arithmetic; aggregation happens BEFORE the
+    window (the frame is tiny), and exact cents flow into one double
+    division per row. This is q07's lag-pct pattern lifted from rows
+    to aggregated periods.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    qtr = (F.year("o_orderdate") * 4 + (F.quarter("o_orderdate") - 1)).cast("long")
+    q = o.groupBy("o_orderpriority", qtr.alias("qtr")).agg(
+        F.sum((_dec("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("qtr")
+    prev_qtr = F.lag("qtr").over(w)
+    prev_c = F.lag("cents").over(w)
+    change = F.when(
+        prev_qtr == F.col("qtr") - 1,
+        (F.col("cents").cast("double") - prev_c.cast("double")) / prev_c.cast("double"),
+    )
+    return q.select(
+        "o_orderpriority",
+        "qtr",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        change.alias("qoq_change"),
+    )
+
+
+@register(
+    "q152_ratio_to_parent",
+    oracle="""
+    WITH n AS (
+        SELECT r.r_name AS region, nn.n_name AS nation,
+               SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS bal
+        FROM customer c
+        JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+        JOIN region r ON nn.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(bal AS DOUBLE) AS nation_bal,
+           CAST(bal AS DOUBLE) / CAST(SUM(bal) OVER (PARTITION BY region) AS DOUBLE)
+             AS share_of_region
+    FROM n
+    """,
+    survey_ref="G/W extension: ratio-to-parent in a hierarchy — "
+    "nation's share of its region's total via a window over the "
+    "aggregate (the OLAP drill-down share column); exact decimal "
+    "operands, one division per row",
+)
+def q152_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of its region's total customer balance.
+
+    Aggregate once at the child grain, then a window sum at the
+    parent grain supplies the denominator — no second scan, no
+    self-join with a parent rollup. Both operands are exact decimals;
+    the share is a single correctly-rounded division.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    nn = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n = (
+        c.join(F.broadcast(nn), c.c_nationkey == nn.n_nationkey)
+        .join(F.broadcast(r), nn.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(_dec("c_acctbal")).alias("bal"))
+    )
+    w = Window.partitionBy("region")
+    return n.select(
+        "region",
+        "nation",
+        F.col("bal").cast("double").alias("nation_bal"),
+        (F.col("bal").cast("double") / F.sum("bal").over(w).cast("double")).alias(
+            "share_of_region"
+        ),
+    )
+
+
+@register(
+    "q153_golden_record",
+    oracle="""
+    WITH feed AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE 'name_' || CAST(o_orderkey AS VARCHAR) END AS name_val,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_totalprice END AS bal_val,
+               o_orderdate, o_orderkey
+        FROM orders
+    )
+    SELECT o_custkey AS c_custkey,
+           MAX(CASE WHEN name_val IS NOT NULL THEN
+               struct_pack(d := o_orderdate, k := o_orderkey, v := name_val) END).v
+             AS best_name,
+           MAX(CASE WHEN bal_val IS NOT NULL THEN
+               struct_pack(d := o_orderdate, k := o_orderkey, v := bal_val) END).v
+             AS best_bal,
+           COUNT(*) AS n_records
+    FROM feed GROUP BY 1
+    """,
+    survey_ref="G extension: survivorship merge (MDM golden record) — "
+    "per key and PER COLUMN, the latest non-NULL value wins, via "
+    "max-of-struct argmax (one aggregate, no per-column window "
+    "passes); the multi-source record consolidation step",
+)
+def q153_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record consolidation over a noisy record feed (derived
+    from orders, with deterministic NULL gaps): for each customer, the
+    latest non-NULL value of each column independently, plus the
+    record count.
+
+    One hash aggregate does all columns at once: each column's
+    survivor is MAX over (seq, value) structs built only from non-NULL
+    rows — struct ordering is lexicographic, so the max IS the
+    latest-non-NULL argmax, with no window pass per column and no
+    join. The same shape scales to any column count; NULL-gapped
+    columns fall back to older records independently of each other.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    feed = o.select(
+        "o_custkey",
+        F.when(F.pmod("o_orderkey", F.lit(3)) == 0, None)
+        .otherwise(F.concat(F.lit("name_"), F.col("o_orderkey").cast("string")))
+        .alias("name_val"),
+        F.when(F.pmod("o_orderkey", F.lit(5)) == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("bal_val"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    survivor = lambda c: F.max(  # noqa: E731
+        F.when(
+            F.col(c).isNotNull(),
+            F.struct("o_orderdate", "o_orderkey", F.col(c).alias("v")),
+        )
+    )["v"]
+    return feed.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        survivor("name_val").alias("best_name"),
+        survivor("bal_val").alias("best_bal"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
