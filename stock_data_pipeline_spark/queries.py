@@ -7158,6 +7158,180 @@ def q153_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q154_copurchase_pairs",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT part_a, part_b, n_orders,
+               ROW_NUMBER() OVER (ORDER BY n_orders DESC, part_a, part_b) AS rn
+        FROM pairs
+    )
+    SELECT part_a, part_b, n_orders FROM ranked WHERE rn <= 20
+    """,
+    survey_ref="E/G extension: bipartite projection (co-purchase graph "
+    "build) — item pairs co-occurring in a basket, the edge-building "
+    "step under recommendations and q155's triangles; self-join "
+    "blocked on the basket key, top-k without a global sort",
+)
+def q154_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 part pairs most often ordered together (ties broken by
+    part ids — deterministic).
+
+    Projecting the order–part bipartite graph: the self-join is
+    blocked on the order key (pairs never leave their basket, work is
+    Σ per-basket k² with k ≈ 4 here), the pair count is one hash
+    aggregate, and the top-20 is TakeOrderedAndProject — no global
+    sort of the pair space. At 100 TB a hub-basket cap (q25's max_df
+    idea) bounds the k² term; baskets here are bounded by design.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        pairs.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+        .select("part_a", "part_b", "n_orders")
+    )
+
+
+@register(
+    "q155_triangle_count",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    survey_ref="extension: triangle counting on the co-purchase graph "
+    "— the clustering-coefficient primitive; oriented edges (u < v) "
+    "count each triangle exactly once as two equi-joins, the standard "
+    "distributed formulation (no per-node neighborhood explosion)",
+)
+def q155_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number of item triangles (three parts pairwise co-ordered) in
+    the co-purchase graph.
+
+    Orienting every edge low→high id makes each triangle countable
+    exactly once via wedge extension + closing-edge check: two hash
+    joins on the edge list, no factorial blowup, no per-node adjacency
+    materialization. This is the MapReduce-classic formulation; at
+    scale the wedge join keys on the hub-degree-bounded vertex so the
+    same skew caps as q154 apply.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+    closed = wedges.join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+@register(
+    "q156_bfs_hops",
+    oracle="""
+    WITH RECURSIVE li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), bfs AS (
+        SELECT CAST(1 AS BIGINT) AS node, 0 AS hops
+        UNION
+        SELECT e.v AS node, b.hops + 1 AS hops
+        FROM bfs b JOIN e ON e.u = b.node
+        WHERE b.hops < 2
+    )
+    SELECT node, CAST(MIN(hops) AS INTEGER) AS hops
+    FROM bfs GROUP BY 1
+    """,
+    survey_ref="extension: bounded breadth-first search — 2-hop "
+    "reachability with exact hop distance from a source over the "
+    "co-purchase graph; unrolled frontier-expansion rounds (the q110/"
+    "q80 iterative-as-lazy-plan technique applied to traversal)",
+)
+def q156_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every part reachable within 2 co-purchase hops of part 1, with
+    its exact hop distance.
+
+    Frontier expansion as unrolled lazy rounds: each hop is one
+    equi-join of the frontier against the edge list plus a min-hop
+    dedup — the Pregel BFS superstep. Two hops → two joins, zero
+    driver actions; deeper traversals switch to the checkpointed loop
+    exactly like connected_components. Hop distances are small exact
+    integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    spark_ = li.sparkSession
+    frontier = spark_.createDataFrame([(1, 0)], "node long, hops int")
+    seen = frontier
+    for hop in (1, 2):
+        nxt = (
+            seen.filter(F.col("hops") == hop - 1)
+            .join(e, F.col("node") == F.col("u"))
+            .select(F.col("v").alias("node"), F.lit(hop).alias("hops"))
+            .distinct()
+        )
+        seen = (
+            seen.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hops").cast("int").alias("hops"))
+        )
+    return seen.select("node", "hops")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
