@@ -7332,6 +7332,120 @@ def q156_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seen.select("node", "hops")
 
 
+@register(
+    "q157_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+        FROM events
+    ), marked AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_grp
+        FROM iv
+    ), grouped AS (
+        SELECT user_id, s, e,
+               SUM(new_grp) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM marked
+    )
+    SELECT user_id,
+           COUNT(*) AS n_merged_intervals,
+           CAST(SUM(dur) AS BIGINT) AS covered_us
+    FROM (
+        SELECT user_id, grp, MAX(e) - MIN(s) AS dur
+        FROM grouped GROUP BY 1, 2
+    )
+    GROUP BY 1
+    """,
+    survey_ref="W extension: interval coalescing (union of overlapping "
+    "spans) — merged-coverage accounting per user over 30-minute "
+    "activity envelopes; the running-max island test generalizes "
+    "q143's consecutive-day trick to real intervals",
+)
+def q157_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge each user's overlapping 30-minute activity envelopes and
+    report how many disjoint spans remain and the exact covered
+    microseconds.
+
+    Interval union without a self-join: a new group starts exactly
+    where an interval's start exceeds the running MAX of all previous
+    ends (the 1-PRECEDING frame keeps the test strict), and the
+    conditional cumsum of those starts is the island id — one shuffle
+    on the user, two window passes, exact integer µs throughout.
+    """
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id", us.alias("s"), (us + F.lit(1800000000)).alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_grp", F.when(F.col("s") > prev_max_e, 1).otherwise(0)
+    )
+    grouped = marked.withColumn(
+        "grp",
+        F.sum("new_grp").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = grouped.groupBy("user_id", "grp").agg(
+        (F.max("e") - F.min("s")).alias("dur")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_merged_intervals"),
+        F.sum("dur").cast("long").alias("covered_us"),
+    )
+
+
+@register(
+    "q158_union_by_name",
+    oracle="""
+    WITH a AS (
+        SELECT c_custkey AS id, c_name AS name, c_acctbal AS balance
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), b AS (
+        SELECT s_suppkey AS id, s_name AS name, s_nationkey AS nation_id
+        FROM supplier
+    ), u AS (
+        SELECT * FROM a UNION ALL BY NAME SELECT * FROM b
+    )
+    SELECT id, name, balance, CAST(nation_id AS INTEGER) AS nation_id FROM u
+    """,
+    survey_ref="J2/J3 breadth: schema-drift union — UNION by column "
+    "NAME with NULL-fill for columns one side lacks (Spark "
+    "unionByName(allowMissingColumns) ≡ DuckDB UNION ALL BY NAME); "
+    "the reference's aligned row insert (pipeline.etl) relies on "
+    "exactly this, here surfaced as its own verified operator",
+)
+def q158_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union two differently-shaped entity feeds by column name —
+    positions don't matter, missing columns NULL-fill on either side.
+
+    Positional UNION silently mis-aligns when producers evolve
+    independently; name-matched union is the schema-drift-safe form
+    both engines now expose natively. Zero shuffle (pure concat), and
+    the NULL-filled columns stay typed.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    b = s.select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nation_id"),
+    )
+    return a.unionByName(b, allowMissingColumns=True).select(
+        "id", "name", "balance", F.col("nation_id").cast("int").alias("nation_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
