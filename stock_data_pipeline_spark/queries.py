@@ -7446,6 +7446,143 @@ def q158_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q159_position_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, MIN(ts) AS p_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY 1
+    ), touch AS (
+        SELECT e.user_id, e.event_id, e.ts,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS pos,
+               COUNT(*) OVER (PARTITION BY e.user_id) AS n
+        FROM events e JOIN p ON e.user_id = p.user_id
+        WHERE e.event_type = 'view' AND e.ts < p.p_ts
+    )
+    SELECT user_id, event_id,
+           CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                WHEN pos = 1 OR pos = n THEN
+                     CASE WHEN n = 2 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.4 AS DOUBLE) END
+                ELSE CAST(0.2 AS DOUBLE) / CAST(n - 2 AS DOUBLE)
+           END AS credit
+    FROM touch
+    """,
+    survey_ref="W extension: position-based (U-shaped) marketing "
+    "attribution — 40/20/40 credit over the pre-conversion touch "
+    "sequence, middle mass split evenly; the multi-touch sibling of "
+    "q96's last-click model, exact rational credits",
+)
+def q159_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped attribution: each view before a user's first purchase
+    gets 40% (first), 40% (last), or an even share of 20% (middle);
+    degenerate paths collapse sensibly (single touch → 1.0, two
+    touches → 0.5 each).
+
+    One shuffle on the user serves the first-purchase lookup join,
+    the position numbering, and the path-length count. Credits are
+    single divisions of exact integers (0.2/(n−2)), so each user's
+    credits sum to exactly 1.0 up to one rounding — and hash-match.
+    """
+    ev = load_events(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    touch = (
+        ev.filter(F.col("event_type") == "view")
+        .join(p, "user_id")
+        .filter(F.col("ts") < F.col("p_ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    t = touch.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.when(F.col("n") == 2, F.lit(0.5)).otherwise(F.lit(0.4)),
+        )
+        .otherwise(F.lit(0.2) / (F.col("n") - 2).cast("double"))
+    )
+    return t.select("user_id", "event_id", credit.alias("credit"))
+
+
+@register(
+    "q160_fulfillment_lag",
+    oracle="""
+    WITH lag_days AS (
+        SELECT o.o_orderpriority,
+               datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS lag_d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    ), ranked AS (
+        SELECT o_orderpriority, lag_d,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY lag_d) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM lag_days
+    )
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN lag_d END) AS p50_days,
+           MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN lag_d END) AS p95_days,
+           COUNT(*) AS n_lines
+    FROM ranked GROUP BY 1
+    """,
+    survey_ref="G extension: fulfillment-lag SLA percentiles — order→"
+    "ship day lag p50/p95 per priority via exact integer rank "
+    "selection (q87's discrete-quantile technique on a derived "
+    "integer measure); the operations-report twin of q61's gap scan",
+)
+def q160_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping SLA readout: median and p95 days from order to ship
+    per priority (plus volume), as exact discrete order statistics.
+
+    The lag is pure integer day arithmetic (datediff of dates — no
+    timestamp-boundary ambiguity); the percentile rows are picked by
+    integer rank in one window pass. Ties on the lag value don't
+    matter: every row in a tie run carries the same lag, so the
+    selected VALUE is deterministic even though the selected row
+    isn't.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag_days = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("lag_d"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("lag_d")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = lag_days.select(
+        "o_orderpriority",
+        "lag_d",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("lag_d")
+        )
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        pick(0.5).alias("p50_days"),
+        pick(0.95).alias("p95_days"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
