@@ -7583,6 +7583,205 @@ def q160_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q161_vocab_concentration",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS t
+        FROM documents
+    ), freq AS (
+        SELECT t, COUNT(*) AS c FROM tok GROUP BY 1
+    ), ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rn,
+               SUM(c) OVER () AS total
+        FROM freq
+    )
+    SELECT k,
+           CAST(SUM(CASE WHEN rn <= k THEN c ELSE 0 END) AS BIGINT) AS covered_tokens,
+           CAST(SUM(CASE WHEN rn <= k THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(MAX(total) AS DOUBLE) AS coverage
+    FROM ranked, (VALUES (10), (25), (50)) AS ks(k)
+    GROUP BY k
+    """,
+    survey_ref="extension: vocabulary concentration — share of corpus "
+    "mass covered by the top-k token types (the Zipf-head diagnostic "
+    "that sizes stop-lists and tokenizer vocabularies); exact integer "
+    "mass, deterministic rank ties",
+)
+def q161_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the corpus the top 10/25/50 token types cover —
+    exact token mass and the coverage fraction.
+
+    One explode+count builds the frequency table; ranking and the
+    running mass happen on the (tiny) type table, and the three k
+    cut-offs come from one broadcast values-list cross join rather
+    than three passes. Coverage is a single division of exact
+    integers.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    freq = (
+        doc.select(F.explode(text.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "t")
+    ranked = freq.select(
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    ks = doc.sparkSession.createDataFrame([(10,), (25,), (50,)], "k int")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.col("k"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            (
+                F.sum(F.when(F.col("rn") <= F.col("k"), F.col("c")).otherwise(0)).cast("double")
+                / F.max("total").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "q162_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d FROM events GROUP BY 1
+    ), spend AS (
+        SELECT e.user_id,
+               datediff('week', DATE '1970-01-05', f.first_d) AS cohort_w,
+               datediff('week', DATE '1970-01-05', CAST(e.ts AS DATE))
+                 - datediff('week', DATE '1970-01-05', f.first_d) AS weeks_since,
+               CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+    ), g AS (
+        SELECT cohort_w, weeks_since, SUM(cents) AS wk_cents
+        FROM spend GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_w AS BIGINT) AS cohort_w,
+           CAST(weeks_since AS BIGINT) AS weeks_since,
+           CAST(SUM(wk_cents) OVER (PARTITION BY cohort_w ORDER BY weeks_since
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             AS cum_revenue
+    FROM g
+    """,
+    survey_ref="G/W extension: cohort lifetime-value accumulation — "
+    "q83's retention matrix with revenue instead of presence, plus "
+    "the cumulative-along-age axis; exact cents until display",
+)
+def q162_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative purchase revenue per signup cohort as it ages: one
+    row per (cohort week, weeks since first seen) with the LTV curve.
+
+    Week arithmetic is integer (epoch-Monday-anchored week ordinals —
+    engine-neutral, unlike week-of-year truncation which disagrees at
+    year boundaries); money stays integer cents through the matrix
+    build and the cumulative window, converting once for display.
+    """
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_d"))
+    monday = F.lit("1970-01-05").cast("date")
+    wk = lambda c: F.floor(F.datediff(c, monday) / 7).cast("long")  # noqa: E731
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            wk(F.col("first_d")).alias("cohort_w"),
+            (wk(F.to_date("ts")) - wk(F.col("first_d"))).alias("weeks_since"),
+            (_dec("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    g = spend.groupBy("cohort_w", "weeks_since").agg(F.sum("cents").alias("wk_cents"))
+    w = (
+        Window.partitionBy("cohort_w")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "cohort_w",
+        "weeks_since",
+        (F.sum("wk_cents").over(w).cast("double") / F.lit(100.0)).alias("cum_revenue"),
+    )
+
+
+@register(
+    "q163_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+        GROUP BY 1
+    ), lags AS (
+        SELECT p.user_id,
+               epoch_us(p.p_ts) - epoch_us(v.v_ts) AS lag_us,
+               ROW_NUMBER() OVER (ORDER BY epoch_us(p.p_ts) - epoch_us(v.v_ts), p.user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converters,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN lag_us END) AS p50_us,
+           MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN lag_us END) AS p90_us
+    FROM lags
+    """,
+    survey_ref="G/W extension: time-to-convert percentiles — q82's "
+    "funnel edge measured as exact integer µs first-view→first-"
+    "purchase lags with discrete p50/p90 (the latency-SLA readout of "
+    "the conversion path)",
+)
+def q163_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and p90 time from a user's first view to their first
+    subsequent purchase, plus how many users converted.
+
+    Both anchors are MIN aggregates on the same user key (one
+    shuffle); the lag is exact integer microseconds, and the
+    percentiles are discrete rank picks on the converter table —
+    small enough that its single-partition window is irrelevant, and
+    the technique (q87's) swaps in for any scale.
+    """
+    ev = load_events(spark, sf_dir)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lags = p.join(v, "user_id").select(
+        "user_id", (us("p_ts") - us("v_ts")).alias("lag_us")
+    )
+    w = Window.orderBy("lag_us", "user_id")
+    ranked = lags.select(
+        "lag_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    pick = lambda pr: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(pr) * F.col("n")).cast("long"), F.col("lag_us")
+        )
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converters"),
+        pick(0.5).alias("p50_us"),
+        pick(0.9).alias("p90_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
