@@ -1957,9 +1957,9 @@ def q56_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY 1
     )
     SELECT l_returnflag,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
              AS corr_qty_price
     FROM s
     """,
@@ -2277,7 +2277,10 @@ def q69_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey, o_orderkey, order_date,
                CAST(COUNT(xc) OVER w AS DOUBLE) AS cnt,
                CAST(SUM(xc) OVER w AS DOUBLE) AS sx,
-               CAST(SUM(xc * xc) OVER w AS DOUBLE) AS sxx
+               -- via VARCHAR: DuckDB's int128→double truncates at rare
+               -- near-ties where cents² sums need >53 bits; strtod is
+               -- correctly rounded (matches Spark's decimal→double)
+               CAST(CAST(SUM(xc * xc) OVER w AS VARCHAR) AS DOUBLE) AS sxx
         FROM c
         WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date, o_orderkey
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -4523,9 +4526,9 @@ def q107_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT o_orderpriority,
            n AS n_pairs,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
              AS autocorr_lag1
     FROM s
     """,
@@ -4593,8 +4596,8 @@ def q108_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT o_orderpriority, strftime(d, '%Y-%m-%d') AS date,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
              AS beta_20d
     FROM win WHERE n = 20
     """,
@@ -7779,6 +7782,131 @@ def q163_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_converters"),
         pick(0.5).alias("p50_us"),
         pick(0.9).alias("p90_us"),
+    )
+
+
+@register(
+    "q164_minmax_scaling",
+    oracle="""
+    WITH c AS (
+        SELECT p_partkey, p_type,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM part
+    ), ext AS (
+        SELECT p_partkey, p_type, cents,
+               MIN(cents) OVER (PARTITION BY p_type) AS lo,
+               MAX(cents) OVER (PARTITION BY p_type) AS hi
+        FROM c
+    )
+    SELECT p_partkey, p_type,
+           CASE WHEN hi = lo THEN CAST(0.5 AS DOUBLE)
+                ELSE CAST(cents - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE)
+           END AS scaled
+    FROM ext
+    """,
+    survey_ref="G/W extension: per-group min-max feature scaling — "
+    "(x − min)/(max − min) with a pinned degenerate-range convention; "
+    "the normalization step before distance-based ML, exact integer "
+    "extrema so boundary rows scale identically cross-engine",
+)
+def q164_minmax_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retail price min-max scaled to [0, 1] within each part type
+    (constant groups pin to 0.5 by convention).
+
+    The group extrema come from unframed windows over the same
+    partition — one shuffle, no aggregate-and-rejoin — and the scale
+    is one division of exact integer cents: the 0.0 and 1.0 endpoints
+    land exactly, no almost-1.0 float fuzz on the extreme rows.
+    """
+    p = load_table(spark, sf_dir, "part")
+    cents = (_dec("p_retailprice") * 100).cast("long")
+    w = Window.partitionBy("p_type")
+    ext = p.select(
+        "p_partkey",
+        "p_type",
+        cents.alias("cents"),
+        F.min(cents).over(w).alias("lo"),
+        F.max(cents).over(w).alias("hi"),
+    )
+    scaled = F.when(F.col("hi") == F.col("lo"), F.lit(0.5)).otherwise(
+        (F.col("cents") - F.col("lo")).cast("double")
+        / (F.col("hi") - F.col("lo")).cast("double")
+    )
+    return ext.select("p_partkey", "p_type", scaled.alias("scaled"))
+
+
+@register(
+    "q165_acf",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT k.k, a.x AS x, b.x AS y
+        FROM daily a
+        CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS k(k)
+        JOIN daily b ON b.d = a.d + CAST(k.k AS INTEGER)
+    ), s AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM pairs GROUP BY 1
+    )
+    SELECT CAST(k AS BIGINT) AS lag_days, n AS n_pairs,
+           (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+             AS acf
+    FROM s
+    """,
+    survey_ref="W/G extension: autocorrelation FUNCTION (lags 1-5 in "
+    "one plan) — q108 generalized by joining the series to itself "
+    "through a broadcast lag list instead of one window per lag; "
+    "calendar-gap honest (pairs exist only where both days exist)",
+)
+def q165_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-revenue autocorrelation at lags 1 through 5 days —
+    the full ACF head in one plan.
+
+    One lag-list cross join (5 broadcast rows) turns N window passes
+    into a single self-join on ``d + k``: every lag shares one scan
+    of the day-grain series and one moment aggregate, and missing
+    calendar days simply produce no pair (no silent zero-fill). The
+    q57 exact-integer moment technique keeps all five correlations
+    hash-exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum((_dec("o_totalprice") * 100).cast("long")).cast("decimal(18,0)").alias("x")
+    )
+    ks = o.sparkSession.createDataFrame([(1,), (2,), (3,), (4,), (5,)], "k int")
+    a = daily.alias("a")
+    b = daily.select(F.col("d").alias("bd"), F.col("x").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.expr("bd = date_add(d, k)"))
+        .select("k", F.col("x"), F.col("y"))
+    )
+    s = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx")) * F.sqrt(
+        d("n") * d("syy") - d("sy") * d("sy")
+    )
+    return s.select(
+        F.col("k").cast("long").alias("lag_days"),
+        F.col("n").cast("long").alias("n_pairs"),
+        (num / den).alias("acf"),
     )
 
 
