@@ -7910,6 +7910,152 @@ def q165_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q166_basket_size_distribution",
+    oracle="""
+    WITH sizes AS (
+        SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS k
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(k AS BIGINT) AS basket_size,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS frac
+    FROM sizes GROUP BY 1
+    """,
+    survey_ref="G breadth: basket-size distribution — orders by "
+    "distinct-item count with population fractions (the degree "
+    "distribution of the order–part bipartite graph q154 projects; "
+    "sizes the k² blow-up of every basket self-join)",
+)
+def q166_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders contain k distinct parts, with fractions — the
+    input-statistics readout that bounds q154/q155's per-basket work.
+
+    One distinct-count per order (single shuffle on the order key),
+    one tiny distribution aggregate, and an exact integer fraction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_partkey").alias("k")
+    )
+    dist = sizes.groupBy(F.col("k").cast("long").alias("basket_size")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return dist.select(
+        "basket_size",
+        "n_orders",
+        (
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(Window.partitionBy()).cast("double")
+        ).alias("frac"),
+    )
+
+
+@register(
+    "q167_interarrival_buckets",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 - epoch_us(ts) AS gap_us
+        FROM events
+    )
+    SELECT CASE WHEN gap_us < 1000000 THEN '0_lt_1s'
+                WHEN gap_us < 60000000 THEN '1_lt_1m'
+                WHEN gap_us < 600000000 THEN '2_lt_10m'
+                WHEN gap_us < 3600000000 THEN '3_lt_1h'
+                ELSE '4_ge_1h' END AS bucket,
+           COUNT(*) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_us
+    FROM seq WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+    survey_ref="W/G extension: inter-arrival time distribution — "
+    "per-user event gap histogram on exact integer µs boundaries "
+    "(the traffic-model input for q23's session gap and streaming "
+    "watermark sizing)",
+)
+def q167_interarrival_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of time gaps between a user's consecutive events,
+    bucketed at 1s / 1m / 10m / 1h boundaries with per-bucket extrema.
+
+    One lead() per user (the q61 gap pass), then a five-bucket CASE —
+    all boundaries are exact integer microsecond comparisons, so
+    bucket membership can't drift between engines. This histogram is
+    what justifies a session gap (q23) or a stream watermark: pick
+    the knee.
+    """
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", (F.lead(us).over(w) - us).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = (
+        F.when(F.col("gap_us") < 1000000, "0_lt_1s")
+        .when(F.col("gap_us") < 60000000, "1_lt_1m")
+        .when(F.col("gap_us") < 600000000, "2_lt_10m")
+        .when(F.col("gap_us") < 3600000000, "3_lt_1h")
+        .otherwise("4_ge_1h")
+    )
+    return seq.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_us"),
+        F.max("gap_us").cast("long").alias("max_us"),
+    )
+
+
+@register(
+    "q168_peak_concurrency",
+    oracle="""
+    WITH marks AS (
+        SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT epoch_us(ts) + 1800000000 AS t, -1 AS delta FROM events
+    ), swept AS (
+        SELECT t, delta,
+               SUM(delta) OVER (ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        FROM marks
+    )
+    SELECT CAST(MAX(live) AS BIGINT) AS peak_concurrent,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
+    FROM swept
+    """,
+    survey_ref="W extension: sweep-line peak concurrency — maximum "
+    "simultaneously-open 30-minute activity envelopes via ±1 boundary "
+    "marks and a running sum (capacity planning over q157's interval "
+    "family); end-before-start tie order makes half-open intervals "
+    "exact",
+)
+def q168_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maximum number of concurrently-open 30-minute activity
+    envelopes across the whole event stream (and the session count).
+
+    The sweep line: every interval contributes a +1 mark at its start
+    and a −1 at its end; sorting marks by (time, delta) puts ends
+    before starts at the same instant (half-open semantics — touching
+    intervals don't double-count), and the running sum's MAX is the
+    peak. The global sort is one column of ±1 marks, 2 rows per
+    interval; per-tenant peaks would partition the same plan by key.
+    """
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    starts = ev.select(us.alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select((us + F.lit(1800000000)).alias("t"), F.lit(-1).alias("delta"))
+    marks = starts.unionByName(ends)
+    w = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = marks.withColumn("live", F.sum("delta").over(w))
+    return swept.agg(
+        F.max("live").cast("long").alias("peak_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
