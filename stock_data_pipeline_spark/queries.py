@@ -8056,6 +8056,122 @@ def q168_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q169_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_d,
+               COUNT(*) AS freq,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ), scored AS (
+        SELECT o_custkey,
+               ntile(3) OVER (ORDER BY last_d DESC, o_custkey) AS r,
+               ntile(3) OVER (ORDER BY freq DESC, o_custkey) AS f,
+               ntile(3) OVER (ORDER BY cents DESC, o_custkey) AS m
+        FROM rfm
+    )
+    SELECT r, f, m,
+           COUNT(*) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    survey_ref="G/W extension: RFM segmentation — recency/frequency/"
+    "monetary terciles (ntile over deterministic total orders) and "
+    "the 27-cell segment census; the classic customer-value "
+    "stratification built from three window passes over one aggregate",
+)
+def q169_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM census: every customer scored into recency, frequency, and
+    monetary terciles (1 = best), counted per (r, f, m) cell.
+
+    One aggregate builds the per-customer RFM triple (exact integer
+    cents and counts); three ntile windows over deterministic total
+    orders (metric + key tie-break) assign the terciles. The windows
+    are global sorts of the already-aggregated customer table — at
+    100 TB swap ntile for q87's rank arithmetic, identical contract.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum((_dec("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    tercile = lambda col: F.ntile(3).over(  # noqa: E731
+        Window.orderBy(F.col(col).desc(), "o_custkey")
+    )
+    scored = rfm.select(
+        tercile("last_d").alias("r"),
+        tercile("freq").alias("f"),
+        tercile("cents").alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "q170_rapid_repeat_orders",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    )
+    SELECT a.o_custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(abs(datediff('day', a.d, b.d)) AS BIGINT) AS days_apart,
+           CAST(abs(a.cents - b.cents) AS DOUBLE) / 100.0 AS amount_delta
+    FROM c a JOIN c b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(datediff('day', a.d, b.d)) <= 30
+    """,
+    survey_ref="E extension: rapid-repeat detection — order pairs from "
+    "the same customer within 30 days (double-charge/abuse triage); "
+    "the self-join blocks on the customer key so the temporal "
+    "residual never becomes a range explosion, q112's blocked-fuzzy "
+    "shape on a temporal axis",
+)
+def q170_rapid_repeat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order pairs from the same customer placed within 30 days of
+    each other, with the day gap and amount delta — the triage feed
+    for double-charge and abuse review.
+
+    The join blocks on the customer key — per-customer order counts
+    bound the quadratic pair space (see q166's distribution argument)
+    — and the 30-day proximity is a residual comparison on integer
+    day ordinals. Amount deltas are exact cents until display.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderkey",
+        "o_custkey",
+        (_dec("o_totalprice") * 100).cast("long").alias("cents"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.abs(F.datediff(F.col("a.d"), F.col("b.d"))) <= 30),
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.abs(F.datediff(F.col("a.d"), F.col("b.d"))).cast("long").alias("days_apart"),
+            (
+                F.abs(F.col("a.cents") - F.col("b.cents")).cast("double") / F.lit(100.0)
+            ).alias("amount_delta"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
