@@ -8172,6 +8172,158 @@ def q170_rapid_repeat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q171_duppair_provenance",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+            FROM toks
+        )
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b USING (sh)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) i
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+    )
+    SELECT da.source = db.source AS same_source,
+           da.lang = db.lang AS same_lang,
+           COUNT(*) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+    survey_ref="extension: dup-pair provenance diagnostics — near-dup "
+    "pairs (q25) broken down by whether both sides share a source/"
+    "language; the mirror-vs-within-crawl signal that decides WHERE "
+    "dedup effort goes in a corpus pipeline",
+)
+def q171_duppair_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs classified by provenance: same source? same
+    language? — the diagnostic that tells a corpus team whether
+    duplication is intra-crawl boilerplate or cross-source mirroring.
+
+    The pair set is q25's prefix-filtered plan; the provenance join
+    adds two broadcast lookups of the tiny metadata projection and a
+    4-cell aggregate. Composing diagnostics onto the existing operator
+    costs no new shuffle on the corpus side.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs_prefix(doc, "doc_id", "text", n=3, threshold=0.8)
+    meta = doc.select("doc_id", "source", "lang")
+    da = meta.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src_a"),
+        F.col("lang").alias("lang_a"),
+    )
+    db = meta.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src_b"),
+        F.col("lang").alias("lang_b"),
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .groupBy(
+            (F.col("src_a") == F.col("src_b")).alias("same_source"),
+            (F.col("lang_a") == F.col("lang_b")).alias("same_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "q172_distinctive_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT lang,
+               unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS t
+        FROM documents
+    ), per_lang AS (
+        SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), lang_tot AS (
+        SELECT lang, SUM(c) AS nl FROM per_lang GROUP BY 1
+    ), term_tot AS (
+        SELECT t, SUM(c) AS ct FROM per_lang GROUP BY 1
+    ), tot AS (
+        SELECT SUM(c) AS n FROM per_lang
+    ), scored AS (
+        SELECT p.lang, p.t,
+               (CAST(p.c AS DOUBLE) * CAST(g.n AS DOUBLE))
+                 / (CAST(l.nl AS DOUBLE) * CAST(tt.ct AS DOUBLE)) AS distinctiveness,
+               ROW_NUMBER() OVER (PARTITION BY p.lang
+                   ORDER BY (CAST(p.c AS DOUBLE) * CAST(g.n AS DOUBLE))
+                            / (CAST(l.nl AS DOUBLE) * CAST(tt.ct AS DOUBLE)) DESC,
+                            p.t) AS rn
+        FROM per_lang p
+        JOIN lang_tot l ON p.lang = l.lang
+        JOIN term_tot tt ON p.t = tt.t
+        CROSS JOIN tot g
+    )
+    SELECT lang, t AS term, distinctiveness, CAST(rn AS INTEGER) AS rnk
+    FROM scored WHERE rn <= 3
+    """,
+    survey_ref="extension: distinctive terms per class — pointwise "
+    "lift (share-in-class over share-overall) with top-3 per "
+    "language; the keyword-drift / class-signature diagnostic, all "
+    "counts exact and the lift one pinned double expression",
+)
+def q172_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3 most over-represented tokens per language: lift =
+    P(term|lang) / P(term) computed from exact counts.
+
+    One (lang, term) count feeds all three marginals (two re-
+    aggregations plus a 1-row total that broadcasts); the lift is a
+    single pinned-order double expression, so ranking ties can only
+    occur at exactly equal lifts — broken by term text. No per-class
+    scan, no UDFs, and the top-3 window sorts only the scored term
+    table.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        doc.select("lang", F.explode(text.tokens("text")).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lang_tot = per_lang.groupBy("lang").agg(F.sum("c").alias("nl"))
+    term_tot = per_lang.groupBy("t").agg(F.sum("c").alias("ct"))
+    glob = per_lang.agg(F.sum("c").alias("n"))
+    lift = (F.col("c").cast("double") * F.col("n").cast("double")) / (
+        F.col("nl").cast("double") * F.col("ct").cast("double")
+    )
+    scored = (
+        per_lang.join(F.broadcast(lang_tot), "lang")
+        .join(term_tot, "t")
+        .crossJoin(F.broadcast(glob))
+        .select("lang", "t", lift.alias("distinctiveness"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("distinctiveness").desc(), "t")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "lang",
+            F.col("t").alias("term"),
+            "distinctiveness",
+            F.col("rn").cast("int").alias("rnk"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
