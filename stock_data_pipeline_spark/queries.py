@@ -8324,6 +8324,67 @@ def q172_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q173_quantile_normalize",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rs,
+               COUNT(*) OVER (PARTITION BY source) AS ns
+        FROM documents
+    ), pooled AS (
+        SELECT n_chars AS pooled_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rp
+        FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT s.doc_id, s.source, s.n_chars, p.pooled_chars AS normalized_chars
+    FROM src s CROSS JOIN tot t
+    JOIN pooled p ON p.rp = (s.rs * t.n + s.ns - 1) // s.ns
+    """,
+    survey_ref="G/W extension: quantile normalization across sources — "
+    "each source's length distribution mapped onto the pooled "
+    "distribution by exact integer rank arithmetic (ceil(rs·N/ns) via "
+    "integer ceil-division); the cross-source calibration step that "
+    "makes per-source thresholds comparable",
+)
+def q173_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize document lengths across sources: a document
+    at within-source rank quantile q gets the pooled distribution's
+    value at the same quantile.
+
+    Everything is exact integer rank arithmetic — the target pooled
+    rank is ceil(rs·N/ns) computed as (rs·N + ns − 1) div ns, so no
+    float quantile position ever exists and both engines select the
+    identical pooled row. Two rank windows (per-source and pooled) and
+    one equi-join on the computed rank; at scale the pooled ranking
+    swaps for q87's pre-aggregated rank arithmetic like every other
+    global order here.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    src = doc.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("rs"),
+        F.count(F.lit(1)).over(wn).alias("ns"),
+    )
+    wp = Window.orderBy("n_chars", "doc_id")
+    pooled = doc.select(
+        F.col("n_chars").alias("pooled_chars"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    tot = doc.agg(F.count(F.lit(1)).alias("n"))
+    target = F.expr("(rs * n + ns - 1) div ns")
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("__target", target)
+        .join(pooled, F.col("__target") == F.col("rp"))
+        .select("doc_id", "source", "n_chars", F.col("pooled_chars").alias("normalized_chars"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
