@@ -8385,6 +8385,72 @@ def q173_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q174_gini",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+        FROM c
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(cents AS HUGEINT)) AS sx,
+               SUM(CAST(i AS HUGEINT) * cents) AS six
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           CAST(CAST(sx AS VARCHAR) AS DOUBLE) / 100.0 AS total_revenue,
+           (2.0 * CAST(CAST(six AS VARCHAR) AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+    FROM s
+    """,
+    survey_ref="G extension: Gini coefficient of customer revenue "
+    "concentration — the rank-sum closed form 2·Σ(i·xᵢ)/(n·Σx) − "
+    "(n+1)/n on exact integer cents and ranks (inequality metric for "
+    "revenue/corpus-contribution concentration); big-int moments "
+    "reach doubles via the correctly-rounded VARCHAR path",
+)
+def q174_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated revenue is across customers: the Gini
+    coefficient (0 = equal, →1 = one customer is everything), plus
+    population and total.
+
+    The rank-sum closed form needs one sort-rank window over the
+    per-customer aggregate and two exact integer moments (Σx, Σi·x);
+    the final expression is pinned-order double arithmetic on exact
+    operands. Rank ties (equal totals) are broken by key, and the
+    formula is tie-insensitive anyway: swapping equal x's leaves
+    Σi·x unchanged.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum((_dec("o_totalprice") * 100).cast("long")).cast("decimal(18,0)").alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = c.select(
+        "cents", F.row_number().over(w).cast("decimal(18,0)").alias("i")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).alias("six"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    gini = (F.lit(2.0) * d("six")) / (d("n") * d("sx")) - (
+        d("n") + F.lit(1.0)
+    ) / d("n")
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        (d("sx") / F.lit(100.0)).alias("total_revenue"),
+        gini.alias("gini"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
