@@ -36,14 +36,15 @@ def run() -> dict:
         except Exception:
             pass  # warmup is best-effort; the measured run surfaces real errors
 
-    # best-of-3: wall-clock on a busy box varies up to 2x run-to-run
+    # best-of-4: wall-clock on a busy box varies up to 2x run-to-run
     # (observed: a 3 s query stalling to 13 s with all tasks crawling —
-    # box-level contention, not the plan); the minimum over three runs
-    # reflects the plan, not transient load
+    # box-level contention, not the plan; a whole-suite rerun has moved
+    # 22.5 s ↔ 29 s with zero code change); the minimum over repeated
+    # runs reflects the plan, not transient load
     timings: dict[str, float] = {}
     for name, fn in _q.headline_queries().items():
         best = None
-        for _ in range(3):
+        for _ in range(4):
             # time construction + execution: for iterative queries (q66)
             # the real work happens inside fn() (checkpointed rounds) —
             # timing only the final write would under-report them
