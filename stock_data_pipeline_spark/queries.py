@@ -8451,6 +8451,108 @@ def q174_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q175_priority_escalation",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               first_value(o_orderpriority) OVER w AS first_p,
+               last_value(o_orderpriority) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_p,
+               ROW_NUMBER() OVER w AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT first_p, last_p, COUNT(*) AS n_customers
+    FROM seq WHERE rn = 1 AND last_p < first_p
+    GROUP BY 1, 2
+    """,
+    survey_ref="W breadth: first-vs-last trajectory comparison — "
+    "customers whose latest order priority escalated vs their first "
+    "(priorities order lexically by their numeric prefix); "
+    "first_value + full-frame last_value in one window partition",
+)
+def q175_priority_escalation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose most recent order is MORE urgent than their
+    first ever (priority strings order lexically: '1-URGENT' < …
+    < '5-LOW'), censused by the (first, last) transition.
+
+    first_value and the full-frame last_value share one window
+    partition and sort; taking the rn=1 row collapses per-customer
+    duplicates without a second aggregate pass over the raw rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    seq = o.select(
+        "o_custkey",
+        F.first("o_orderpriority").over(w).alias("first_p"),
+        F.last("o_orderpriority").over(full).alias("last_p"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        seq.filter((F.col("rn") == 1) & (F.col("last_p") < F.col("first_p")))
+        .groupBy("first_p", "last_p")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q176_single_supplier_risk",
+    oracle="""
+    WITH per AS (
+        SELECT l_partkey, l_suppkey, COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), conc AS (
+        SELECT l_partkey, SUM(c) AS n_lines, MAX(c) AS max_c,
+               COUNT(*) AS n_suppliers
+        FROM per GROUP BY 1
+    )
+    SELECT p.p_brand,
+           COUNT(*) AS n_parts_at_risk,
+           CAST(SUM(s.n_lines) AS BIGINT) AS lines_exposed
+    FROM conc s JOIN part p ON s.l_partkey = p.p_partkey
+    WHERE s.max_c * s.n_suppliers > 2 * s.n_lines
+    GROUP BY 1
+    """,
+    survey_ref="G/E breadth: over-weighted supplier concentration — "
+    "parts where one supplier carries more than TWICE its fair share "
+    "of the order history, with brand exposure; the gate is exact "
+    "integer cross-multiplication (max·ns > 2·total), a broadcast dim "
+    "rollup on top (the supply-chain twin of a data pipeline's "
+    "single-source dependency audit)",
+)
+def q176_single_supplier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration: per brand, how many parts have a
+    supplier carrying more than twice its fair share (max share >
+    2/n_suppliers) of their lineitems, and the exposed line volume.
+
+    Two stacked aggregates on the same part key prefix (one shuffle),
+    the fair-share gate as exact integer cross-multiplication (no
+    float share ever materializes), and a broadcast part join for the
+    brand rollup. The same shape audits any 1:N dependency (datasets
+    per source, shards per tenant).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+    conc = per.groupBy("l_partkey").agg(
+        F.sum("c").alias("n_lines"),
+        F.max("c").alias("max_c"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        conc.filter(F.col("max_c") * F.col("n_suppliers") > 2 * F.col("n_lines"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_at_risk"),
+            F.sum("n_lines").cast("long").alias("lines_exposed"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
