@@ -8553,6 +8553,122 @@ def q176_single_supplier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q177_dedup_impact",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+            FROM toks
+        )
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b USING (sh)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) i
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+    ), kept AS (
+        SELECT d.doc_id, d.n_chars FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
+    )
+    SELECT 'before' AS stage, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    UNION ALL
+    SELECT 'after', COUNT(*), SUM(n_chars) FROM kept
+    """,
+    survey_ref="extension: dedup impact audit — corpus size before vs "
+    "after q49's near-dup removal in ONE plan (the acceptance report "
+    "every dedup run ships with); the kept-side branch reuses the "
+    "pair subtree, the before-side is a fresh metadata-only scan",
+)
+def q177_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup acceptance report: document count and character mass
+    before and after near-duplicate removal, as two rows of one
+    result.
+
+    The 'after' branch is q49's anti-join; the 'before' branch scans
+    only (doc_id, n_chars) — no text. Composing both into one output
+    keeps the comparison atomic: the numbers can't come from
+    different corpus states, the failure mode of separate audits.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs_prefix(doc, "doc_id", "text", n=3, threshold=0.8)
+    dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = doc.join(dupes, "doc_id", "left_anti")
+
+    def stat(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        ).select("stage", "n_docs", "total_chars")
+
+    return stat(doc, "before").unionByName(stat(kept, "after"))
+
+
+_CLUSTER_QUALITY_FINAL = """, sized AS (
+        SELECT cid, COUNT(*) AS n,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(dist2 ORDER BY vec_id)), (a, b) -> a + b) AS sum_d2,
+               MAX(dist2) AS max_d2
+        FROM a2 GROUP BY 1
+    )
+    SELECT cid AS cluster_id, CAST(n AS BIGINT) AS n_members,
+           sum_d2 / CAST(n AS DOUBLE) AS mean_dist2,
+           max_d2 AS max_dist2
+    FROM sized"""
+
+
+@register(
+    "q178_cluster_quality",
+    oracle=_kmeans_oracle(
+        k=8, rounds=2, dim=64, bits=10, final_select=_CLUSTER_QUALITY_FINAL
+    ),
+    survey_ref="extension: clustering quality diagnostics — per-cluster "
+    "size, mean and max assignment distance² over q80's k-means "
+    "(inertia decomposition, the elbow-method input); distances are "
+    "the unrolled plan's exact doubles so even mean/max hash-match",
+)
+def q178_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster fit diagnostics for the q80 k-means: member count,
+    mean squared assignment distance (the cluster's inertia share),
+    and the worst-fit member's distance².
+
+    Pure composition: the unrolled assignment plan already carries
+    exact distances, so the diagnostics are one extra aggregate on the
+    cluster id. Double SUMMATION is order-sensitive, so the inertia
+    sum folds left-to-right in member order (pinned, like q110's
+    contribution folds); max is order-free, and the mean is one
+    division of the pinned sum.
+    """
+    from stock_data_pipeline_spark.llm.clustering import kmeans_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fixed(emb, "vec_id", "embedding", k=8, rounds=2, quant_bits=10)
+    pinned_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("vec_id", "dist2"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["dist2"],
+    )
+    return assigned.groupBy(F.col("cluster_id").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        (pinned_sum / F.count(F.lit(1)).cast("double")).alias("mean_dist2"),
+        F.max("dist2").alias("max_dist2"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
