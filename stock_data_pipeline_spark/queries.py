@@ -8669,6 +8669,124 @@ def q178_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q179_hourly_profile",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), peaks AS (
+        SELECT event_type, MAX(n) AS peak_n FROM h GROUP BY 1
+    )
+    SELECT h.event_type, CAST(h.hr AS BIGINT) AS hr, h.n,
+           h.n = p.peak_n AS is_peak_hour,
+           CAST(h.n AS DOUBLE) / CAST(SUM(h.n) OVER (PARTITION BY h.event_type) AS DOUBLE)
+             AS share
+    FROM h JOIN peaks p ON h.event_type = p.event_type
+    """,
+    survey_ref="G/W breadth: hour-of-day load profile — per-type "
+    "hourly volume with share-of-day and peak-hour flags (argmax via "
+    "group-max join, ties kept); the capacity-planning twin of q168's "
+    "concurrency sweep",
+)
+def q179_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic shape by hour of day per event type: volume, share of
+    the type's total, and a peak-hour flag (ties all flagged).
+
+    One 24×types aggregate; the peak flag joins the tiny group-max
+    frame back (q106's argmax-by-join, keyed), and the share is one
+    exact integer division via a window over the same partition.
+    """
+    ev = load_events(spark, sf_dir)
+    h = ev.groupBy("event_type", F.hour("ts").cast("long").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    peaks = h.groupBy("event_type").agg(F.max("n").alias("peak_n"))
+    w = Window.partitionBy("event_type")
+    return (
+        h.join(F.broadcast(peaks), "event_type")
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            (F.col("n") == F.col("peak_n")).alias("is_peak_hour"),
+            (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias("share"),
+        )
+    )
+
+
+@register(
+    "q180_revenue_waterfall",
+    oracle="""
+    WITH yr AS (
+        SELECT o_orderpriority,
+               EXTRACT(year FROM o_orderdate) AS y,
+               COUNT(*) AS q,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) IN (1999, 2000)
+        GROUP BY 1, 2
+    ), wide AS (
+        SELECT o_orderpriority,
+               MAX(CASE WHEN y = 1999 THEN q END) AS q0,
+               MAX(CASE WHEN y = 1999 THEN cents END) AS c0,
+               MAX(CASE WHEN y = 2000 THEN q END) AS q1,
+               MAX(CASE WHEN y = 2000 THEN cents END) AS c1
+        FROM yr GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           CAST(c1 - c0 AS DOUBLE) / 100.0 AS total_delta,
+           CAST((q1 - q0) * c0 AS DOUBLE) / CAST(q0 AS DOUBLE) / 100.0 AS volume_effect,
+           CAST(c1 - c0 AS DOUBLE) / 100.0
+             - CAST((q1 - q0) * c0 AS DOUBLE) / CAST(q0 AS DOUBLE) / 100.0 AS price_mix_effect
+    FROM wide
+    """,
+    survey_ref="G extension: revenue waterfall (volume vs price/mix "
+    "decomposition) — YoY delta split as Δq·p̄₀ + residual, the "
+    "finance bridge chart's data; exact integer counts/cents into a "
+    "pinned-order double expression, residual defined as total minus "
+    "volume so the bridge always sums exactly",
+)
+def q180_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YoY revenue bridge per priority: total change split into the
+    volume effect (order-count change at last year's average value)
+    and the price/mix residual. The two effects sum to the total BY
+    CONSTRUCTION (residual = total − volume), so the waterfall can't
+    leak.
+
+    One two-year aggregate (filters pushed to the scan), a 5-row
+    pivot, and pinned-order arithmetic on exact integers: counts,
+    cents, and the single division by q0 that defines the baseline
+    average.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1999, 2000)
+    )
+    yr = o.groupBy("o_orderpriority", F.year("o_orderdate").alias("y")).agg(
+        F.count(F.lit(1)).alias("q"),
+        F.sum((_dec("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    pick = lambda yv, c: F.max(F.when(F.col("y") == yv, F.col(c)))  # noqa: E731
+    wide = yr.groupBy("o_orderpriority").agg(
+        pick(1999, "q").alias("q0"),
+        pick(1999, "cents").alias("c0"),
+        pick(2000, "q").alias("q1"),
+        pick(2000, "cents").alias("c1"),
+    )
+    total = (F.col("c1") - F.col("c0")).cast("double") / F.lit(100.0)
+    volume = (
+        ((F.col("q1") - F.col("q0")) * F.col("c0")).cast("double")
+        / F.col("q0").cast("double")
+        / F.lit(100.0)
+    )
+    return wide.select(
+        "o_orderpriority",
+        total.alias("total_delta"),
+        volume.alias("volume_effect"),
+        (total - volume).alias("price_mix_effect"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
