@@ -8787,6 +8787,115 @@ def q180_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q181_order_cadence",
+    oracle="""
+    WITH gaps AS (
+        SELECT c.c_mktsegment,
+               datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(lead(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                             ORDER BY o.o_orderdate, o.o_orderkey) AS DATE)) AS gap_d
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), ranked AS (
+        SELECT c_mktsegment, gap_d,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY gap_d) AS rn,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM gaps WHERE gap_d IS NOT NULL
+    )
+    SELECT c_mktsegment,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN gap_d END) AS median_gap_days,
+           COUNT(*) AS n_gaps
+    FROM ranked GROUP BY 1
+    """,
+    survey_ref="W/G extension: purchase cadence — median days between "
+    "a customer's consecutive orders, segmented (the repeat-rate "
+    "metric behind q170's repeat triage); per-customer lead + q87's "
+    "discrete median on integer day gaps",
+)
+def q181_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median inter-order gap (days) per market segment — how often
+    each segment's customers come back.
+
+    The gap build is one lead() per customer (broadcast-enriched with
+    the segment before the window so the shuffle carries the label);
+    the median is q87's exact integer rank pick per segment. Day gaps
+    are integer date arithmetic — no timestamp-boundary ambiguity.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = j.select(
+        "c_mktsegment",
+        F.datediff(
+            F.lead(F.to_date("o_orderdate")).over(w), F.to_date("o_orderdate")
+        ).alias("gap_d"),
+    ).filter(F.col("gap_d").isNotNull())
+    ws = Window.partitionBy("c_mktsegment").orderBy("gap_d")
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = gaps.select(
+        "c_mktsegment",
+        "gap_d",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
+                F.col("gap_d"),
+            )
+        ).alias("median_gap_days"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+
+
+@register(
+    "q182_freshness_audit",
+    oracle="""
+    SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', COUNT(*), strftime(MAX(l_shipdate), '%Y-%m-%d') FROM lineitem
+    UNION ALL
+    SELECT 'events', COUNT(*), strftime(MAX(ts), '%Y-%m-%d') FROM events
+    """,
+    survey_ref="B/D extension: cross-table freshness audit — row count "
+    "+ max event time for every dated table in ONE result (the "
+    "pipeline-health dashboard query; q98's expectations audit scoped "
+    "to ingestion lag); each branch is a metadata-narrow aggregate",
+)
+def q182_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-table ingestion health: row counts and the newest
+    date in each dated table, unioned into a single result so the
+    snapshot is atomic.
+
+    Each branch scans only its date column (count + max — both
+    map-side-combining aggregates); the union is three 1-row frames.
+    This is the query a scheduler polls to decide whether yesterday's
+    load landed everywhere.
+    """
+    o = load_table(spark, sf_dir, "orders").agg(
+        F.lit("orders").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        F.lit("lineitem").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_date"),
+    )
+    ev = load_events(spark, sf_dir).agg(
+        F.lit("events").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("max_date"),
+    )
+    return o.select("tbl", "n_rows", "max_date").unionByName(
+        li.select("tbl", "n_rows", "max_date")
+    ).unionByName(ev.select("tbl", "n_rows", "max_date"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
