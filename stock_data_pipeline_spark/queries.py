@@ -8896,6 +8896,57 @@ def q182_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(ev.select("tbl", "n_rows", "max_date"))
 
 
+@register(
+    "q183_ytd_totals",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority,
+               EXTRACT(year FROM o_orderdate) AS y,
+               CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT o_orderpriority, CAST(y AS BIGINT) AS y,
+           strftime(d, '%Y-%m-%d') AS date,
+           CAST(SUM(cents) OVER (PARTITION BY o_orderpriority, y ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             AS ytd_revenue
+    FROM daily
+    """,
+    survey_ref="W breadth: year-to-date running totals — the calendar "
+    "reset expressed by PUTTING THE RESET KEY IN THE PARTITION (year "
+    "joins the window key) rather than a conditional state machine; "
+    "contrast with q146 where the reset condition is data-dependent",
+)
+def q183_ytd_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily year-to-date revenue per priority — the running total
+    that restarts every January 1st.
+
+    Calendar-boundary resets don't need q146's conditional-cumsum
+    machinery: the year IS part of the window partition, so each
+    year's accumulation is an independent frame and the reset is free.
+    Day grain is pre-aggregated before the window (exact cents), so
+    the cumulative frame sorts days, never raw orders.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(F.sum((_dec("o_totalprice") * 100).cast("long")).alias("cents"))
+    w = (
+        Window.partitionBy("o_orderpriority", "y")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "y",
+        F.date_format("d", "yyyy-MM-dd").alias("date"),
+        (F.sum("cents").over(w).cast("double") / F.lit(100.0)).alias("ytd_revenue"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
