@@ -35,7 +35,8 @@ def cmd_list(args: argparse.Namespace) -> int:
         if spec.headline:
             tags.append("headline")
         tags.append("oracle" if spec.oracle else "rows-only")
-        print(f"{n:36} [{', '.join(tags)}] {spec.survey_ref.splitlines()[0][:80]}")
+        ref_line = (spec.survey_ref.splitlines() or [""])[0][:80]
+        print(f"{n:36} [{', '.join(tags)}] {ref_line}")
     print(f"\n{len(names)} queries")
     return 0
 

@@ -283,17 +283,33 @@ def list_versions(spark: SparkSession, table_dir: str) -> list[int]:
 
 def set_latest_version(spark: SparkSession, table_dir: str, version: int) -> None:
     """Flip the ``_LATEST`` pointer (rollback = point at an older
-    version; the data directories are immutable either way). Uses
-    create-then-rename so readers never observe a partial pointer."""
+    version; the data directories are immutable either way). Writes the
+    new pointer to a temp file, then renames over the final path with
+    ``Options.Rename.OVERWRITE`` (FileContext) so there is no window
+    where the pointer is absent; falls back to delete-then-rename on
+    filesystems without FileContext, with every FS return value checked
+    so a silent failure can't leave a stale pointer."""
     jvm, fs = _fs_for(spark, table_dir)
     tmp = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/._LATEST.tmp")
     final = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_LATEST")
     stream = fs.create(tmp, True)
     stream.write(bytearray(str(version).encode()))
     stream.close()
-    if fs.exists(final):
-        fs.delete(final, False)
-    fs.rename(tmp, final)
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            tmp.toUri(), fs.getConf()
+        )
+        gw = spark.sparkContext._gateway
+        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, final, opts)  # atomic, no missing-pointer window
+        return
+    except Exception:
+        pass  # FileContext unsupported for this scheme — checked fallback
+    if fs.exists(final) and not fs.delete(final, False):
+        raise IOError(f"could not delete stale pointer {final}")
+    if not fs.rename(tmp, final):
+        raise IOError(f"could not publish pointer {final}")
 
 
 def read_version(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:

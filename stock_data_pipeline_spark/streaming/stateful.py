@@ -13,6 +13,7 @@ keys present in that batch.
 from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -66,6 +67,8 @@ def running_totals_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+_CENT = Decimal("0.01")
+
 ALERT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -88,14 +91,22 @@ def _update_threshold_alert(threshold_cents: int):
     ) -> Iterator[pd.DataFrame]:
         running, n, alerted = state.get if state.exists else (0, 0, 0)
         out = []
-        for pdf in pdfs:
-            # rows must fold in event order — micro-batch frames arrive
-            # unsorted after the shuffle; the money accumulates in exact
-            # integer cents so the fold is order-robust across replays
-            # and bit-identical to the batch twin (q135)
-            for v in pdf.sort_values(["ts", "event_id"])["value"]:
+        # applyInPandasWithState may split one key's micro-batch rows
+        # across several Arrow chunks (spark.sql.execution.arrow.
+        # maxRecordsPerBatch), so the (ts, event_id) sort must happen
+        # over the concatenation, not per chunk — per-key-per-batch
+        # memory is bounded by the batch size anyway. The money
+        # accumulates in exact integer cents (HALF_UP, matching the
+        # DECIMAL(18,2) batch twin q135) so the fold is order-robust
+        # across replays and bit-identical to the batch path.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            for v in batch.sort_values(["ts", "event_id"])["value"]:
                 n += 1
-                running += int(round(float(v) * 100))
+                running += int(
+                    Decimal(str(v)).quantize(_CENT, rounding=ROUND_HALF_UP) * 100
+                )
                 if not alerted and running >= threshold_cents:
                     alerted = 1
                     out.append((key[0], running / 100.0, n))

@@ -110,6 +110,61 @@ def test_threshold_alerts_match_batch_twin(spark):
         q.stop()
 
 
+def test_threshold_alerts_group_spans_arrow_chunks(spark, tmp_path):
+    """A single key whose micro-batch rows span several Arrow record
+    batches must still fold in global (ts, event_id) order: the operator
+    concatenates chunks before sorting, so shrinking
+    ``arrow.maxRecordsPerBatch`` to 7 (forcing ~9 chunks for one user's
+    60 rows) cannot change the alert. Values carry 3 decimals so the
+    HALF_UP cent rounding is exercised too (1.005 → 101 cents, not the
+    banker's 100)."""
+    from stock_data_pipeline_spark.streaming.stateful import threshold_alerts_per_user
+
+    rows = []
+    # descending ts so the natural file order is the WRONG fold order
+    for i in range(60):
+        rows.append((i, f"2024-01-01 00:{59 - i:02d}:00", 7, "click", 1.005))
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    src = tmp_path / "src"
+    spark.createDataFrame(rows, cols).withColumn(
+        "ts", F.to_timestamp("ts")
+    ).coalesce(1).write.parquet(str(src))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double"
+            ).parquet(str(src))
+        ).select("user_id", "ts", "event_id", "value")
+        # 1.005 → 101 cents each (HALF_UP); threshold 3030 crosses on
+        # event #30 of the (ts,event_id)-ordered fold, i.e. event_id 30
+        out = threshold_alerts_per_user(stream, threshold_cents=3030)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("chunked_alerts")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT * FROM chunked_alerts").collect()
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(got) == 1
+    r = got[0]
+    assert (r["user_id"], r["crossed_at_total"], r["events_until_cross"]) == (
+        7,
+        30.30,
+        30,
+    )
+
+
 def test_session_window_stream(spark):
     """Streaming-native sessionization (session_window) must produce the
     same (user, n_events-per-session) multiset as the batch lag+cumsum
