@@ -18,18 +18,38 @@ bit-identical doubles with no rounding fudge.
 
 Scale notes: every operator here is a window over ``partition_cols`` —
 one hash shuffle on the series key, then all arithmetic is
-narrow/per-row (whole-stage codegen, no Python). The EMA's cumulative
-``collect_list`` is O(n²) memory in series length; for series beyond
-~10⁴ rows per key switch to the ``applyInPandas`` escape hatch
-(``operators.windows.simple_moving_average_pandas`` shows the shape) —
-for daily stock data (250 rows/yr) the fold is the better plan.
+narrow/per-row (whole-stage codegen, no Python). The one exception is
+the EMA recurrence, which has TWO physical strategies behind one
+dispatcher (:func:`ema`):
+
+- ``ema_fold`` — cumulative ``collect_list`` + ``F.aggregate`` left
+  fold, all JVM-side, zero Python. O(n²) work/memory per key (each row
+  re-folds its prefix): unbeatable for short bounded series (daily
+  stock data: 250 rows/yr) because it never leaves codegen, fatal for
+  hot keys at scale.
+- ``ema_linear`` — ``applyInPandas`` per-key O(n) scan replaying the
+  IDENTICAL IEEE op sequence (αx + (1−α)acc in double), so the two
+  paths are bit-equal (asserted in tests/test_batch6_indicators.py)
+  and either satisfies the same recursive-CTE oracle. One Arrow
+  round-trip; memory is one key's series per task.
+
+The dispatcher defaults to the scale-safe linear path and picks the
+fold only when the caller asserts a small per-key bound
+(``expected_rows_per_key <= FOLD_MAX_ROWS_PER_KEY``).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+#: Above this per-key series length the O(n²) collect_list fold loses
+#: to the O(n) Arrow path (and its last-row array holds the whole
+#: series, so memory is O(n²) per key too). 4096² ≈ 17M folded
+#: elements ≈ the break-even measured on local[32].
+FOLD_MAX_ROWS_PER_KEY = 4096
 
 
 def _cents(col) -> Column:
@@ -85,16 +105,46 @@ def ema(
     price_col: str,
     alpha: float = 0.25,
     out_col: str = "ema",
+    expected_rows_per_key: int | None = None,
 ) -> DataFrame:
     """Exponential moving average: ema₀ = p₀; emaₜ = α·pₜ + (1−α)·emaₜ₋₁.
 
-    Inherently sequential (each row depends on the previous), which
-    single-pass SQL can't express — implemented as a cumulative
-    ``collect_list`` window + ``F.aggregate`` left fold, entirely
-    JVM-side. ``alpha`` should be exactly representable in binary
-    (0.25, 0.5, 0.125…) when bit-exact cross-engine parity is required;
-    the recurrence itself is then an identical IEEE op sequence in any
-    engine that folds in frame order.
+    Dispatcher over two bit-equal physical strategies (module
+    docstring): the scale-safe O(n)-per-key :func:`ema_linear` by
+    default, or the all-JVM :func:`ema_fold` when the caller asserts
+    the per-key series length stays ≤ ``FOLD_MAX_ROWS_PER_KEY`` (the
+    guard is a *caller assertion*, not a runtime probe — probing would
+    launch a job at plan-construction time, which the plan-hygiene
+    contract forbids).
+
+    ``alpha`` should be exactly representable in binary (0.25, 0.5,
+    0.125…) when bit-exact cross-engine parity is required; the
+    recurrence is then an identical IEEE op sequence in every engine
+    that folds in frame order — both strategies here, and the
+    recursive-CTE oracle.
+    """
+    if (
+        expected_rows_per_key is not None
+        and expected_rows_per_key <= FOLD_MAX_ROWS_PER_KEY
+    ):
+        return ema_fold(df, partition_cols, order_cols, price_col, alpha, out_col)
+    return ema_linear(df, partition_cols, order_cols, price_col, alpha, out_col)
+
+
+def ema_fold(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    price_col: str,
+    alpha: float = 0.25,
+    out_col: str = "ema",
+) -> DataFrame:
+    """Short-series EMA strategy: cumulative ``collect_list`` window +
+    ``F.aggregate`` left fold, entirely JVM-side (no Python, no Arrow).
+
+    O(n²) work and memory per key — each row's array holds its whole
+    prefix — so this is ONLY for series bounded by
+    ``FOLD_MAX_ROWS_PER_KEY``; the dispatcher enforces that policy.
     """
     w = (
         Window.partitionBy(*partition_cols)
@@ -110,6 +160,55 @@ def ema(
         lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
     )
     return df.withColumn(out_col, fold).drop("_parr")
+
+
+def ema_linear(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    price_col: str,
+    alpha: float = 0.25,
+    out_col: str = "ema",
+) -> DataFrame:
+    """Production EMA strategy: ``applyInPandas`` per-key O(n) scan.
+
+    One shuffle on the key (same exchange the fold needs), one Arrow
+    round-trip, then a linear fold per series evaluating exactly
+    ``α·x + (1−α)·acc`` in IEEE double — the same two multiplies and
+    one add, in the same order, as the JVM fold and the recursive-CTE
+    oracle, so all three produce bit-identical doubles. Arrow preserves
+    double bits exactly in both directions.
+
+    NULL prices mirror the fold's ``collect_list`` semantics: a NULL
+    row neither updates nor seeds the accumulator (its EMA is the
+    running value, NULL before any price has been seen).
+
+    Memory is one key's series per task (the applyInPandas contract) —
+    O(n) not O(n²); a 10⁸-row key is ~1.6 GB, spill-safe under default
+    executor sizing at 100 TB only if such keys are pre-split upstream.
+    """
+    one_minus = 1.0 - alpha
+    sort_cols = list(order_cols)
+    fields = ", ".join(f.name + " " + f.dataType.simpleString() for f in df.schema.fields)
+    schema = f"{fields}, {out_col} double"
+    # cast Spark-side so decimal→double happens with the same rounding
+    # the fold's _d() uses (the pandas frame then carries exact doubles)
+    df = df.withColumn("_pd", _d(F.col(price_col)))
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols)
+        out = []
+        acc = None
+        for x in pdf["_pd"]:
+            if pd.isna(x):
+                out.append(acc)
+                continue
+            acc = float(x) if acc is None else alpha * float(x) + one_minus * acc
+            out.append(acc)
+        pdf[out_col] = pd.array(out, dtype="float64")
+        return pdf.drop(columns=["_pd"])
+
+    return df.groupBy(*partition_cols).applyInPandas(per_group, schema=schema)
 
 
 def drawdown(

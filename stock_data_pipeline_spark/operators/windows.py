@@ -120,6 +120,7 @@ def clamped_running_sum(
     delta_col: str,
     floor: int = 0,
     out_col: str = "balance",
+    expected_rows_per_key: int | None = None,
 ) -> DataFrame:
     """Running sum clamped at a floor: balₜ = max(floor, balₜ₋₁ + Δₜ),
     starting from balance = floor (so bal₀ = max(floor, floor + Δ₀)) —
@@ -127,16 +128,41 @@ def clamped_running_sum(
 
     Unlike a plain cumulative sum, the clamp makes every row depend on
     the previous RESULT (max doesn't distribute over +), so no window
-    frame expresses it. Same escape hatch as the EMA recurrence
-    (indicators.ema): cumulative ``collect_list`` + ``F.aggregate``
-    left fold, all JVM-side. With integer deltas the fold is exact —
-    fully oracle-verifiable (q147's recursive-CTE twin).
-
-    Cost: the fold re-scans each prefix → O(n²) per partition key.
-    Right for bounded per-key series (a key's events, a ticker's
-    days); for million-row single keys use applyInPandasWithState
-    (streaming) or an iterative checkpointed rewrite instead.
+    frame expresses it. Two physical strategies (same policy as
+    ``indicators.ema``): the scale-safe O(n)-per-key
+    :func:`clamped_running_sum_linear` by default, or the all-JVM
+    O(n²) :func:`clamped_running_sum_fold` when the caller asserts a
+    per-key bound ≤ ``indicators.FOLD_MAX_ROWS_PER_KEY``. Integer
+    arithmetic makes both exact, so either satisfies q147's
+    recursive-CTE oracle; the two paths are asserted equal on a
+    10⁵-row single key in tests/test_windows.py.
     """
+    from stock_data_pipeline_spark.operators.indicators import FOLD_MAX_ROWS_PER_KEY
+
+    if (
+        expected_rows_per_key is not None
+        and expected_rows_per_key <= FOLD_MAX_ROWS_PER_KEY
+    ):
+        return clamped_running_sum_fold(
+            df, partition_cols, order_cols, delta_col, floor, out_col
+        )
+    return clamped_running_sum_linear(
+        df, partition_cols, order_cols, delta_col, floor, out_col
+    )
+
+
+def clamped_running_sum_fold(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    delta_col: str,
+    floor: int = 0,
+    out_col: str = "balance",
+) -> DataFrame:
+    """Short-series strategy: cumulative ``collect_list`` +
+    ``F.aggregate`` left fold, all JVM-side (zero Python). O(n²) work
+    and memory per key — each row's array holds its whole prefix — so
+    only for series the dispatcher's guard admits."""
     w = (
         Window.partitionBy(*partition_cols)
         .orderBy(*order_cols)
@@ -149,3 +175,41 @@ def clamped_running_sum(
         lambda acc, x: F.greatest(F.lit(floor).cast("long"), acc + x),
     )
     return df.withColumn(out_col, fold)
+
+
+def clamped_running_sum_linear(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    delta_col: str,
+    floor: int = 0,
+    out_col: str = "balance",
+) -> DataFrame:
+    """Production strategy: ``applyInPandas`` per-key O(n) scan.
+
+    One shuffle on the key (the same exchange the fold needs), one
+    Arrow round-trip, then a linear integer fold per series — Python
+    ints are unbounded so the arithmetic is exact like the JVM fold's
+    BIGINT path (the result must still fit in long for the output
+    column, as it must in the fold). NULL deltas mirror the fold's
+    ``collect_list`` semantics: the balance passes through unchanged.
+    Memory is one key's rows per task, O(n) not O(n²).
+    """
+    import pandas as pd
+
+    sort_cols = list(order_cols)
+    fields = ", ".join(f.name + " " + f.dataType.simpleString() for f in df.schema.fields)
+    schema = f"{fields}, {out_col} bigint"
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols)
+        out = []
+        bal = floor
+        for x in pdf[delta_col]:
+            if not pd.isna(x):
+                bal = max(floor, bal + int(x))
+            out.append(bal)
+        pdf[out_col] = pd.array(out, dtype="int64")
+        return pdf
+
+    return df.groupBy(*partition_cols).applyInPandas(per_group, schema=schema)

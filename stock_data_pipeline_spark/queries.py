@@ -2222,15 +2222,21 @@ def q67_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey, order_date, ema FROM rec
     """,
     survey_ref="W1 SMA family (functions.py rolling windows) extended to "
-    "the sequential EMA recurrence: collect_list window + JVM left fold "
-    "vs recursive-CTE oracle, bit-identical doubles (exact α=0.25)",
+    "the sequential EMA recurrence: O(n)-per-key applyInPandas scan "
+    "(indicators.ema_linear) vs recursive-CTE oracle, bit-identical "
+    "doubles (exact α=0.25); the all-JVM collect_list fold remains the "
+    "small-series strategy behind the same dispatcher",
 )
 def q68_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMA (α=0.25) of order totals per customer, ordered by (date, key).
 
-    Sequential recurrences are the one window shape plain SQL lacks; the
-    Spark side folds in frame order entirely JVM-side, and the oracle
-    replays the identical IEEE op sequence via recursive CTE."""
+    Sequential recurrences are the one window shape plain SQL lacks.
+    Ships the scale-safe linear strategy (orders-per-customer grows
+    with data size, so no small-series bound can be asserted): one
+    shuffle on o_custkey, then an O(n) per-key Arrow scan replaying
+    the identical IEEE op sequence the recursive-CTE oracle executes —
+    the match stays bit-exact, and a hot key costs linear, not
+    quadratic, work."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", _d("o_orderdate").alias("order_date"), "o_totalprice"
     )
@@ -6767,8 +6773,9 @@ def q146_events_since_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ref="W extension: floored running balance (inventory/credit "
     "semantics) — the clamp makes each row depend on the previous "
-    "RESULT, inexpressible as a window frame; q68's collect_list+fold "
-    "escape hatch on exact integer cents vs a recursive-CTE oracle",
+    "RESULT, inexpressible as a window frame; O(n)-per-key "
+    "applyInPandas integer scan (clamped_running_sum_linear) vs a "
+    "recursive-CTE oracle, exact by integer-cent arithmetic",
 )
 def q147_floored_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running balance that can't go negative: purchases and
@@ -6777,10 +6784,12 @@ def q147_floored_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     max(0, ·) doesn't distribute over +, so no cumulative window
     frame computes this — it's the genuinely-sequential family (EMA's
-    sibling), expressed as a JVM-side prefix fold over exact integer
-    cents (operators.windows.clamped_running_sum). The oracle replays
-    the identical recurrence as a recursive CTE; integer arithmetic
-    makes the match exact, not approximate.
+    sibling). Ships the scale-safe linear strategy (events-per-user
+    grows with data size): one shuffle on user_id, then an O(n)
+    per-key integer fold in exact cents; the recursive-CTE oracle
+    replays the identical recurrence, so the match is exact, not
+    approximate. The all-JVM collect_list fold stays available behind
+    the dispatcher for provably-short series.
     """
     from stock_data_pipeline_spark.operators.windows import clamped_running_sum
 

@@ -36,6 +36,68 @@ def test_ema_partitions_independent(spark):
     assert out[("B", 1)] == 100.0
 
 
+def test_ema_fold_and_linear_bit_equal(spark):
+    """The two physical strategies behind the ema dispatcher must be
+    bit-identical (same IEEE op sequence) — multi-key, awkward values
+    that don't round-trip through any decimal representation."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (k, t, rng.uniform(1.0, 500.0))
+        for k in ("A", "B", "C")
+        for t in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "p"])
+    fold = {
+        (r["k"], r["t"]): r["ema"]
+        for r in indicators.ema_fold(df, ["k"], ["t"], "p", alpha=0.25).collect()
+    }
+    lin = {
+        (r["k"], r["t"]): r["ema"]
+        for r in indicators.ema_linear(df, ["k"], ["t"], "p", alpha=0.25).collect()
+    }
+    assert fold == lin  # exact ==, no tolerance
+
+
+def test_ema_linear_100k_single_key(spark):
+    """The production path must stay linear on the shape that kills the
+    fold: one key, 10⁵ rows (the fold would re-scan ~5·10⁹ array
+    elements here). Ground truth is the same Python recurrence."""
+    import time
+
+    n = 100_000
+    prices = [float((i * 2654435761) % 100_000) / 100.0 + 1.0 for i in range(n)]
+    df = spark.createDataFrame(
+        [("A", i, p) for i, p in enumerate(prices)], ["k", "t", "p"]
+    ).repartition(8)
+    t0 = time.monotonic()
+    out = (
+        indicators.ema_linear(df, ["k"], ["t"], "p", alpha=0.25)
+        .orderBy("t")
+        .collect()
+    )
+    elapsed = time.monotonic() - t0
+    acc = prices[0]
+    refs = [acc]
+    for p in prices[1:]:
+        acc = 0.25 * p + 0.75 * acc
+        refs.append(acc)
+    assert [r["ema"] for r in out] == refs  # bit-exact at 1e5 rows
+    assert elapsed < 60, f"linear path took {elapsed:.1f}s on 1e5 rows"
+
+
+def test_ema_dispatcher_guard(spark):
+    """expected_rows_per_key ≤ FOLD_MAX_ROWS_PER_KEY picks the all-JVM
+    fold (no Arrow/Python in the plan); the default picks the
+    applyInPandas scan (FlatMapGroupsInPandas in the plan)."""
+    df = _series(spark, [1.0, 2.0, 3.0])
+    folded = indicators.ema(df, ["k"], ["t"], "p", expected_rows_per_key=250)
+    linear = indicators.ema(df, ["k"], ["t"], "p")
+    assert "FlatMapGroupsInPandas" not in folded._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandas" in linear._jdf.queryExecution().analyzed().toString()
+
+
 def test_drawdown_invariants(spark):
     out = (
         indicators.drawdown(_series(spark, [100.0, 120.0, 90.0, 95.0, 130.0]), ["k"], ["t"], "p")

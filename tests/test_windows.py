@@ -57,3 +57,56 @@ def test_pct_vs_first(spark):
     )
     assert out[0]["pct"] == 0.0
     assert abs(out[-1]["pct"] - (15.0 - 11.0) / 11.0 * 100) < 1e-12
+
+def test_clamped_sum_fold_and_linear_equal(spark):
+    """Both physical strategies of the clamped running sum must agree
+    exactly (integer arithmetic) — multi-key, deltas that dip below the
+    floor repeatedly, plus a NULL delta that must pass the balance
+    through unchanged."""
+    from stock_data_pipeline_spark.operators.windows import (
+        clamped_running_sum_fold,
+        clamped_running_sum_linear,
+    )
+
+    rows = []
+    for k in (1, 2):
+        for t in range(300):
+            delta = ((t * 37 + k * 11) % 21) - 10  # swings -10..+10
+            rows.append((k, t, delta if t % 50 else None))
+    df = spark.createDataFrame(rows, "k int, t int, delta int")
+    fold = {
+        (r["k"], r["t"]): r["balance"]
+        for r in clamped_running_sum_fold(df, ["k"], ["t"], "delta").collect()
+    }
+    lin = {
+        (r["k"], r["t"]): r["balance"]
+        for r in clamped_running_sum_linear(df, ["k"], ["t"], "delta").collect()
+    }
+    assert fold == lin
+
+
+def test_clamped_sum_linear_100k_single_key(spark):
+    """Scale shape that kills the O(n²) fold: one key, 10⁵ rows. The
+    linear path must finish fast and match a Python replay exactly."""
+    import time
+
+    from stock_data_pipeline_spark.operators.windows import clamped_running_sum_linear
+
+    n = 100_000
+    deltas = [((i * 2654435761) % 2001) - 1000 for i in range(n)]
+    df = spark.createDataFrame(
+        [(1, i, d) for i, d in enumerate(deltas)], "k int, t int, delta long"
+    ).repartition(8)
+    t0 = time.monotonic()
+    out = (
+        clamped_running_sum_linear(df, ["k"], ["t"], "delta")
+        .orderBy("t")
+        .collect()
+    )
+    elapsed = time.monotonic() - t0
+    bal, refs = 0, []
+    for d in deltas:
+        bal = max(0, bal + d)
+        refs.append(bal)
+    assert [r["balance"] for r in out] == refs
+    assert elapsed < 60, f"linear path took {elapsed:.1f}s on 1e5 rows"
