@@ -163,3 +163,31 @@ def test_frame_sampling_shape(spark):
         idxs = sorted(r["frame_idx"] for r in rows)
         assert idxs == list(range(len(idxs)))  # contiguous frame indices
         assert all(r["n_bytes"] <= 64 for r in rows)
+
+
+def test_portable_hash_chunked_equals_per_char(spark):
+    """The 4-chars-per-step portable hash must be bit-identical to the
+    definitional per-char fold (acc·31 + code, mod 1e9+7 each step) —
+    lengths 0..4 cover every seed arm, longer and non-ASCII strings
+    cover the chunk loop. Any divergence would invalidate all committed
+    generated oracles built on this hash."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.llm.dedup import _portable_shingle_hash
+
+    def per_char(s):
+        codes = F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.ascii(s.substr(i, F.lit(1))).cast("long"),
+        )
+        return F.aggregate(
+            codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % 1_000_000_007
+        )
+
+    rows = [("",), ("a",), ("ab",), ("abc",), ("abcd",), ("abcde",),
+            ("the quick brown fox",), ("éü日本語",), ("y" * 257,)]
+    df = spark.createDataFrame(rows, ["s"])
+    out = df.select(
+        per_char(F.col("s")).alias("o"), _portable_shingle_hash(F.col("s")).alias("n")
+    ).collect()
+    assert all(r["o"] == r["n"] for r in out)
