@@ -4,12 +4,21 @@ JSON line with per-query wall-clock seconds.
 
 Each query is forced end-to-end with the noop sink (full computation,
 no collect/driver materialization cost in the measurement).
+
+Besides wall-clock, each query records a PLAN FINGERPRINT (shuffle /
+broadcast exchange counts, whole-stage-codegen units, Python eval
+nodes, scans) so a reader can tell a plan regression (fingerprint
+changed) from box-level contention (fingerprint identical, seconds
+moved) without re-running on a quiet machine — wall-clock alone has
+repeatedly mis-flagged regressions under driver load (see the best-of-4
+note below).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -42,17 +51,21 @@ def run() -> dict:
     # 22.5 s ↔ 29 s with zero code change); the minimum over repeated
     # runs reflects the plan, not transient load
     timings: dict[str, float] = {}
+    plans: dict[str, dict[str, int]] = {}
     for name, fn in _q.headline_queries().items():
         best = None
+        df = None
         for _ in range(4):
             # time construction + execution: for iterative queries (q66)
             # the real work happens inside fn() (checkpointed rounds) —
             # timing only the final write would under-report them
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        plans[name] = _plan_fingerprint(spark, name, fn, df, sf_dir)
 
     total = round(sum(timings.values()), 3)
     return {
@@ -60,7 +73,52 @@ def run() -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "plans": plans,
         "sf": float(sf),
+    }
+
+
+# Queries that RUN jobs inside fn() (to-convergence iteration): never
+# rebuild those just for a fingerprint — fall back to the AQE initial
+# plan of the final round (codegen count reads 0 there; documented).
+ITERATIVE = {"q66_dup_clusters", "q122_cluster_canonical"}
+
+
+def _plan_fingerprint(spark, name, fn, df, sf_dir) -> dict[str, int]:
+    """Structural counters from the static physical plan. Two BENCH
+    files with equal fingerprints but different seconds = environment
+    noise; a changed fingerprint = the plan itself changed and the
+    delta is real.
+
+    Replans under AQE-off (plan construction launches zero Spark jobs
+    for every non-iterative query — enforced by
+    tests/test_plan_hygiene.py) because the AQE-on initial plan hides
+    the WholeStageCodegen wrappers that stage materialization adds."""
+    if name not in ITERATIVE:
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            # executedPlan is LAZY — force it before the conf flips back
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+    else:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "shuffle_exchanges": sum(
+            plan.count(f"Exchange {kind}")
+            for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+        ),
+        "broadcast_exchanges": plan.count("BroadcastExchange"),
+        # distinct codegen-unit ids — AQE-off treeString marks each
+        # codegen'd node with "*(id) "
+        "wholestage_codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "python_eval": sum(
+            plan.count(k)
+            for k in ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython", "BatchEvalPython")
+        ),
+        "parquet_scans": plan.count("Scan parquet"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
     }
 
 
