@@ -129,6 +129,51 @@ def read_excel_edge(spark: SparkSession, path: str, skiprows: int = 4) -> DataFr
     return spark.createDataFrame(pdf)
 
 
+def read_holdings_csv_edge(spark: SparkSession, path: str, skiprows: int = 4) -> DataFrame:
+    """A5 fallback — the holdings workbook pre-extracted to CSV, read
+    with the same ``skiprows=4`` semantics as the xlsx scan
+    (sector.py:155). pandas is always present, so unlike
+    :func:`read_excel_edge` this path runs in this sandbox; both funnel
+    into :func:`clean_holdings` for the engine-side pipeline."""
+    import pandas as pd
+
+    pdf = pd.read_csv(path, skiprows=skiprows)
+    pdf.columns = [str(c).lower().replace(" ", "_") for c in pdf.columns]
+    return spark.createDataFrame(pdf)
+
+
+def clean_holdings(df: DataFrame, as_of_date: str) -> DataFrame:
+    """A5 engine half — the workbook-cleaning pipeline of
+    ``create_sector_shares_dataframe`` (sector.py:155-168), Spark-first:
+
+    - project (ticker, weight, shares_held)
+    - drop placeholder rows: ``ticker != '-'``, ticker NOT NULL
+    - drop tickers containing ``'6'`` (the reference's futures-contract
+      exclusion)
+    - normalize ticker for SQL (``BRK.B`` → ``brk_b``, X1)
+    - ``weight / 100`` (percent → fraction)
+    - stamp the as-of date
+
+    Returns the LONG layout (date, ticker, weight, shares_held) — the
+    scale-correct shape; the reference's terminal one-row-per-date
+    pivot is the presentation step (pipeline/presentation.py), and
+    membership evolution over long holdings is D3 (etl.py, q158).
+    """
+    from stock_data_pipeline_spark.functions.scalars import make_ticker_sql_compatible
+
+    t = F.col("ticker")
+    return (
+        df.select("ticker", "weight", "shares_held")
+        .filter((t != "-") & t.isNotNull() & ~t.contains("6"))
+        .select(
+            F.lit(as_of_date).alias("date"),
+            make_ticker_sql_compatible(t).alias("ticker"),
+            (F.col("weight").cast("double") / F.lit(100.0)).alias("weight"),
+            F.col("shares_held").cast("double").alias("shares_held"),
+        )
+    )
+
+
 def parse_shares_outstanding_html(spark: SparkSession, html_rows: list[tuple[str, str]]) -> DataFrame:
     """A8 — the parse half of the ssga.com scrape (sector.py:187-207):
     given (sector, html_cell_text) pairs from the edge fetch, extract the

@@ -8956,6 +8956,62 @@ def q183_ytd_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q184_holdings_replay",
+    oracle="""
+    WITH workbook AS (
+        SELECT CASE
+                 WHEN s_suppkey % 7 = 0 THEN '-'
+                 WHEN s_suppkey % 11 = 0 THEN NULL
+                 WHEN s_suppkey % 5 = 0 THEN 'T' || CAST(s_suppkey AS VARCHAR) || '.A'
+                 ELSE 'T' || CAST(s_suppkey AS VARCHAR)
+               END AS ticker,
+               CAST(s_acctbal AS DOUBLE) AS weight,
+               CAST(s_suppkey * 10 + 3 AS DOUBLE) AS shares_held
+        FROM supplier
+    )
+    SELECT '2024-06-28' AS date,
+           lower(replace(ticker, '.', '_')) AS ticker,
+           weight / 100.0 AS weight,
+           shares_held
+    FROM workbook
+    WHERE ticker <> '-' AND ticker IS NOT NULL AND ticker NOT LIKE '%6%'
+    """,
+    survey_ref="A5 holdings workbook replay (sector.py:155-168): the "
+    "create_sector_shares_dataframe pipeline — skiprows projection, "
+    "'-'/NULL/contains-'6' drops, X1 ticker normalization, percent → "
+    "fraction, as-of stamp — as io.clean_holdings over workbook-shaped "
+    "rows; the terminal wide pivot is the presentation step (B6)",
+)
+def q184_holdings_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — the xlsx→holdings cleaning pipeline, oracle-checked.
+
+    The workbook itself can't be read in this sandbox (no openpyxl), so
+    workbook-SHAPED rows — placeholder '-' rows, NULL tickers, tickers
+    containing '6', dotted share classes — are synthesized
+    deterministically from ``supplier`` and pushed through the same
+    ``io.clean_holdings`` engine pipeline the CSV/xlsx edge readers
+    feed (tests/fixtures/holdings_workbook.csv exercises the file
+    path; this query oracle-checks the transformation semantics).
+    """
+    from stock_data_pipeline_spark.io import clean_holdings
+
+    s = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    ticker = (
+        F.when(k % 7 == 0, F.lit("-"))
+        .when(k % 11 == 0, F.lit(None).cast("string"))
+        .when(k % 5 == 0, F.concat(F.lit("T"), k.cast("string"), F.lit(".A")))
+        .otherwise(F.concat(F.lit("T"), k.cast("string")))
+    )
+    workbook = s.select(
+        ticker.alias("ticker"),
+        F.col("s_acctbal").cast("double").alias("weight"),
+        (k * 10 + 3).cast("double").alias("shares_held"),
+    )
+    return clean_holdings(workbook, "2024-06-28")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

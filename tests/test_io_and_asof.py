@@ -160,3 +160,26 @@ def test_fetch_ohlcv_empty_fetch(spark):
     out = sio.fetch_ohlcv_history(spark, ["ZZZ"], fetcher=lambda t, s, e: None)
     assert out.count() == 0
     assert out.schema.simpleString().startswith("struct<date:date,ticker:string")
+
+
+def test_holdings_csv_replay_end_to_end(spark):
+    """A5 replay: the pre-extracted workbook CSV (4 preamble rows, extra
+    Name/Sector columns, '-' cash row, blank ticker, a '6' futures
+    ticker, a dotted share class) → read_holdings_csv_edge(skiprows=4)
+    → clean_holdings must reproduce the reference's
+    create_sector_shares_dataframe semantics row for row."""
+    from pathlib import Path
+
+    from stock_data_pipeline_spark.io import clean_holdings, read_holdings_csv_edge
+
+    path = str(Path(__file__).parent / "fixtures" / "holdings_workbook.csv")
+    raw = read_holdings_csv_edge(spark, path, skiprows=4)
+    assert set(raw.columns) == {"ticker", "name", "weight", "shares_held", "sector"}
+    out = clean_holdings(raw, "2024-06-28").orderBy("ticker").collect()
+    got = [(r["date"], r["ticker"], r["weight"], r["shares_held"]) for r in out]
+    assert got == [
+        ("2024-06-28", "aapl", 22.5 / 100.0, 1000000.0),
+        ("2024-06-28", "brk_b", 5.0 / 100.0, 120000.0),
+        ("2024-06-28", "msft", 21.3 / 100.0, 900000.0),
+        ("2024-06-28", "nvda", 8.25 / 100.0, 400000.0),
+    ]
