@@ -9012,6 +9012,38 @@ def q184_holdings_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_holdings(workbook, "2024-06-28")
 
 
+@register(
+    "q185_image_header_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'png' ELSE 'bmp' END AS format,
+           CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 24 END AS INTEGER) AS bit_depth
+    FROM documents
+    """,
+    survey_ref="multimodal tier-2 REAL binary decode: spec-valid "
+    "PNG/BMP files synthesized per doc (zlib IDAT, correct CRCs), then "
+    "parsed back by a pure-Python header decoder over mapInPandas; the "
+    "oracle recomputes the expected metadata from the id formulas, so "
+    "a MATCH proves the encode→parse round trip through real binary "
+    "formats, not just byte math",
+)
+def q185_image_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-image-format round trip: every document gets an actual
+    PNG (odd ids) or BMP (even ids) payload with id-derived dimensions,
+    and the tier-2 decoder must recover format/width/height/bit-depth
+    from the bytes alone. Corrupt payloads would classify as 'unknown'
+    and hash-mismatch — the oracle genuinely gates the binary path."""
+    from stock_data_pipeline_spark.llm.multimodal import (
+        decode_image_headers,
+        synthesize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_headers(synthesize_images(docs, "doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
