@@ -9044,6 +9044,226 @@ def q185_image_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_headers(synthesize_images(docs, "doc_id"))
 
 
+@register(
+    "q186_kmv_distinct",
+    headline=True,
+    oracle="""
+    WITH mink AS (
+        SELECT DISTINCT (((o_custkey * 48271 + 11213) % 2147483647)
+                         * 69621 + 28411) % 2147483647 AS h
+        FROM orders ORDER BY h LIMIT 256
+    ), s AS (
+        SELECT COUNT(*) AS n_kept, MAX(h) AS threshold FROM mink
+    ), t AS (
+        SELECT COUNT(DISTINCT o_custkey) AS true_distinct FROM orders
+    ), e AS (
+        SELECT 256 AS k, n_kept, threshold,
+               CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                    ELSE CAST(255 AS DOUBLE) * 2147483647 / CAST(threshold AS DOUBLE)
+               END AS estimate,
+               true_distinct
+        FROM s, t
+    )
+    SELECT k, n_kept, threshold, estimate, true_distinct,
+           ABS(estimate - CAST(true_distinct AS DOUBLE))
+             / CAST(true_distinct AS DOUBLE) AS rel_error
+    FROM e
+    """,
+    survey_ref="sketch family: KMV/bottom-k distinct-count estimation "
+    "with a PORTABLE universal hash — the cross-engine-verifiable "
+    "alternative to HyperLogLog (operators/sketches.py); shuffle "
+    "carries per-partition distinct hash sets, never rows, and the "
+    "k-minimum merge is TakeOrdered O(k)",
+)
+def q186_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate |distinct o_custkey| from the 256 smallest portable
+    hash values, next to the exact count and realized relative error.
+    Every intermediate (hash, threshold) is exact integer arithmetic,
+    so even the final double estimate hash-matches DuckDB bit-for-bit
+    — a sketch with a full value oracle, which HLL can't offer."""
+    from stock_data_pipeline_spark.operators.sketches import kmv_distinct_estimate
+
+    o = load_table(spark, sf_dir, "orders")
+    est = kmv_distinct_estimate(o, "o_custkey", k=256)
+    truth = o.agg(F.countDistinct("o_custkey").alias("true_distinct"))
+    one = est.crossJoin(F.broadcast(truth))
+    rel = F.abs(
+        F.col("estimate") - F.col("true_distinct").cast("double")
+    ) / F.col("true_distinct").cast("double")
+    return one.select(
+        "k", "n_kept", "threshold", "estimate", "true_distinct", rel.alias("rel_error")
+    )
+
+
+@register(
+    "q187_url_corpus_curation",
+    oracle="""
+    WITH parsed AS (
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'news.example.com'  WHEN 1 THEN 'blog.example.org'
+                 WHEN 2 THEN 'docs.example.io'   WHEN 3 THEN 'cdn.example.net'
+                 ELSE 'shop.example.co' END AS host,
+               '/a/' || CAST(doc_id AS VARCHAR) || '/page' AS path,
+               CAST(doc_id AS VARCHAR) AS qid
+        FROM documents
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+        FROM parsed
+    )
+    SELECT doc_id, host, path, qid FROM ranked WHERE rn <= 50
+    """,
+    survey_ref="web-corpus curation: URL parsing (real parse_url over "
+    "messy scheme/port/query variants) + per-host document caps — the "
+    "host-level politeness/diversity control every crawl-derived "
+    "training corpus applies; one window shuffle on host",
+)
+def q187_url_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build messy-but-valid URLs per document (scheme varies, some
+    carry an explicit port, all carry a query string), parse them with
+    Spark's REAL url parser, then cap each host at 50 documents
+    (deterministic keep-order). The oracle recomputes the expected
+    host/path/query from the id formulas, so a MATCH proves parse_url
+    stripped schemes and ports correctly — parsing is exercised, not
+    replicated, in SQL."""
+    hosts = F.array(
+        F.lit("news.example.com"), F.lit("blog.example.org"),
+        F.lit("docs.example.io"), F.lit("cdn.example.net"), F.lit("shop.example.co"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.element_at(hosts, (F.col("doc_id") % 5 + 1).cast("int")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/a/"), F.col("doc_id").cast("string"), F.lit("/page"),
+        F.lit("?utm=x&id="), F.col("doc_id").cast("string"),
+    )
+    parsed = d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("qid"),
+    )
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        parsed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+
+
+@register(
+    "q188_truncation_dups",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE n_chars >= 20
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               substr(text, 1, CAST(floor(n_chars * 2 / 5) AS BIGINT)) AS text
+        FROM documents WHERE n_chars >= 20 AND doc_id % 10 = 0
+    )
+    SELECT a.doc_id AS short_doc, b.doc_id AS long_doc,
+           length(a.text) AS short_len, length(b.text) AS long_len
+    FROM corpus a JOIN corpus b
+      ON substr(a.text, 1, 20) = substr(b.text, 1, 20)
+     AND a.doc_id <> b.doc_id
+    WHERE length(a.text) < length(b.text)
+      AND starts_with(b.text, a.text)
+    """,
+    survey_ref="near-dup family: truncation-duplicate detection (a doc "
+    "that is a strict PREFIX of another — the crawl-artifact shape "
+    "shingle Jaccard under-scores); candidates via 20-char-prefix "
+    "equi-join, refined by starts_with — shuffle ∝ corpus, never N²",
+)
+def q188_truncation_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find documents that are strict prefixes of longer documents —
+    truncated re-crawls, pagination cuts, interrupted fetches. A
+    tenth of the corpus is re-injected at 40% length so the detector
+    has known positives; candidate pairs come from an equi-join on
+    the first 20 chars (any true prefix pair of ≥20-char docs shares
+    that key), then exact ``startswith`` refinement. The 20-char
+    bucketing is the skew knob: boilerplate-heavy corpora would widen
+    the key or add a length bucket, same as max_df in the shingle
+    pipeline."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 20)
+    truncated = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.substring(F.col("text"), 1, F.floor(F.col("n_chars") * 2 / 5).cast("int")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(truncated)
+    a = corpus.select(
+        F.col("doc_id").alias("short_doc"),
+        F.col("text").alias("ta"),
+        F.substring("text", 1, 20).alias("k"),
+    )
+    b = corpus.select(
+        F.col("doc_id").alias("long_doc"),
+        F.col("text").alias("tb"),
+        F.substring("text", 1, 20).alias("k"),
+    )
+    return (
+        a.join(b, "k")
+        .filter(
+            (F.col("short_doc") != F.col("long_doc"))
+            & (F.length("ta") < F.length("tb"))
+            & F.col("tb").startswith(F.col("ta"))
+        )
+        .select(
+            "short_doc",
+            "long_doc",
+            F.length("ta").cast("long").alias("short_len"),
+            F.length("tb").cast("long").alias("long_len"),
+        )
+    )
+
+
+@register(
+    "q189_inverted_index",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), grouped AS (
+        SELECT token,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS total_tf,
+               array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',') AS top_postings
+        FROM tokens WHERE token <> '' GROUP BY token
+    )
+    SELECT token, n_docs, total_tf, top_postings
+    FROM grouped WHERE n_docs >= 5
+    """,
+    survey_ref="retrieval-side corpus op: inverted-index postings "
+    "construction (token -> doc list + df + tf) — the artifact search "
+    "and contamination tooling consume; one explode + one grouped "
+    "shuffle, postings capped at 10 ids per token for bounded rows",
+)
+def q189_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize an inverted index over the corpus: per token, the
+    document frequency, total term frequency, and the 10 smallest doc
+    ids as the postings sample (comma-joined so the value oracle
+    compares strings, not engine-specific array renderings). Postings
+    lists are the backbone of exact-match contamination checks (q77)
+    and the shingle pipelines — this query materializes them as a
+    first-class artifact."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    grouped = tk.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 10),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("top_postings"),
+    )
+    return grouped.filter(F.col("n_docs") >= 5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

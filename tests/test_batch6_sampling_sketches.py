@@ -47,3 +47,27 @@ def test_approx_percentile_vs_exact(spark):
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a"),
     ).first()
     assert abs(approx - exact) / exact < 0.01
+
+
+def test_kmv_estimate_accuracy_and_exhaustive_mode(spark):
+    """KMV invariants: with fewer distinct values than k the sketch is
+    exhaustive (estimate == exact count); above k the estimate lands
+    within the ~1/sqrt(k) theoretical band. Duplicates must not move
+    the estimate (MIN over distinct hashes)."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.operators.sketches import kmv_distinct_estimate
+
+    small = spark.range(100).select((F.col("id") * 7).alias("v"))
+    r = kmv_distinct_estimate(small, "v", k=256).first()
+    assert r["n_kept"] == 100 and r["estimate"] == 100.0
+
+    big = spark.range(50_000).select((F.col("id") % 20_000).alias("v"))
+    r = kmv_distinct_estimate(big, "v", k=256).first()
+    assert r["n_kept"] == 256
+    assert abs(r["estimate"] - 20_000) / 20_000 < 0.20  # 3x the 1/sqrt(256) sigma
+
+    # duplicate-insensitivity: same distinct set, 5x the rows
+    dup = big.unionAll(big).unionAll(big).unionAll(big).unionAll(big)
+    r2 = kmv_distinct_estimate(dup, "v", k=256).first()
+    assert r2["estimate"] == r["estimate"]
