@@ -12,6 +12,12 @@ changed) from box-level contention (fingerprint identical, seconds
 moved) without re-running on a quiet machine — wall-clock alone has
 repeatedly mis-flagged regressions under driver load (see the best-of-4
 note below).
+
+The headline set covers one query per distinct plan family (round-3
+prune: q49/q54/q74 verification twins and q67/q70/q71 window-family
+repeats were dropped — they re-measure plans already represented by
+q25/q26/q28/q53/q68/q69, so benching them only grew wall-clock without
+adding regression signal; all six remain registered and oracle-gated).
 """
 
 from __future__ import annotations

@@ -1425,7 +1425,6 @@ def q48_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, d.lang FROM documents d
     WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
     """,
-    headline=True,
     survey_ref="extension: dedup-corpus materialization (keep canonical doc per dup cluster)",
 )
 def q49_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1641,7 +1640,6 @@ def _minhash_oracle(n: int = 3, num_perm: int = 64, bands: int = 16) -> str:
 
 @register(
     "q54_minhash_lsh_verified",
-    headline=True,
     oracle=_minhash_oracle(n=3, num_perm=64, bands=16),
     survey_ref="extension: MinHash+LSH with a FULL value oracle — portable "
     "polynomial shingle hash + integer band folds reproduce every "
@@ -2172,7 +2170,6 @@ def q66_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q67_vwap",
-    headline=True,
     oracle="""
     WITH c AS (
         SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_returnflag,
@@ -2273,7 +2270,6 @@ def q69_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q70_bollinger",
-    headline=True,
     oracle="""
     WITH c AS (
         SELECT o_custkey, o_orderkey,
@@ -2318,7 +2314,6 @@ def q70_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q71_rsi",
-    headline=True,
     oracle="""
     WITH c AS (
         SELECT o_custkey, o_orderkey,
@@ -2479,7 +2474,6 @@ def q73_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q74_ann_lsh_verified",
-    headline=True,
     oracle=_ann_lsh_oracle(num_planes=3, num_tables=10, dim=64, k=10),
     survey_ref="extension: hyperplane-LSH ANN with a FULL value oracle — "
     "the same literal dyadic plane weights embedded in both plans make "
