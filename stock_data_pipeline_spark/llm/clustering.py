@@ -115,3 +115,161 @@ def kmeans_fixed(
     return assigned.select(
         "vec_id", F.col("cid").cast("int").alias("cluster_id"), "dist2"
     )
+
+
+def _lloyd_rounds(pts: DataFrame, k: int, rounds: int) -> tuple[DataFrame, DataFrame]:
+    """``rounds`` unrolled Lloyd iterations over (vec_id, qv) points;
+    init = the k lowest-id vectors. Returns ``(assigned, cents_used)``
+    where ``cents_used`` is the centroid table the FINAL assignment
+    scored against (what ADC distance tables must use). Same lazy
+    unrolled-plan shape as :func:`kmeans_fixed`."""
+    w = Window.orderBy("vec_id")
+    cents = (
+        pts.orderBy("vec_id")
+        .limit(k)
+        .withColumn("__rn", F.row_number().over(w))
+        .select(
+            (F.col("__rn") - 1).cast("int").alias("cid"),
+            F.transform("qv", lambda x: x.cast("double")).alias("cv"),
+        )
+    )
+    assigned = None
+    for r in range(rounds):
+        assigned = _assign(pts, cents)
+        if r < rounds - 1:
+            cents = _recompute(assigned)
+    return assigned, cents
+
+
+def _subspace_pts(
+    df: DataFrame, id_col: str, vec_col: str, s: int, sub_dim: int, quant_bits: int
+) -> DataFrame:
+    """Quantized slice of dims [s·sub_dim, (s+1)·sub_dim) as the point
+    set for subspace ``s`` (1-based F.slice)."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        _quantize(F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim), quant_bits).alias(
+            "qv"
+        ),
+    )
+
+
+def pq_codes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 4,
+    rounds: int = 2,
+    quant_bits: int = 10,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` contiguous subvectors, Lloyd-cluster each subspace
+    independently (k codewords, ``rounds`` unrolled iterations,
+    quantized exact-integer arithmetic — the q80 discipline), and emit
+    each vector's code word per subspace plus the total quantization
+    error Σ_s ‖x_s − c_{s,code_s}‖².
+
+    Scale design: every subspace's codebook is k rows (broadcast); the
+    corpus is scanned once per subspace with NO shuffle during
+    assignment, and the only exchanges are the k·m-row centroid
+    recomputes. The join of the m per-subspace assignments is on vec_id
+    — co-partitioned after the first exchange. The m·k·sub_dim-float
+    codebook replaces the full vector for downstream search: 64 dims of
+    float32 compress to m=4 bytes per vector, the standard memory
+    layout for billion-scale ANN.
+
+    Determinism: identical to q80 — per-subspace init is the k
+    lowest-id vectors, quantized int sums, one double division, fixed
+    fold order for distances; the total error adds the m subspace terms
+    in explicit subspace order."""
+    joined = None
+    err = None
+    for s in range(m):
+        assigned, _ = _lloyd_rounds(
+            _subspace_pts(df, id_col, vec_col, s, sub_dim, quant_bits), k, rounds
+        )
+        part = assigned.select(
+            "vec_id",
+            F.col("cid").cast("int").alias(f"code_{s}"),
+            F.col("dist2").alias(f"_err_{s}"),
+        )
+        joined = part if joined is None else joined.join(part, "vec_id")
+        term = F.col(f"_err_{s}")
+        err = term if err is None else err + term
+    return joined.select(
+        "vec_id",
+        *[f"code_{s}" for s in range(m)],
+        err.alias("total_err"),
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 97,
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 4,
+    rounds: int = 2,
+    quant_bits: int = 10,
+    topk: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance-computation top-k over PQ codes: queries
+    (``id % query_mod == 0``) keep their raw (quantized) subvectors;
+    the corpus is represented ONLY by its per-subspace code words.
+    ADC(q, x) = Σ_s ‖q_s − c_{s,code_s(x)}‖² — each query computes an
+    m×k distance table against the broadcast codebooks once, and
+    scoring a corpus vector is m table lookups instead of a
+    full-dimension dot product.
+
+    Plan shape: the per-query distance tables are |Q|·m·k rows (a
+    crossJoin against the BROADCAST k-row codebook — queries never
+    shuffle for table construction); scoring joins the corpus code
+    column to the distance table on the code id. The final fold adds
+    subspace terms in sorted-subspace order (bit-reproducible), and
+    top-k is a (dist, vec_id) window per query.
+
+    This is the memory-bound scale path that pairs with q28's exact
+    scan and q53's IVF: IVF prunes the candidate set, PQ-ADC makes
+    scoring each candidate O(m) lookups on 4-byte codes."""
+    per_s_scores = []
+    for s in range(m):
+        pts = _subspace_pts(df, id_col, vec_col, s, sub_dim, quant_bits)
+        assigned, cents = _lloyd_rounds(pts, k, rounds)
+        corpus_codes = assigned.filter(F.col("vec_id") % query_mod != 0).select(
+            "vec_id", F.col("cid").alias("code")
+        )
+        queries = pts.filter(F.col("vec_id") % query_mod == 0).select(
+            F.col("vec_id").alias("query_id"), "qv"
+        )
+        dtab = queries.crossJoin(F.broadcast(cents)).select(
+            "query_id",
+            F.col("cid").alias("code"),
+            _sq_dist(F.col("qv"), F.col("cv")).alias("d2"),
+        )
+        per_s_scores.append(
+            corpus_codes.join(dtab, "code").select(
+                "query_id", "vec_id", F.lit(s).alias("s"), "d2"
+            )
+        )
+    scores = per_s_scores[0]
+    for part in per_s_scores[1:]:
+        scores = scores.unionByName(part)
+    summed = scores.groupBy("query_id", "vec_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("s", "d2"))),
+            F.lit(0.0),
+            lambda a, x: a + x["d2"],
+        ).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank"))
+    )

@@ -9259,6 +9259,454 @@ def q189_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.filter(F.col("n_docs") >= 5)
 
 
+_GOPHER_STOPS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "with"]
+
+
+@register(
+    "q190_gopher_rules",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, unnest(tk) AS w FROM toks
+    ), wc AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM ex GROUP BY 1, 2
+    ), stats AS (
+        SELECT doc_id,
+               SUM(c) AS n_words,
+               SUM(CAST(length(w) AS BIGINT) * c) AS sum_len,
+               MAX(c) AS max_c,
+               COUNT(DISTINCT CASE WHEN w IN ({", ".join(f"'{s}'" for s in _GOPHER_STOPS)})
+                     THEN w END) AS n_stop
+        FROM wc GROUP BY 1
+    )
+    SELECT doc_id,
+           n_words,
+           CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+           CAST(max_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+           CAST(n_stop AS BIGINT) AS n_stop_distinct,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) BETWEEN 3.0 AND 10.0
+                      AND CAST(max_c AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.2
+                      AND n_stop >= 1
+                THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher
+    FROM stats
+    """,
+    survey_ref="extension: Gopher-style document quality rules — word-count "
+    "bounds, mean word length, top-word repetition fraction, stopword "
+    "presence, composed into one pass/fail gate per document",
+)
+def q190_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (Rae et al. 2021 §A1.1 heuristics,
+    re-expressed as declarative aggregates): per document, word count,
+    mean word length, the most-repeated word's frequency fraction, and
+    distinct-stopword presence, composed into a single pass flag.
+
+    Scale shape: explode → two hash aggregates (word counts, then doc
+    stats), both map-side combinable; shuffle volume is the token
+    multiset, never doc × vocab. The repetition metric deliberately goes
+    through the (doc_id, word) aggregate instead of a per-row
+    ``transform(array_distinct(...))`` scan, which would be O(len²) per
+    document on long documents."""
+    doc = load_table(spark, sf_dir, "documents")
+    ex = doc.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("w"))
+    wc = ex.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    stats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.length("w").cast("long") * F.col("c")).alias("sum_len"),
+        F.max("c").alias("max_c"),
+        F.countDistinct(
+            F.when(F.col("w").isin(_GOPHER_STOPS), F.col("w"))
+        ).alias("n_stop_distinct"),
+    )
+    mean_len = F.col("sum_len").cast("double") / F.col("n_words").cast("double")
+    top_frac = F.col("max_c").cast("double") / F.col("n_words").cast("double")
+    passes = (
+        F.col("n_words").between(50, 100000)
+        & mean_len.between(3.0, 10.0)
+        & (top_frac <= 0.2)
+        & (F.col("n_stop_distinct") >= 1)
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        top_frac.alias("top_word_frac"),
+        F.col("n_stop_distinct").cast("long").alias("n_stop_distinct"),
+        passes.cast("long").alias("passes_gopher"),
+    )
+
+
+@register(
+    "q191_temperature_mixing",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    ), per_lang AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(n_tok) AS n_tokens
+        FROM toks GROUP BY 1
+    ), tot AS (
+        SELECT SUM(n_tokens) AS total_tokens, SUM(n_docs) AS total_docs FROM per_lang
+    ), raw AS (
+        SELECT lang, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS p,
+               sqrt(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS w_raw,
+               total_docs
+        FROM per_lang CROSS JOIN tot
+    ), norm AS (
+        SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w_raw ORDER BY lang)),
+                           (a, b) -> a + b) AS z
+        FROM raw
+    )
+    SELECT lang, n_docs, n_tokens, p,
+           w_raw / z AS weight,
+           w_raw / z * CAST(total_docs AS DOUBLE) AS expected_epoch_docs
+    FROM raw CROSS JOIN norm
+    """,
+    survey_ref="extension: temperature-based corpus mixing — per-language "
+    "token shares smoothed with alpha=0.5 (sqrt) and renormalized into "
+    "sampling weights, the standard multilingual rebalancing step",
+)
+def q191_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed sampling weights per language (alpha = 0.5,
+    i.e. w ∝ p^0.5): flattens the language distribution the way
+    multilingual training mixtures upsample low-resource languages.
+
+    Determinism: token counts and totals are exact int64; p is one
+    double division of identical operands; sqrt is correctly rounded
+    IEEE in both engines; and the normalizer folds the per-language
+    w_raw values in lang order (sorted collect_list fold / DuckDB
+    ordered-list reduce) so the 5-double sum is order-pinned.
+
+    Scale shape: one hash aggregate over the corpus (map-side
+    combinable), then all remaining work happens on one row per
+    language — the normalizer and totals broadcast."""
+    doc = load_table(spark, sf_dir, "documents")
+    per_lang = doc.select(
+        "lang", F.size(text.tokens(F.col("text"))).cast("long").alias("n_tok")
+    ).groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.sum("n_docs").alias("total_docs")
+    )
+    raw = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")).alias("p"),
+        F.sqrt(
+            F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")
+        ).alias("w_raw"),
+        "total_docs",
+    )
+    norm = raw.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("lang", "w_raw"))),
+            F.lit(0.0),
+            lambda a, x: a + x["w_raw"],
+        ).alias("z")
+    )
+    return raw.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "p",
+        (F.col("w_raw") / F.col("z")).alias("weight"),
+        (F.col("w_raw") / F.col("z") * F.col("total_docs").cast("double")).alias(
+            "expected_epoch_docs"
+        ),
+    )
+
+
+@register(
+    "q192_bloom_contamination",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 7),
+                       i -> array_to_string(tk[i:i+7], ' '))) AS s
+        FROM toks WHERE len(tk) >= 8
+    ), hashed AS (
+        SELECT DISTINCT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(s)),
+                                  i -> CAST(ord(substr(s, i, 1)) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM sh
+    ), probes AS (
+        SELECT doc_id, h, j,
+               (h + j * ((h * 2654435761) % 1000000007)) % 65536 AS pos
+        FROM hashed CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ), bloom AS (
+        SELECT pos // 62 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INTEGER)) AS bits
+        FROM (SELECT DISTINCT pos FROM probes WHERE doc_id % 50 = 0)
+        GROUP BY 1
+    ), corpus_probe AS (
+        SELECT p.doc_id, p.h,
+               CASE WHEN b.bits IS NOT NULL
+                         AND (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 62 AS INTEGER))) <> 0
+                    THEN 1 ELSE 0 END AS bit_set
+        FROM probes p LEFT JOIN bloom b ON p.pos // 62 = b.word_idx
+        WHERE p.doc_id % 50 <> 0
+    ), gram_hits AS (
+        SELECT doc_id, h, MIN(bit_set) AS hit FROM corpus_probe GROUP BY 1, 2
+    ), per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(hit) AS BIGINT) AS n_bloom_hits
+        FROM gram_hits GROUP BY 1
+    )
+    SELECT doc_id, n_grams, n_bloom_hits,
+           CAST(n_bloom_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) AS hit_frac,
+           CAST(CASE WHEN CAST(n_bloom_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.5
+                THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM per_doc
+    WHERE n_bloom_hits > 0
+    """,
+    survey_ref="extension: Bloom-filter benchmark screening — the benchmark "
+    "set's 8-gram bits become a ~1 K-row broadcast bitset, so the corpus "
+    "contamination probe is a broadcast join instead of the q77 shuffle "
+    "equi-join (the 100 TB-scale first-pass filter in front of q77)",
+)
+def q192_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination screen: fold the benchmark slice's
+    distinct word-8-grams into a 65,536-bit Bloom filter (k = 3 probes
+    per gram, double hashing pos_j = (h + j·h2) mod m), stored as ~1 K
+    62-bit words, then probe every corpus gram against the broadcast
+    bitset and score each document by its fraction of grams fully
+    present.
+
+    Why it matters at scale: q77's exact contamination check shuffles
+    corpus-side shingle postings into an equi-join against the benchmark.
+    Here the benchmark side COLLAPSES to a fixed-size bitset that
+    broadcasts to every executor — the corpus is scanned once with no
+    shuffle on the probe side (the only exchanges are the per-doc
+    aggregates), which is the right first-pass shape when the corpus is
+    100 TB and the benchmark is megabytes. False positives (expected for
+    a Bloom filter) are then confirmed by the exact q77 join over the
+    ~0.1% of docs that survive this screen.
+
+    Determinism: the portable polynomial hash (q77's) and pure integer
+    bit arithmetic reproduce exactly in any engine — 62-bit words keep
+    every mask positive in int64, so no sign-extension edge cases.
+    """
+    from stock_data_pipeline_spark.llm.dedup import _portable_shingle_hash, _spread
+
+    doc = load_table(spark, sf_dir, "documents")
+    tk = (
+        _spread(doc, "doc_id")
+        .select("doc_id", text.tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 8)
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 7),
+        lambda i: F.array_join(F.slice("tk", i, F.lit(8)), " "),
+    )
+    hashed = (
+        tk.select("doc_id", F.explode(shingles).alias("s"))
+        .select("doc_id", _portable_shingle_hash(F.col("s")).alias("h"))
+        .distinct()
+    )
+    h2 = (F.col("h") * F.lit(2654435761).cast("long")) % F.lit(1_000_000_007)
+    probes = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+    ).select(
+        "doc_id",
+        "h",
+        ((F.col("h") + F.col("j") * h2) % F.lit(65536)).alias("pos"),
+    )
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 62 AS INT))")
+    bloom = (
+        probes.filter(F.col("doc_id") % 50 == 0)
+        .select("pos")
+        .distinct()
+        .select((F.col("pos") / 62).cast("long").alias("word_idx"), mask.alias("m"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    corpus_probe = (
+        probes.filter(F.col("doc_id") % 50 != 0)
+        .withColumn("word_idx", (F.col("pos") / 62).cast("long"))
+        .withColumn("m", mask)
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "doc_id",
+            "h",
+            F.when(
+                F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("m")) != 0),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("bit_set"),
+        )
+    )
+    gram_hits = corpus_probe.groupBy("doc_id", "h").agg(F.min("bit_set").alias("hit"))
+    per_doc = gram_hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum("hit").cast("long").alias("n_bloom_hits"),
+    )
+    frac = F.col("n_bloom_hits").cast("double") / F.col("n_grams").cast("double")
+    return (
+        per_doc.filter(F.col("n_bloom_hits") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_bloom_hits",
+            frac.alias("hit_frac"),
+            (frac >= 0.5).cast("long").alias("flagged"),
+        )
+    )
+
+
+def _pq_subspace_blocks(
+    s: int, sub_dim: int, k: int, rounds: int, bits: int
+) -> list[str]:
+    """Unrolled-Lloyd CTE chain for PQ subspace ``s`` (prefix ``s{s}``)
+    — the q80 generated-oracle pattern applied to a contiguous slice of
+    the embedding. Mirrors clustering._lloyd_rounds exactly: same init
+    (k lowest vec_ids), same quantization, same fold order."""
+    scale = 1 << bits
+    a, b = s * sub_dim + 1, (s + 1) * sub_dim
+
+    def dist(qv: str, cv: str) -> str:
+        return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, {sub_dim}),
+                   i -> (CAST({qv}[i] AS DOUBLE) - {cv}[i]) * (CAST({qv}[i] AS DOUBLE) - {cv}[i]))),
+               (x, y) -> x + y)"""
+
+    parts = [
+        f"""s{s}q AS (
+        SELECT vec_id,
+               list_transform(embedding[{a}:{b}], x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+        FROM embeddings
+    ), s{s}c0 AS (
+        SELECT CAST(rn - 1 AS INTEGER) AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+        FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, qv FROM s{s}q) t
+        WHERE rn <= {k}
+    )"""
+    ]
+    for r in range(rounds):
+        prev = f"s{s}c{r}"
+        parts.append(f"""s{s}a{r + 1} AS (
+        SELECT vec_id, qv, cid, dist2 FROM (
+            SELECT q.vec_id, q.qv, {prev}.cid,
+                   {dist("q.qv", f"{prev}.cv")} AS dist2,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {dist("q.qv", f"{prev}.cv")} ASC, {prev}.cid ASC) AS rn
+            FROM s{s}q q CROSS JOIN {prev}
+        ) WHERE rn = 1
+    )""")
+        if r < rounds - 1:
+            parts.append(f"""s{s}sums{r + 1} AS (
+        SELECT cid, i, SUM(qv[i]) AS sm FROM s{s}a{r + 1}, generate_series(1, {sub_dim}) AS g(i)
+        GROUP BY 1, 2
+    ), s{s}cnt{r + 1} AS (
+        SELECT cid, COUNT(*) AS n FROM s{s}a{r + 1} GROUP BY 1
+    ), s{s}c{r + 1} AS (
+        SELECT cid, list_transform(list(sm ORDER BY i), v -> CAST(v AS DOUBLE) / n) AS cv
+        FROM s{s}sums{r + 1} JOIN s{s}cnt{r + 1} USING (cid)
+        GROUP BY cid, n
+    )""")
+    return parts
+
+
+def _pq_codes_oracle(m: int, sub_dim: int, k: int, rounds: int, bits: int) -> str:
+    parts: list[str] = []
+    for s in range(m):
+        parts.extend(_pq_subspace_blocks(s, sub_dim, k, rounds, bits))
+    joins = f"s0a{rounds} a0 " + " ".join(
+        f"JOIN s{s}a{rounds} a{s} USING (vec_id)" for s in range(1, m)
+    )
+    codes = ", ".join(f"a{s}.cid AS code_{s}" for s in range(m))
+    err = " + ".join(f"a{s}.dist2" for s in range(m))
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT a0.vec_id, {codes}, {err} AS total_err FROM {joins}\n    "
+    )
+
+
+def _pq_adc_oracle(
+    m: int, sub_dim: int, k: int, rounds: int, bits: int, query_mod: int, topk: int
+) -> str:
+    parts: list[str] = []
+    for s in range(m):
+        parts.extend(_pq_subspace_blocks(s, sub_dim, k, rounds, bits))
+        cents = f"s{s}c{rounds - 1}"
+
+        def dist(qv: str, cv: str) -> str:
+            return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, {sub_dim}),
+                   i -> (CAST({qv}[i] AS DOUBLE) - {cv}[i]) * (CAST({qv}[i] AS DOUBLE) - {cv}[i]))),
+               (x, y) -> x + y)"""
+
+        parts.append(f"""s{s}sc AS (
+        SELECT dt.query_id, cc.vec_id, {s} AS sub, dt.d2
+        FROM (SELECT vec_id, cid AS code FROM s{s}a{rounds} WHERE vec_id % {query_mod} <> 0) cc
+        JOIN (SELECT q.vec_id AS query_id, c.cid AS code, {dist("q.qv", "c.cv")} AS d2
+              FROM s{s}q q CROSS JOIN {cents} c
+              WHERE q.vec_id % {query_mod} = 0) dt USING (code)
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{s}sc" for s in range(m))
+    parts.append(f"""allsc AS ({union}),
+    summed AS (
+        SELECT query_id, vec_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d2 ORDER BY sub)),
+                           (x, y) -> x + y) AS adc_dist
+        FROM allsc GROUP BY 1, 2
+    )""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, vec_id, adc_dist, CAST(rnk AS BIGINT) AS rank FROM (
+        SELECT query_id, vec_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+        FROM summed
+    ) WHERE rnk <= {topk}
+    """
+    )
+
+
+@register(
+    "q193_pq_codes",
+    oracle=_pq_codes_oracle(m=4, sub_dim=16, k=16, rounds=2, bits=10),
+    survey_ref="extension: product quantization — per-subspace Lloyd "
+    "codebooks compress 64 float dims to 4 byte-codes per vector, with "
+    "a FULL generated value oracle (unrolled rounds, q80 discipline)",
+)
+def q193_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_data_pipeline_spark.llm.clustering import pq_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(emb, "vec_id", "embedding", m=4, sub_dim=16, k=16, rounds=2, quant_bits=10)
+
+
+@register(
+    "q194_pq_adc_topk",
+    oracle=_pq_adc_oracle(m=4, sub_dim=16, k=16, rounds=2, bits=10, query_mod=97, topk=10),
+    survey_ref="extension: asymmetric-distance top-k over PQ codes — "
+    "per-query m-by-k distance tables against broadcast codebooks, corpus "
+    "scored by code lookup; pairs with q53 IVF pruning for "
+    "billion-vector search",
+)
+def q194_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_data_pipeline_spark.llm.clustering import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, "vec_id", "embedding", query_mod=97,
+        m=4, sub_dim=16, k=16, rounds=2, quant_bits=10, topk=10,
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -1,0 +1,146 @@
+"""Round-3 batch (q190-q194): invariants + the physical plan shapes the
+scale story claims (broadcast bloom bitset, broadcast PQ codebooks, no
+Python in any hot path). Value correctness is the DuckDB oracle's job
+(test_oracle_parity + the driver gate); these pin what matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from stock_data_pipeline_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gopher_rules_invariants(spark):
+    rows = REGISTRY["q190_gopher_rules"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words > 0
+        assert 0.0 < r.top_word_frac <= 1.0
+        assert r.mean_word_len > 0
+        assert r.passes_gopher in (0, 1)
+        if r.passes_gopher:
+            assert 50 <= r.n_words <= 100000 and r.top_word_frac <= 0.2
+    plan = _plan(REGISTRY["q190_gopher_rules"].fn(spark, SF))
+    assert "Python" not in plan  # pure JVM aggregates
+
+
+def test_temperature_mixing_weights_sum_to_one(spark):
+    rows = REGISTRY["q191_temperature_mixing"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-12
+    # temperature alpha=0.5 flattens: every weight strictly between
+    # its raw share and the uniform 1/5 ordering-wise
+    for r in rows:
+        if r.p < 0.2:
+            assert r.weight > r.p
+        if r.p > 0.2:
+            assert r.weight < r.p
+
+
+def test_bloom_probe_is_broadcast_join(spark):
+    """The corpus→bitset probe must be a broadcast join — shuffling the
+    corpus against a ~1K-row bitset would be the exact failure the
+    query exists to avoid."""
+    df = REGISTRY["q192_bloom_contamination"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    for r in rows:
+        assert 0 < r.n_bloom_hits <= r.n_grams
+        assert 0.0 < r.hit_frac <= 1.0
+
+
+def test_bloom_superset_of_exact_contamination(spark):
+    """A Bloom filter never false-negatives: every doc the exact q77
+    check flags at >=50% overlap must also be flagged by the bloom
+    screen (the bloom may flag MORE — false positives are expected)."""
+    exact = {
+        r.doc_id
+        for r in REGISTRY["q77_contamination"].fn(spark, SF).collect()
+    }
+    bloom = {
+        r.doc_id
+        for r in REGISTRY["q192_bloom_contamination"].fn(spark, SF).collect()
+        if r.flagged
+    }
+    assert exact <= bloom
+
+
+def test_pq_codes_shape_and_broadcast(spark):
+    df = REGISTRY["q193_pq_codes"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan  # codebook assignment broadcasts
+    assert "Python" not in plan
+    rows = df.collect()
+    assert len(rows) == 500
+    for r in rows:
+        for s in range(4):
+            assert 0 <= getattr(r, f"code_{s}") < 16
+        assert r.total_err >= 0.0
+
+
+def test_pq_adc_topk_ranks(spark):
+    rows = REGISTRY["q194_pq_adc_topk"].fn(spark, SF).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r.adc_dist for r in rs]
+        assert dists == sorted(dists)
+        assert all(r.vec_id % 97 != 0 for r in rs)  # corpus only
+
+
+def test_pq_adc_agrees_with_exact_on_coarse_neighbors(spark):
+    """ADC distance is an approximation, but the quantization error is
+    bounded — the ADC top-10 of each query must overlap the exact
+    squared-distance top-20 computed on the same quantized vectors."""
+    from pyspark.sql import functions as F
+    from stock_data_pipeline_spark.catalog import load_table
+    from stock_data_pipeline_spark.llm.clustering import _quantize
+    from stock_data_pipeline_spark.llm.similarity import _fold_sum
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        _quantize(F.col("embedding"), 10).alias("qq"),
+    )
+    c = emb.filter(F.col("vec_id") % 97 != 0).select(
+        "vec_id", _quantize(F.col("embedding"), 10).alias("cq")
+    )
+    d2 = _fold_sum(
+        F.zip_with(
+            "qq", "cq",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    exact = (
+        q.crossJoin(c)
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .collect()
+    )
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    adc = REGISTRY["q194_pq_adc_topk"].fn(spark, SF).collect()
+    adc_sets: dict[int, set] = {}
+    for r in adc:
+        adc_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    total = hits = 0
+    for qid, s in adc_sets.items():
+        total += len(s)
+        hits += len(s & exact_sets.get(qid, set()))
+    assert hits / total >= 0.3, f"ADC recall vs exact top-20 too low: {hits}/{total}"
