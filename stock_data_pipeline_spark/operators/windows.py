@@ -126,29 +126,40 @@ def clamped_running_sum(
     starting from balance = floor (so bal₀ = max(floor, floor + Δ₀)) —
     inventory/credit-balance semantics where stock can't go negative.
 
-    Unlike a plain cumulative sum, the clamp makes every row depend on
-    the previous RESULT (max doesn't distribute over +), so no window
-    frame expresses it. Two physical strategies (same policy as
-    ``indicators.ema``): the scale-safe O(n)-per-key
-    :func:`clamped_running_sum_linear` by default, or the all-JVM
-    O(n²) :func:`clamped_running_sum_fold` when the caller asserts a
-    per-key bound ≤ ``indicators.FOLD_MAX_ROWS_PER_KEY``. Integer
-    arithmetic makes both exact, so either satisfies q147's
-    recursive-CTE oracle; the two paths are asserted equal on a
-    10⁵-row single key in tests/test_windows.py.
-    """
-    from stock_data_pipeline_spark.operators.indicators import FOLD_MAX_ROWS_PER_KEY
+    Although the clamp makes every row depend on the previous RESULT,
+    the one-sided max HAS a window-expressible closed form: with
+    b = bal − floor and S the plain prefix sum of Δ,
 
-    if (
-        expected_rows_per_key is not None
-        and expected_rows_per_key <= FOLD_MAX_ROWS_PER_KEY
-    ):
-        return clamped_running_sum_fold(
-            df, partition_cols, order_cols, delta_col, floor, out_col
-        )
-    return clamped_running_sum_linear(
-        df, partition_cols, order_cols, delta_col, floor, out_col
+        bₜ = Sₜ − min(0, min_{j≤t} Sⱼ)
+
+    (the running minimum "absorbs" every time the floor would have
+    been crossed). So the production plan is two cumulative frames —
+    SUM and MIN over the same (key, order) window, ONE exchange, all
+    JVM, O(n) per key, no Python — strictly better than both the O(n²)
+    fold and the Arrow scan at every scale. Exact int64 arithmetic, so
+    it satisfies q147's recursive-CTE oracle bit-for-bit.
+
+    :func:`clamped_running_sum_fold` (collect_list left fold) and
+    :func:`clamped_running_sum_linear` (Arrow per-key scan) remain as
+    independently-derived verification twins — all three are asserted
+    equal in tests/test_windows.py; ``expected_rows_per_key`` is kept
+    for API compatibility but no longer selects a strategy.
+    """
+    del expected_rows_per_key  # closed form wins at every key size
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    s = F.sum(F.col(delta_col).cast("long")).over(w)
+    df = df.withColumn("_s", F.coalesce(s, F.lit(0).cast("long")))
+    runmin = F.min(F.col("_s")).over(w)
+    bal = (
+        F.lit(floor).cast("long")
+        + F.col("_s")
+        - F.least(F.lit(0).cast("long"), runmin)
+    )
+    return df.withColumn(out_col, bal).drop("_s")
 
 
 def clamped_running_sum_fold(

@@ -6767,24 +6767,24 @@ def q146_events_since_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM rec
     """,
     survey_ref="W extension: floored running balance (inventory/credit "
-    "semantics) — the clamp makes each row depend on the previous "
-    "RESULT, inexpressible as a window frame; O(n)-per-key "
-    "applyInPandas integer scan (clamped_running_sum_linear) vs a "
-    "recursive-CTE oracle, exact by integer-cent arithmetic",
+    "semantics) — the one-sided clamp recurrence solved in closed form "
+    "as prefix-sum minus clamped running-min: two cumulative frames on "
+    "one exchange, all JVM, vs a recursive-CTE oracle, exact by "
+    "integer-cent arithmetic",
 )
 def q147_floored_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running balance that can't go negative: purchases and
     signups credit the event value, everything else debits it, and
     the balance clamps at zero.
 
-    max(0, ·) doesn't distribute over +, so no cumulative window
-    frame computes this — it's the genuinely-sequential family (EMA's
-    sibling). Ships the scale-safe linear strategy (events-per-user
-    grows with data size): one shuffle on user_id, then an O(n)
-    per-key integer fold in exact cents; the recursive-CTE oracle
-    replays the identical recurrence, so the match is exact, not
-    approximate. The all-JVM collect_list fold stays available behind
-    the dispatcher for provably-short series.
+    Although max(0, ·) doesn't distribute over +, the one-sided clamp
+    has the closed form bal = floor + S − min(0, runmin(S)) over the
+    plain prefix sum S — so the production plan is two cumulative
+    window frames on ONE user_id exchange, pure JVM codegen, O(n) per
+    key at any key size (see clamped_running_sum). The recursive-CTE
+    oracle replays the original recurrence, so the match doubles as a
+    proof of the closed form on real data; the collect_list fold and
+    Arrow scan remain as verification twins.
     """
     from stock_data_pipeline_spark.operators.windows import clamped_running_sum
 

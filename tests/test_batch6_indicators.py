@@ -90,12 +90,12 @@ def test_ema_linear_100k_single_key(spark):
 def test_ema_dispatcher_guard(spark):
     """expected_rows_per_key ≤ FOLD_MAX_ROWS_PER_KEY picks the all-JVM
     fold (no Arrow/Python in the plan); the default picks the
-    applyInPandas scan (FlatMapGroupsInPandas in the plan)."""
+    batched-Arrow scan (MapInPandas in the plan)."""
     df = _series(spark, [1.0, 2.0, 3.0])
     folded = indicators.ema(df, ["k"], ["t"], "p", expected_rows_per_key=250)
     linear = indicators.ema(df, ["k"], ["t"], "p")
-    assert "FlatMapGroupsInPandas" not in folded._jdf.queryExecution().analyzed().toString()
-    assert "FlatMapGroupsInPandas" in linear._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" not in folded._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" in linear._jdf.queryExecution().analyzed().toString()
 
 
 def test_drawdown_invariants(spark):

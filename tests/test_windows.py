@@ -85,6 +85,41 @@ def test_clamped_sum_fold_and_linear_equal(spark):
     assert fold == lin
 
 
+def test_clamped_sum_window_closed_form_equals_twins(spark):
+    """The production path (prefix-sum / running-min closed form) must
+    equal BOTH independently-derived twins exactly — multi-key, floor
+    crossings, NULL deltas, and a negative floor."""
+    from stock_data_pipeline_spark.operators.windows import (
+        clamped_running_sum,
+        clamped_running_sum_fold,
+        clamped_running_sum_linear,
+    )
+
+    rows = []
+    for k in (1, 2, 3):
+        for t in range(257):
+            delta = ((t * 37 + k * 11) % 21) - 10
+            rows.append((k, t, delta if (t + k) % 41 else None))
+    df = spark.createDataFrame(rows, "k int, t int, delta int")
+    for floor in (0, -500):
+        win = {
+            (r["k"], r["t"]): r["balance"]
+            for r in clamped_running_sum(df, ["k"], ["t"], "delta", floor=floor).collect()
+        }
+        fold = {
+            (r["k"], r["t"]): r["balance"]
+            for r in clamped_running_sum_fold(df, ["k"], ["t"], "delta", floor=floor).collect()
+        }
+        lin = {
+            (r["k"], r["t"]): r["balance"]
+            for r in clamped_running_sum_linear(df, ["k"], ["t"], "delta", floor=floor).collect()
+        }
+        assert win == fold == lin
+    # the production plan must be pure JVM — no Arrow, no Python
+    plan = clamped_running_sum(df, ["k"], ["t"], "delta")._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
 def test_clamped_sum_linear_100k_single_key(spark):
     """Scale shape that kills the O(n²) fold: one key, 10⁵ rows. The
     linear path must finish fast and match a Python replay exactly."""
