@@ -9423,6 +9423,7 @@ def q191_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q192_bloom_contamination",
+    headline=True,
     oracle="""
     WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
@@ -9691,6 +9692,7 @@ def q193_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q194_pq_adc_topk",
+    headline=True,
     oracle=_pq_adc_oracle(m=4, sub_dim=16, k=16, rounds=2, bits=10, query_mod=97, topk=10),
     survey_ref="extension: asymmetric-distance top-k over PQ codes — "
     "per-query m-by-k distance tables against broadcast codebooks, corpus "
@@ -9704,6 +9706,303 @@ def q194_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         emb, "vec_id", "embedding", query_mod=97,
         m=4, sub_dim=16, k=16, rounds=2, quant_bits=10, topk=10,
+    )
+
+
+_MORTON_SQL = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(generate_series(0, 15),
+            i -> (((zx >> i) & 1) << (2 * i)) + (((zy >> i) & 1) << (2 * i + 1)))),
+        (a, b) -> a + b)"""
+
+_ZORDER_BASE_SQL = """rng AS (
+        SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+               MIN(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS dmin,
+               MAX(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS dmax
+        FROM orders
+    ), pts AS (
+        SELECT o_orderkey, o_custkey AS ck,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dd,
+               cmin, cmax, dmin, dmax
+        FROM orders CROSS JOIN rng
+    ), nrm AS (
+        SELECT o_orderkey, ck, dd, cmin, cmax, dmin, dmax,
+               ((ck - cmin) * 65535) // greatest(cmax - cmin, 1) AS zx,
+               ((dd - dmin) * 65535) // greatest(dmax - dmin, 1) AS zy
+        FROM pts
+    ), zed AS (
+        SELECT o_orderkey, ck, dd, cmin, cmax, dmin, dmax, zx, zy,
+               {morton} AS zval
+        FROM nrm
+    )""".format(morton=_MORTON_SQL)
+
+
+@register(
+    "q195_zorder_zonemaps",
+    oracle=f"""
+    WITH {_ZORDER_BASE_SQL}
+    SELECT zval >> 26 AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(ck) AS ck_lo, MAX(ck) AS ck_hi,
+           MIN(dd) AS dd_lo, MAX(dd) AS dd_hi
+    FROM zed
+    GROUP BY 1
+    """,
+    survey_ref="extension: Z-order (Morton) clustering + zone maps — "
+    "interleave customer and order-day bits so every file gets a tight "
+    "min/max range in BOTH dimensions; the skipping index a lakehouse "
+    "writer persists per file",
+)
+def q195_zorder_zonemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order the orders table on (o_custkey, order day) into 64
+    curve-contiguous files and emit each file's zone map (row count +
+    min/max of both dimensions).
+
+    At 100 TB this IS the layout decision: a single-column sort prunes
+    scans only on its leading column, while Morton interleaving bounds
+    every file in both dimensions, so 2-D predicates skip most files
+    (measured by q196). One broadcast range aggregate, one narrow
+    projection for the 32-bit z-value (statically unrolled integer
+    bit-fold, whole-stage codegen), one map-side-combinable aggregate
+    for the maps — the curve assignment itself never shuffles the fact
+    table."""
+    from stock_data_pipeline_spark.operators.layout import zone_maps, zorder_assignment
+
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    pts = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("long").alias("dd"),
+    )
+    assigned = zorder_assignment(pts, "ck", "dd", n_files=64)
+    return zone_maps(assigned, "file_id", ["ck", "dd"]).select(
+        "file_id",
+        "n_rows",
+        "ck_lo",
+        "ck_hi",
+        "dd_lo",
+        "dd_hi",
+    )
+
+
+@register(
+    "q196_layout_pruning",
+    headline=True,
+    oracle=f"""
+    WITH {_ZORDER_BASE_SQL},
+    banded AS (
+        SELECT *,
+               cmin + ((cmax - cmin) * 45) // 100 AS clo,
+               cmin + ((cmax - cmin) * 55) // 100 AS chi,
+               dmin + ((dmax - dmin) * 45) // 100 AS dlo,
+               dmin + ((dmax - dmin) * 55) // 100 AS dhi,
+               zval >> 26 AS z_file,
+               zy >> 10 AS d_file
+        FROM zed
+    ), match_cnt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS rows_matching
+        FROM banded WHERE ck BETWEEN clo AND chi AND dd BETWEEN dlo AND dhi
+    ), zmaps AS (
+        SELECT 'zorder' AS layout, z_file AS file_id, COUNT(*) AS n_rows,
+               MIN(ck) AS ck_lo, MAX(ck) AS ck_hi, MIN(dd) AS dd_lo, MAX(dd) AS dd_hi,
+               MIN(clo) AS clo, MIN(chi) AS chi, MIN(dlo) AS dlo, MIN(dhi) AS dhi
+        FROM banded GROUP BY 2
+        UNION ALL
+        SELECT 'date_sorted', d_file, COUNT(*),
+               MIN(ck), MAX(ck), MIN(dd), MAX(dd),
+               MIN(clo), MIN(chi), MIN(dlo), MIN(dhi)
+        FROM banded GROUP BY 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN ck_hi >= clo AND ck_lo <= chi
+                          AND dd_hi >= dlo AND dd_lo <= dhi THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+           CAST(SUM(CASE WHEN ck_hi >= clo AND ck_lo <= chi
+                          AND dd_hi >= dlo AND dd_lo <= dhi THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+           (SELECT rows_matching FROM match_cnt) AS rows_matching
+    FROM zmaps
+    GROUP BY 1
+    """,
+    survey_ref="extension: zone-map pruning comparison — the same 2-D "
+    "band predicate evaluated against per-file min/max stats under a "
+    "date-sorted layout vs a Z-ordered layout; quantifies why Z-order "
+    "wins multi-dimensional scans at scale",
+)
+def q196_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many files would a 2-D predicate (a 10% customer band × a
+    10% date band) actually scan under (a) a date-sorted layout vs
+    (b) a Z-ordered layout, given per-file zone maps?
+
+    Emits one row per layout: file count, files surviving min/max
+    pruning, rows inside surviving files, and the true matching row
+    count (layout-independent). The date-sorted layout prunes hard on
+    the date band but must scan ~every file for the customer band; the
+    Z-order layout bounds both dimensions per file. Everything is
+    exact integer arithmetic off one broadcast range row."""
+    from stock_data_pipeline_spark.operators.layout import (
+        norm16 as _layout_norm16,
+        zorder_assignment,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    pts = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("long").alias("dd"),
+    )
+    rng = pts.agg(
+        F.min("ck").alias("cmin"),
+        F.max("ck").alias("cmax"),
+        F.min("dd").alias("dmin"),
+        F.max("dd").alias("dmax"),
+    )
+
+    def idiv(a: F.Column, b) -> F.Column:
+        b = F.lit(b).cast("long") if isinstance(b, int) else b
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    assigned = (
+        zorder_assignment(pts, "ck", "dd", n_files=64)
+        .withColumnRenamed("file_id", "z_file")
+        .crossJoin(F.broadcast(rng))
+        .withColumn("clo", F.col("cmin") + idiv((F.col("cmax") - F.col("cmin")) * 45, 100))
+        .withColumn("chi", F.col("cmin") + idiv((F.col("cmax") - F.col("cmin")) * 55, 100))
+        .withColumn("dlo", F.col("dmin") + idiv((F.col("dmax") - F.col("dmin")) * 45, 100))
+        .withColumn("dhi", F.col("dmin") + idiv((F.col("dmax") - F.col("dmin")) * 55, 100))
+        .withColumn(
+            "d_file",
+            F.shiftright(
+                _layout_norm16(F.col("dd"), F.col("dmin"), F.col("dmax")), 10
+            ).cast("long"),
+        )
+    )
+    in_band = (
+        F.col("ck").between(F.col("clo"), F.col("chi"))
+        & F.col("dd").between(F.col("dlo"), F.col("dhi"))
+    )
+    match_cnt = assigned.filter(in_band).agg(
+        F.count("*").cast("long").alias("rows_matching")
+    )
+    maps = None
+    for layout, fcol in (("zorder", "z_file"), ("date_sorted", "d_file")):
+        zm = assigned.groupBy(F.col(fcol).alias("file_id")).agg(
+            F.count("*").alias("n_rows"),
+            F.min("ck").alias("ck_lo"),
+            F.max("ck").alias("ck_hi"),
+            F.min("dd").alias("dd_lo"),
+            F.max("dd").alias("dd_hi"),
+            F.min("clo").alias("clo"),
+            F.min("chi").alias("chi"),
+            F.min("dlo").alias("dlo"),
+            F.min("dhi").alias("dhi"),
+        ).withColumn("layout", F.lit(layout))
+        maps = zm if maps is None else maps.unionByName(zm)
+    survives = (
+        (F.col("ck_hi") >= F.col("clo"))
+        & (F.col("ck_lo") <= F.col("chi"))
+        & (F.col("dd_hi") >= F.col("dlo"))
+        & (F.col("dd_lo") <= F.col("dhi"))
+    )
+    return (
+        maps.groupBy("layout")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(F.when(survives, 1).otherwise(0)).cast("long").alias("files_scanned"),
+            F.sum(F.when(survives, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+        .crossJoin(F.broadcast(match_cnt))
+        .select("layout", "n_files", "files_scanned", "rows_scanned", "rows_matching")
+    )
+
+
+@register(
+    "q197_skew_planner",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1
+    ), cc AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS k FROM counts GROUP BY 1
+    ), cum AS (
+        SELECT c, k, SUM(k) OVER (ORDER BY c) AS cum_keys FROM cc
+    ), tot AS (
+        SELECT CAST(SUM(k) AS BIGINT) AS n_keys,
+               CAST(SUM(c * k) AS BIGINT) AS total_rows,
+               CAST(MAX(c) AS BIGINT) AS max_rows
+        FROM cc
+    ), quant AS (
+        SELECT (SELECT MIN(c) FROM cum WHERE cum_keys >= (50 * n_keys + 99) // 100) AS p50_rows,
+               (SELECT MIN(c) FROM cum WHERE cum_keys >= (99 * n_keys + 99) // 100) AS p99_rows,
+               n_keys, total_rows, max_rows
+        FROM tot
+    )
+    SELECT n_keys, total_rows, max_rows, p50_rows, p99_rows,
+           CAST(max_rows AS DOUBLE) * n_keys / total_rows AS skew_ratio,
+           least(32, (max_rows + p99_rows - 1) // p99_rows) AS recommended_salt
+    FROM quant
+    """,
+    survey_ref="extension: shuffle-skew planner — count-of-counts key "
+    "histogram, exact p50/p99 per-key row counts, hottest-key skew ratio, "
+    "and the salt factor operators/skew.salted_join should use",
+)
+def q197_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnose join/aggregation skew on events.user_id and recommend a
+    salting factor: per-key row counts collapse to a COUNT-OF-COUNTS
+    histogram (distinct count values — tiny at any scale), exact
+    p50/p99 per-key sizes come off the histogram's cumulative sum, and
+    the salt is ceil(hottest key / p99 key), capped at 32 — the fan-out
+    ``operators/skew.salted_join`` takes.
+
+    Scale shape: ONE shuffle proportional to the data (the per-key
+    count); everything after runs on the count-of-counts histogram,
+    whose size is bounded by the distinct per-key sizes, not the key
+    count — so the global cumulative window is over a provably tiny
+    frame (the q42/q87 exact-quantile trick applied to the histogram
+    instead of the keys)."""
+    ev = load_events(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    cc = counts.groupBy("c").agg(F.count("*").alias("k"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cc.withColumn("cum_keys", F.sum("k").over(w))
+    tot = cc.agg(
+        F.sum("k").cast("long").alias("n_keys"),
+        F.sum(F.col("c") * F.col("k")).cast("long").alias("total_rows"),
+        F.max("c").cast("long").alias("max_rows"),
+    )
+
+    def ceil_pct(pct: int) -> F.Column:
+        num = F.lit(pct).cast("long") * F.col("n_keys") + F.lit(99).cast("long")
+        return ((num - F.pmod(num, F.lit(100).cast("long"))) / 100).cast("long")
+
+    quant = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.min(F.when(F.col("cum_keys") >= ceil_pct(50), F.col("c"))).alias("p50_rows"),
+            F.min(F.when(F.col("cum_keys") >= ceil_pct(99), F.col("c"))).alias("p99_rows"),
+            F.first("n_keys").alias("n_keys"),
+            F.first("total_rows").alias("total_rows"),
+            F.first("max_rows").alias("max_rows"),
+        )
+    )
+    salt_num = F.col("max_rows") + F.col("p99_rows") - 1
+    salt = F.least(
+        F.lit(32).cast("long"),
+        ((salt_num - F.pmod(salt_num, F.col("p99_rows"))) / F.col("p99_rows")).cast("long"),
+    )
+    return quant.select(
+        "n_keys",
+        "total_rows",
+        "max_rows",
+        "p50_rows",
+        "p99_rows",
+        (
+            F.col("max_rows").cast("double") * F.col("n_keys") / F.col("total_rows")
+        ).alias("skew_ratio"),
+        salt.alias("recommended_salt"),
     )
 
 

@@ -98,6 +98,63 @@ def test_pq_adc_topk_ranks(spark):
         assert all(r.vec_id % 97 != 0 for r in rs)  # corpus only
 
 
+def test_morton_interleave_known_values(spark):
+    from pyspark.sql import functions as F
+    from stock_data_pipeline_spark.operators.layout import morton2
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "x long, y long"
+    )
+    out = {(r.x, r.y): r.z for r in df.select("x", "y", morton2(F.col("x"), F.col("y")).alias("z")).collect()}
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in out.items():
+        assert z == ref(x, y)
+    assert out[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_zorder_files_bound_both_dimensions(spark):
+    """The whole point of Z-order: per-file ranges must be tight in BOTH
+    dimensions — each file's customer range and date range must each be
+    far narrower than the global range (a sorted layout is tight in one
+    dimension only)."""
+    rows = REGISTRY["q195_zorder_zonemaps"].fn(spark, SF).collect()
+    assert len(rows) == 64
+    ck_span = max(r.ck_hi for r in rows) - min(r.ck_lo for r in rows)
+    dd_span = max(r.dd_hi for r in rows) - min(r.dd_lo for r in rows)
+    import statistics
+
+    med_ck = statistics.median(r.ck_hi - r.ck_lo for r in rows)
+    med_dd = statistics.median(r.dd_hi - r.dd_lo for r in rows)
+    assert med_ck <= ck_span / 2
+    assert med_dd <= dd_span / 2
+
+
+def test_layout_pruning_zorder_beats_date_sort(spark):
+    rows = {r.layout: r for r in REGISTRY["q196_layout_pruning"].fn(spark, SF).collect()}
+    z, d = rows["zorder"], rows["date_sorted"]
+    assert z.rows_matching == d.rows_matching  # predicate is layout-free
+    # zone maps are sound: scanned rows always cover the matches
+    assert z.rows_scanned >= z.rows_matching
+    assert d.rows_scanned >= d.rows_matching
+    # and Z-order must prune at least as hard as the single-dim sort
+    assert z.rows_scanned <= d.rows_scanned
+
+
+def test_skew_planner_invariants(spark):
+    r = REGISTRY["q197_skew_planner"].fn(spark, SF).collect()[0]
+    assert r.p50_rows <= r.p99_rows <= r.max_rows
+    assert 1 <= r.recommended_salt <= 32
+    assert r.skew_ratio >= 1.0
+    assert r.n_keys > 0 and r.total_rows >= r.n_keys
+
+
 def test_pq_adc_agrees_with_exact_on_coarse_neighbors(spark):
     """ADC distance is an approximation, but the quantization error is
     bounded — the ADC top-10 of each query must overlap the exact
