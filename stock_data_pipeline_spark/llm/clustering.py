@@ -273,3 +273,98 @@ def pq_adc_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 97,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 16,
+    rounds: int = 2,
+    quant_bits: int = 10,
+    topk: int = 10,
+) -> DataFrame:
+    """The billion-scale ANN production composition: IVF coarse pruning
+    + PQ asymmetric-distance scoring (IVF-PQ, Jégou et al. 2011 §V).
+
+    1. A coarse quantizer (Lloyd over the FULL vector, ``n_lists``
+       centroids) partitions the corpus into inverted lists — the same
+       broadcast-assignment shape as q53's IVF.
+    2. Each query probes its ``nprobe`` nearest coarse lists only; the
+       candidate set is an equi-join on list id, so scoring work drops
+       by ~n_lists/nprobe before any distance math happens.
+    3. Candidates are scored by PQ-ADC (q194): per-query m×k distance
+       tables against broadcast sub-codebooks, corpus side represented
+       only by its byte codes.
+
+    Scale shape: the corpus is scanned once for coarse assignment and
+    once per subspace for codes (all broadcast joins, no shuffle of the
+    corpus); the only |candidates|-proportional work is the final
+    list-id equi-join + code lookups. At 10⁹ vectors with n_lists=2¹⁶
+    and nprobe=32, ADC touches ~0.05% of the corpus per query.
+
+    Determinism: both quantizers use the exact-integer Lloyd rounds
+    (q80 discipline); the ADC fold adds subspace terms in sorted order;
+    coarse-probe and final top-k ties break on (distance, id).
+    """
+    pts_full = df.select(
+        F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col), quant_bits).alias("qv")
+    )
+    coarse_assigned, coarse_cents = _lloyd_rounds(pts_full, n_lists, rounds)
+    corpus_lists = coarse_assigned.filter(F.col("vec_id") % query_mod != 0).select(
+        "vec_id", F.col("cid").alias("list_id")
+    )
+    queries_full = pts_full.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), "qv"
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("cd2").asc(), F.col("cid").asc())
+    probed = (
+        queries_full.crossJoin(F.broadcast(coarse_cents))
+        .withColumn("cd2", _sq_dist(F.col("qv"), F.col("cv")))
+        .withColumn("__pn", F.row_number().over(wp))
+        .filter(F.col("__pn") <= nprobe)
+        .select("query_id", F.col("cid").alias("list_id"))
+    )
+    cand = probed.join(corpus_lists, "list_id").select("query_id", "vec_id")
+
+    per_s_scores = []
+    for s in range(m):
+        pts = _subspace_pts(df, id_col, vec_col, s, sub_dim, quant_bits)
+        assigned, cents = _lloyd_rounds(pts, k, rounds)
+        codes = assigned.select("vec_id", F.col("cid").alias("code"))
+        sub_queries = pts.filter(F.col("vec_id") % query_mod == 0).select(
+            F.col("vec_id").alias("query_id"), "qv"
+        )
+        dtab = sub_queries.crossJoin(F.broadcast(cents)).select(
+            "query_id",
+            F.col("cid").alias("code"),
+            _sq_dist(F.col("qv"), F.col("cv")).alias("d2"),
+        )
+        per_s_scores.append(
+            cand.join(codes, "vec_id")
+            .join(dtab, ["query_id", "code"])
+            .select("query_id", "vec_id", F.lit(s).alias("s"), "d2")
+        )
+    scores = per_s_scores[0]
+    for part in per_s_scores[1:]:
+        scores = scores.unionByName(part)
+    summed = scores.groupBy("query_id", "vec_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("s", "d2"))),
+            F.lit(0.0),
+            lambda a, x: a + x["d2"],
+        ).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank"))
+    )

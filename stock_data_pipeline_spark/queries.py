@@ -9567,14 +9567,18 @@ def q192_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_subspace_blocks(
-    s: int, sub_dim: int, k: int, rounds: int, bits: int
+    s: int, sub_dim: int, k: int, rounds: int, bits: int, tag: str | None = None
 ) -> list[str]:
-    """Unrolled-Lloyd CTE chain for PQ subspace ``s`` (prefix ``s{s}``)
-    — the q80 generated-oracle pattern applied to a contiguous slice of
-    the embedding. Mirrors clustering._lloyd_rounds exactly: same init
-    (k lowest vec_ids), same quantization, same fold order."""
+    """Unrolled-Lloyd CTE chain for PQ subspace ``s`` (prefix ``s{s}``,
+    or ``tag`` when given — the coarse IVF quantizer reuses this with
+    tag='cg' over the full vector) — the q80 generated-oracle pattern
+    applied to a contiguous slice of the embedding. Mirrors
+    clustering._lloyd_rounds exactly: same init (k lowest vec_ids),
+    same quantization, same fold order."""
     scale = 1 << bits
     a, b = s * sub_dim + 1, (s + 1) * sub_dim
+    if tag is None:
+        tag = f"s{s}"
 
     def dist(qv: str, cv: str) -> str:
         return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -9583,36 +9587,36 @@ def _pq_subspace_blocks(
                (x, y) -> x + y)"""
 
     parts = [
-        f"""s{s}q AS (
+        f"""{tag}q AS (
         SELECT vec_id,
                list_transform(embedding[{a}:{b}], x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
         FROM embeddings
-    ), s{s}c0 AS (
+    ), {tag}c0 AS (
         SELECT CAST(rn - 1 AS INTEGER) AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
-        FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, qv FROM s{s}q) t
+        FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, qv FROM {tag}q) t
         WHERE rn <= {k}
     )"""
     ]
     for r in range(rounds):
-        prev = f"s{s}c{r}"
-        parts.append(f"""s{s}a{r + 1} AS (
+        prev = f"{tag}c{r}"
+        parts.append(f"""{tag}a{r + 1} AS (
         SELECT vec_id, qv, cid, dist2 FROM (
             SELECT q.vec_id, q.qv, {prev}.cid,
                    {dist("q.qv", f"{prev}.cv")} AS dist2,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
                        ORDER BY {dist("q.qv", f"{prev}.cv")} ASC, {prev}.cid ASC) AS rn
-            FROM s{s}q q CROSS JOIN {prev}
+            FROM {tag}q q CROSS JOIN {prev}
         ) WHERE rn = 1
     )""")
         if r < rounds - 1:
-            parts.append(f"""s{s}sums{r + 1} AS (
-        SELECT cid, i, SUM(qv[i]) AS sm FROM s{s}a{r + 1}, generate_series(1, {sub_dim}) AS g(i)
+            parts.append(f"""{tag}sums{r + 1} AS (
+        SELECT cid, i, SUM(qv[i]) AS sm FROM {tag}a{r + 1}, generate_series(1, {sub_dim}) AS g(i)
         GROUP BY 1, 2
-    ), s{s}cnt{r + 1} AS (
-        SELECT cid, COUNT(*) AS n FROM s{s}a{r + 1} GROUP BY 1
-    ), s{s}c{r + 1} AS (
+    ), {tag}cnt{r + 1} AS (
+        SELECT cid, COUNT(*) AS n FROM {tag}a{r + 1} GROUP BY 1
+    ), {tag}c{r + 1} AS (
         SELECT cid, list_transform(list(sm ORDER BY i), v -> CAST(v AS DOUBLE) / n) AS cv
-        FROM s{s}sums{r + 1} JOIN s{s}cnt{r + 1} USING (cid)
+        FROM {tag}sums{r + 1} JOIN {tag}cnt{r + 1} USING (cid)
         GROUP BY cid, n
     )""")
     return parts
@@ -9917,6 +9921,99 @@ def q196_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(match_cnt))
         .select("layout", "n_files", "files_scanned", "rows_scanned", "rows_matching")
+    )
+
+
+def _duck_sqdist(qv: str, cv: str, dim: int) -> str:
+    """Σ (q_i − c_i)² as the same left fold clustering._sq_dist runs."""
+    return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, {dim}),
+                   i -> (CAST({qv}[i] AS DOUBLE) - {cv}[i]) * (CAST({qv}[i] AS DOUBLE) - {cv}[i]))),
+               (x, y) -> x + y)"""
+
+
+def _ivf_pq_oracle(
+    n_lists: int,
+    nprobe: int,
+    m: int,
+    sub_dim: int,
+    k: int,
+    rounds: int,
+    bits: int,
+    query_mod: int,
+    topk: int,
+) -> str:
+    # coarse quantizer: subspace 0 over the FULL vector (slice [1:m·sub_dim])
+    parts: list[str] = _pq_subspace_blocks(
+        0, m * sub_dim, n_lists, rounds, bits, tag="cg"
+    )
+    cg_cents = f"cgc{rounds - 1}"
+    parts.append(f"""probe AS (
+        SELECT query_id, cid AS list_id FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_duck_sqdist("q.qv", "c.cv", m * sub_dim)} ASC, c.cid ASC) AS rn
+            FROM cgq q CROSS JOIN {cg_cents} c
+            WHERE q.vec_id % {query_mod} = 0
+        ) WHERE rn <= {nprobe}
+    ), cand AS (
+        SELECT p.query_id, cl.vec_id
+        FROM probe p
+        JOIN (SELECT vec_id, cid AS list_id FROM cga{rounds}
+              WHERE vec_id % {query_mod} <> 0) cl USING (list_id)
+    )""")
+    for s in range(m):
+        parts.extend(_pq_subspace_blocks(s, sub_dim, k, rounds, bits))
+        parts.append(f"""s{s}sc AS (
+        SELECT c.query_id, c.vec_id, {s} AS sub, dt.d2
+        FROM cand c
+        JOIN (SELECT vec_id, cid AS code FROM s{s}a{rounds}) cd ON cd.vec_id = c.vec_id
+        JOIN (SELECT q.vec_id AS query_id, ct.cid AS code,
+                     {_duck_sqdist("q.qv", "ct.cv", sub_dim)} AS d2
+              FROM s{s}q q CROSS JOIN s{s}c{rounds - 1} ct
+              WHERE q.vec_id % {query_mod} = 0) dt
+          ON dt.query_id = c.query_id AND dt.code = cd.code
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{s}sc" for s in range(m))
+    parts.append(f"""allsc AS ({union}),
+    summed AS (
+        SELECT query_id, vec_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d2 ORDER BY sub)),
+                           (x, y) -> x + y) AS adc_dist
+        FROM allsc GROUP BY 1, 2
+    )""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, vec_id, adc_dist, CAST(rnk AS BIGINT) AS rank FROM (
+        SELECT query_id, vec_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+        FROM summed
+    ) WHERE rnk <= {topk}
+    """
+    )
+
+
+@register(
+    "q198_ivf_pq_topk",
+    oracle=_ivf_pq_oracle(
+        n_lists=8, nprobe=2, m=4, sub_dim=16, k=16, rounds=2, bits=10,
+        query_mod=97, topk=10,
+    ),
+    survey_ref="extension: IVF-PQ — coarse inverted-list pruning (q53's "
+    "IVF) composed with PQ asymmetric-distance scoring (q194), the "
+    "standard billion-vector ANN production pipeline, with a FULL "
+    "generated value oracle over both quantizers",
+)
+def q198_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_data_pipeline_spark.llm.clustering import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, "vec_id", "embedding", query_mod=97,
+        n_lists=8, nprobe=2, m=4, sub_dim=16, k=16, rounds=2,
+        quant_bits=10, topk=10,
     )
 
 

@@ -155,6 +155,32 @@ def test_skew_planner_invariants(spark):
     assert r.n_keys > 0 and r.total_rows >= r.n_keys
 
 
+def test_ivf_pq_consistent_with_full_adc(spark):
+    """IVF-PQ scores candidates with the SAME codebooks as q194's full
+    ADC scan, so any (query, vec) pair present in both results must
+    carry the identical distance — and IVF's top-k can only differ from
+    the full scan by pairs its coarse probe pruned away."""
+    full = {
+        (r.query_id, r.vec_id): r.adc_dist
+        for r in REGISTRY["q194_pq_adc_topk"].fn(spark, SF).collect()
+    }
+    ivf = REGISTRY["q198_ivf_pq_topk"].fn(spark, SF).collect()
+    assert ivf
+    by_q: dict[int, list] = {}
+    for r in ivf:
+        by_q.setdefault(r.query_id, []).append(r)
+        if (r.query_id, r.vec_id) in full:
+            assert r.adc_dist == full[(r.query_id, r.vec_id)]  # bit-identical
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert [r.adc_dist for r in rs] == sorted(r.adc_dist for r in rs)
+    # the probe must genuinely prune: IVF should still recover most of
+    # the full-ADC top-10 (nprobe=2 of 8 lists)
+    overlap = sum(1 for r in ivf if (r.query_id, r.vec_id) in full)
+    assert overlap >= len(ivf) // 3
+
+
 def test_pq_adc_agrees_with_exact_on_coarse_neighbors(spark):
     """ADC distance is an approximation, but the quantization error is
     bounded — the ADC top-10 of each query must overlap the exact
