@@ -78,3 +78,61 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         "threshold",
         estimate.alias("estimate"),
     )
+
+
+def kmv_set_ops(
+    df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str, k: int = 256
+) -> DataFrame:
+    """Union/intersection cardinality estimates from two KMV sketches
+    (Beyer et al. 2007): merge the distinct hash sets, keep the k
+    smallest WITH per-set membership flags, estimate |A∪B| from the
+    k-th smallest merged hash and |A∩B| as the sketch-Jaccard
+    (fraction of the k minima present in both sets) times the union
+    estimate.
+
+    This is the sketch algebra that makes KMV composable at scale:
+    each side's sketch is built independently (one partial-aggregated
+    shuffle each, carrying distinct hashes only), and set operations
+    on ARBITRARILY many sketches stay O(k). Same portable hash as
+    :func:`kmv_distinct_estimate`, so every intermediate — thresholds,
+    flags, even the final double estimates — reproduces exactly in an
+    independent engine."""
+    a = df_a.select(
+        kmv_hash(F.col(col_a)).alias("h"),
+        F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+    )
+    b = df_b.select(
+        kmv_hash(F.col(col_b)).alias("h"),
+        F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"),
+    )
+    # ONE shuffle for both sketches: the flag-max aggregate partial-
+    # aggregates away duplicate hashes map-side on each input split
+    merged = (
+        a.unionByName(b)
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .orderBy("h")
+        .limit(k)
+    )
+    s = merged.agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("threshold"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(MERSENNE_31) / F.col("threshold").cast("double")
+    )
+    jac = F.col("n_both").cast("double") / F.col("n_kept").cast("double")
+    return s.select(
+        F.lit(k).alias("k"),
+        "n_kept",
+        "threshold",
+        "n_both",
+        union_est.alias("union_est"),
+        jac.alias("sketch_jaccard"),
+        (jac * union_est).alias("intersect_est"),
+    )

@@ -9924,6 +9924,328 @@ def q196_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q199_kmv_set_ops",
+    oracle="""
+    WITH a AS (
+        SELECT (((o_custkey * 48271 + 11213) % 2147483647) * 69621 + 28411) % 2147483647 AS h,
+               1 AS in_a, 0 AS in_b
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), b AS (
+        SELECT (((o_custkey * 48271 + 11213) % 2147483647) * 69621 + 28411) % 2147483647 AS h,
+               0 AS in_a, 1 AS in_b
+        FROM orders WHERE o_orderpriority = '5-LOW'
+    ), merged AS (
+        SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+        FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        GROUP BY h ORDER BY h LIMIT 256
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS threshold,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+        FROM merged
+    ), t AS (
+        SELECT
+            (SELECT COUNT(DISTINCT o_custkey) FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')) AS true_union,
+            (SELECT COUNT(*) FROM
+                ((SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+                 INTERSECT
+                 (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
+            ) AS true_intersect
+    ), e AS (
+        SELECT 256 AS k, n_kept, threshold, n_both,
+               CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                    ELSE CAST(255 AS DOUBLE) * 2147483647 / CAST(threshold AS DOUBLE)
+               END AS union_est,
+               CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE) AS sketch_jaccard,
+               true_union, true_intersect
+        FROM s, t
+    )
+    SELECT k, n_kept, threshold, n_both, union_est, sketch_jaccard,
+           sketch_jaccard * union_est AS intersect_est,
+           CAST(true_union AS BIGINT) AS true_union,
+           CAST(true_intersect AS BIGINT) AS true_intersect,
+           ABS(sketch_jaccard * union_est - CAST(true_intersect AS DOUBLE))
+               / CAST(true_intersect AS DOUBLE) AS intersect_rel_error
+    FROM e
+    """,
+    survey_ref="sketch family: KMV set algebra — union cardinality from "
+    "the merged k-minimum threshold, intersection via sketch Jaccard; "
+    "mergeable O(k) set operations over arbitrarily many sketches "
+    "(operators/sketches.kmv_set_ops), fully value-oracled",
+)
+def q199_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate |urgent-buyers ∪ low-buyers| and the intersection from
+    two mergeable KMV sketches, next to the exact counts and realized
+    intersection error. The set algebra is the point: at 100 TB you
+    keep one O(k) sketch per segment and answer overlap questions
+    between ANY pair without re-scanning — here every intermediate
+    (thresholds, membership flags, the estimates themselves) is exact
+    portable arithmetic, so the whole sketch pipeline value-matches an
+    independent engine."""
+    from stock_data_pipeline_spark.operators.sketches import kmv_set_ops
+
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW")
+    est = kmv_set_ops(urgent, "o_custkey", low, "o_custkey", k=256)
+    tu = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .agg(F.countDistinct("o_custkey").alias("true_union"))
+    )
+    ti = (
+        urgent.select("o_custkey")
+        .intersect(low.select("o_custkey"))
+        .agg(F.count("*").cast("long").alias("true_intersect"))
+    )
+    out = est.crossJoin(F.broadcast(tu)).crossJoin(F.broadcast(ti))
+    rel = F.abs(
+        F.col("intersect_est") - F.col("true_intersect").cast("double")
+    ) / F.col("true_intersect").cast("double")
+    return out.select(
+        "k",
+        "n_kept",
+        "threshold",
+        "n_both",
+        "union_est",
+        "sketch_jaccard",
+        "intersect_est",
+        "true_union",
+        "true_intersect",
+        rel.alias("intersect_rel_error"),
+    )
+
+
+_CMS_ROWS = [(48271, 11213), (69621, 28411), (40692, 52711)]
+_CMS_W = 1024
+
+
+@register(
+    "q200_count_min_sketch",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM tok GROUP BY 1
+    ), hashed AS (
+        SELECT token, true_cnt,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(token)),
+                                  i -> CAST(ord(substr(token, i, 1)) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM counts
+    ), cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {j} AS r, ((h * {a} + {b}) % 2147483647) % {_CMS_W} AS pos, true_cnt FROM hashed"
+            for j, (a, b) in enumerate(_CMS_ROWS)
+        )}
+    ), counters AS (
+        SELECT r, pos, CAST(SUM(true_cnt) AS BIGINT) AS counter FROM cells GROUP BY 1, 2
+    ), top AS (
+        SELECT token, true_cnt, h FROM hashed ORDER BY true_cnt DESC, token LIMIT 20
+    ), probes AS (
+        {" UNION ALL ".join(
+            f"SELECT token, true_cnt, {j} AS r, ((h * {a} + {b}) % 2147483647) % {_CMS_W} AS pos FROM top"
+            for j, (a, b) in enumerate(_CMS_ROWS)
+        )}
+    )
+    SELECT p.token, MAX(p.true_cnt) AS true_cnt,
+           MIN(c.counter) AS cms_estimate,
+           MIN(c.counter) - MAX(p.true_cnt) AS overestimate
+    FROM probes p JOIN counters c ON c.r = p.r AND c.pos = p.pos
+    GROUP BY 1
+    """,
+    survey_ref="sketch family: count-min sketch — d=3 x w=1024 portable-"
+    "hash counter array built by one map-side-combinable aggregate; "
+    "point queries for the top-20 tokens show the one-sided "
+    "overestimate guarantee, fully value-oracled",
+)
+def q200_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of corpus token frequencies (Cormode &
+    Muthukrishnan 2005): 3 portable-hash rows × 1024 counters, built in
+    one aggregate whose shuffle carries at most d·w cells per map task
+    — the fixed-memory mergeable frequency summary for streams and
+    100 TB scans alike. Probes the true top-20 tokens and reports the
+    sketch estimate next to the exact count: CMS never underestimates
+    (one-sided error), which the output columns make visible. Every
+    hash and counter is exact integer arithmetic — a frequency sketch
+    with a full cross-engine value oracle."""
+    from stock_data_pipeline_spark.llm.dedup import _portable_shingle_hash
+
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select(F.explode(text.tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").cast("long").alias("true_cnt"))
+    hashed = counts.withColumn("h", _portable_shingle_hash(F.col("token")))
+    p = F.lit(2147483647).cast("long")
+    cells = None
+    for j, (a, b) in enumerate(_CMS_ROWS):
+        pos = F.pmod(F.pmod(F.col("h") * a + b, p), F.lit(_CMS_W).cast("long"))
+        part = hashed.select(
+            F.lit(j).alias("r"), pos.alias("pos"), F.col("true_cnt")
+        )
+        cells = part if cells is None else cells.unionByName(part)
+    counters = cells.groupBy("r", "pos").agg(
+        F.sum("true_cnt").cast("long").alias("counter")
+    )
+    top = hashed.orderBy(F.col("true_cnt").desc(), F.col("token")).limit(20)
+    probes = None
+    for j, (a, b) in enumerate(_CMS_ROWS):
+        pos = F.pmod(F.pmod(F.col("h") * a + b, p), F.lit(_CMS_W).cast("long"))
+        part = top.select("token", "true_cnt", F.lit(j).alias("r"), pos.alias("pos"))
+        probes = part if probes is None else probes.unionByName(part)
+    return (
+        probes.join(F.broadcast(counters), ["r", "pos"])
+        .groupBy("token")
+        .agg(
+            F.max("true_cnt").alias("true_cnt"),
+            F.min("counter").alias("cms_estimate"),
+            (F.min("counter") - F.max("true_cnt")).alias("overestimate"),
+        )
+    )
+
+
+@register(
+    "q201_table_checksum",
+    oracle="""
+    WITH rows_h AS (
+        SELECT ((((l_orderkey * 48271 + l_linenumber) % 2147483647) * 69621
+                 + (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 2147483647))
+                % 2147483647 * 40692
+                + datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)))
+               % 2147483647 AS h
+        FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) AS BIGINT) AS hash_sum,
+           bit_xor(h) AS hash_xor,
+           MIN(h) AS hash_min,
+           MAX(h) AS hash_max
+    FROM rows_h
+    """,
+    survey_ref="extension: order-independent table fingerprint — per-row "
+    "portable hash over the business key + measures, folded by SUM/XOR "
+    "(commutative, so any partitioning/ordering gives the identical "
+    "checksum); the migration-validation primitive for comparing a "
+    "100 TB table across engines without sorting either side",
+)
+def q201_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row, order-independent fingerprint of lineitem: each row's
+    (orderkey, linenumber, price-cents, shipdate-days) fold into a
+    portable 31-bit hash, and the table reduces by SUM and XOR — both
+    commutative+associative, so the checksum is identical under ANY
+    partitioning, row order, or engine. This is how you validate a
+    cross-engine migration (exactly this repo's situation) without a
+    full sort-merge diff: one scan, map-side partial aggregation, a
+    single row over the wire. A mismatched SUM localizes nothing, so
+    pair with per-partition checksums (groupBy any column) to bisect;
+    the XOR catches duplicate-pair insertions SUM-mod alone can miss.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.lit(2147483647).cast("long")
+    epoch = F.lit("1970-01-01").cast("date")
+    cents = (_dec("l_extendedprice") * 100).cast("long")
+    h = F.pmod(
+        F.pmod(
+            F.pmod(F.col("l_orderkey") * 48271 + F.col("l_linenumber"), p) * 69621
+            + F.pmod(cents, p),
+            p,
+        )
+        * 40692
+        + F.datediff(F.col("l_shipdate").cast("date"), epoch),
+        p,
+    )
+    return li.select(h.alias("h")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("h").cast("long").alias("hash_sum"),
+        F.bit_xor("h").alias("hash_xor"),
+        F.min("h").alias("hash_min"),
+        F.max("h").alias("hash_max"),
+    )
+
+
+@register(
+    "q202_groupwise_ols",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderpriority,
+               CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        FROM orders
+    ), moms AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        FROM pts GROUP BY 1
+    ), fit AS (
+        SELECT o_orderpriority, n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   AS num,
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   AS den_x,
+               (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                   AS den_y,
+               sx, sy
+        FROM moms
+    )
+    SELECT o_orderpriority, n,
+           num / den_x AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE) - num / den_x * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS intercept_cents,
+           num * num / (den_x * den_y) AS r2
+    FROM fit
+    """,
+    survey_ref="extension: group-wise OLS trend fit — slope/intercept/R² "
+    "from five exact moment sums (decimal accumulators, one shuffle, "
+    "map-side combinable), the closed-form regression every metrics "
+    "pipeline runs per segment",
+)
+def q202_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of order value (cents) over order day, per
+    priority class: slope, intercept, R² from the five moment sums
+    (n, Σx, Σy, Σxy, Σx², Σy²).
+
+    The moments accumulate EXACTLY — x·y products land in DECIMAL(38,0)
+    (cents × epoch-days ≈ 10¹² per row; int64 sums would overflow near
+    10⁷ rows per group) and reassociate freely, so ONE map-side-
+    combinable shuffle produces them at any parallelism. Only the final
+    closed form runs in doubles, over identical operands in both
+    engines — the whole regression value-matches bit-for-bit. This is
+    the decomposable-aggregate pattern (q81's) applied to model
+    fitting: no per-group iteration, no collect, scale-free."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    pts = o.select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("long").alias("x"),
+        (_dec("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    moms = pts.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den_x = d("n") * d("sxx") - d("sx") * d("sx")
+    den_y = d("n") * d("syy") - d("sy") * d("sy")
+    slope = num / den_x
+    return moms.select(
+        "o_orderpriority",
+        "n",
+        slope.alias("slope_cents_per_day"),
+        ((d("sy") - slope * d("sx")) / d("n")).alias("intercept_cents"),
+        (num * num / (den_x * den_y)).alias("r2"),
+    )
+
+
 def _duck_sqdist(qv: str, cv: str, dim: int) -> str:
     """Σ (q_i − c_i)² as the same left fold clustering._sq_dist runs."""
     return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -155,6 +155,73 @@ def test_skew_planner_invariants(spark):
     assert r.n_keys > 0 and r.total_rows >= r.n_keys
 
 
+def test_kmv_set_ops_bounds(spark):
+    r = REGISTRY["q199_kmv_set_ops"].fn(spark, SF).collect()[0]
+    assert 0 <= r.n_both <= r.n_kept <= r.k
+    assert 0.0 <= r.sketch_jaccard <= 1.0
+    assert r.intersect_est <= r.union_est
+    assert r.true_intersect <= r.true_union
+
+
+def test_cms_never_underestimates(spark):
+    rows = REGISTRY["q200_count_min_sketch"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.overestimate >= 0  # the CMS one-sided guarantee
+        assert r.cms_estimate >= r.true_cnt > 0
+
+
+def test_table_checksum_is_order_and_partitioning_independent(spark):
+    """The fingerprint must be identical no matter how the table is
+    partitioned or ordered — that's what makes it usable for
+    cross-engine migration validation."""
+    from pyspark.sql import functions as F
+    from stock_data_pipeline_spark.catalog import load_table
+
+    base = REGISTRY["q201_table_checksum"].fn(spark, SF).collect()[0]
+
+    li = load_table(spark, SF, "lineitem")
+    shuffled = li.repartition(7, "l_suppkey").sortWithinPartitions(
+        F.col("l_extendedprice").desc()
+    )
+    import stock_data_pipeline_spark.queries as Q
+
+    # rebuild the same checksum expression over the reshuffled frame
+    p = F.lit(2147483647).cast("long")
+    epoch = F.lit("1970-01-01").cast("date")
+    cents = (Q._dec("l_extendedprice") * 100).cast("long")
+    h = F.pmod(
+        F.pmod(
+            F.pmod(F.col("l_orderkey") * 48271 + F.col("l_linenumber"), p) * 69621
+            + F.pmod(cents, p),
+            p,
+        )
+        * 40692
+        + F.datediff(F.col("l_shipdate").cast("date"), epoch),
+        p,
+    )
+    again = (
+        shuffled.select(h.alias("h"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("h").cast("long").alias("hash_sum"),
+            F.bit_xor("h").alias("hash_xor"),
+            F.min("h").alias("hash_min"),
+            F.max("h").alias("hash_max"),
+        )
+        .collect()[0]
+    )
+    assert tuple(base) == tuple(again)
+
+
+def test_groupwise_ols_r2_bounds(spark):
+    rows = REGISTRY["q202_groupwise_ols"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0
+        assert r.n > 0
+
+
 def test_ivf_pq_consistent_with_full_adc(spark):
     """IVF-PQ scores candidates with the SAME codebooks as q194's full
     ADC scan, so any (query, vec) pair present in both results must
