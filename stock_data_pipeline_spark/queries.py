@@ -10182,20 +10182,25 @@ def q201_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
         FROM pts GROUP BY 1
     ), fit AS (
+        -- DECIMAL/HUGEINT -> DOUBLE goes through VARCHAR (correctly
+        -- rounded strtod) per the q165 cross-engine determinism note
         SELECT o_orderpriority, n,
-               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
                    AS num,
-               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
                    AS den_x,
-               (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               (CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
                    AS den_y,
                sx, sy
         FROM moms
     )
     SELECT o_orderpriority, n,
            num / den_x AS slope_cents_per_day,
-           (CAST(sy AS DOUBLE) - num / den_x * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
-               AS intercept_cents,
+           (CAST(CAST(sy AS VARCHAR) AS DOUBLE) - num / den_x * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept_cents,
            num * num / (den_x * den_y) AS r2
     FROM fit
     """,
@@ -10243,6 +10248,199 @@ def q202_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_cents_per_day"),
         ((d("sy") - slope * d("sx")) / d("n")).alias("intercept_cents"),
         (num * num / (den_x * den_y)).alias("r2"),
+    )
+
+
+@register(
+    "q203_file_bloom_pruning",
+    oracle="""
+    WITH pts AS (
+        SELECT o_custkey AS ck,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dd
+        FROM orders
+    ), rng AS (
+        SELECT MIN(dd) AS dmin, MAX(dd) AS dmax FROM pts
+    ), filed AS (
+        SELECT ck,
+               (((dd - dmin) * 65535) // greatest(dmax - dmin, 1)) >> 10 AS file_id
+        FROM pts CROSS JOIN rng
+    ), hashed AS (
+        SELECT DISTINCT file_id, ck,
+               (((ck * 48271 + 11213) % 2147483647) * 69621 + 28411) % 2147483647 AS h
+        FROM filed
+    ), cells AS (
+        SELECT file_id,
+               (h + j * ((h * 2654435761) % 2147483647)) % 4096 AS pos
+        FROM hashed CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ), blooms AS (
+        SELECT file_id, pos // 62 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INTEGER)) AS bits
+        FROM (SELECT DISTINCT file_id, pos FROM cells) GROUP BY 1, 2
+    ), zmaps AS (
+        SELECT file_id, MIN(ck) AS ck_lo, MAX(ck) AS ck_hi FROM filed GROUP BY 1
+    ), probes AS (
+        SELECT c_custkey AS probe_ck,
+               (((c_custkey * 48271 + 11213) % 2147483647) * 69621 + 28411) % 2147483647 AS h
+        FROM customer WHERE c_custkey % 47 = 0
+    ), probe_cells AS (
+        SELECT p.probe_ck, f.file_id, p.h,
+               (p.h + j.j * ((p.h * 2654435761) % 2147483647)) % 4096 AS pos
+        FROM probes p
+        CROSS JOIN (SELECT DISTINCT file_id FROM filed) f
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+    ), probe_hits AS (
+        SELECT pc.probe_ck, pc.file_id,
+               MIN(CASE WHEN b.bits IS NOT NULL
+                         AND (b.bits & (CAST(1 AS BIGINT) << CAST(pc.pos % 62 AS INTEGER))) <> 0
+                    THEN 1 ELSE 0 END) AS bloom_hit
+        FROM probe_cells pc
+        LEFT JOIN blooms b ON b.file_id = pc.file_id AND b.word_idx = pc.pos // 62
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT p.probe_ck, COUNT(DISTINCT f.file_id) AS true_files
+        FROM probes p LEFT JOIN filed f ON f.ck = p.probe_ck
+        GROUP BY 1
+    ), zone_scan AS (
+        SELECT p.probe_ck, CAST(COUNT(*) AS BIGINT) AS files_zone_scanned
+        FROM probes p JOIN zmaps z ON p.probe_ck BETWEEN z.ck_lo AND z.ck_hi
+        GROUP BY 1
+    )
+    SELECT h.probe_ck,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           COALESCE(MAX(z.files_zone_scanned), 0) AS files_zone_scanned,
+           CAST(SUM(h.bloom_hit) AS BIGINT) AS files_bloom_scanned,
+           CAST(MAX(t.true_files) AS BIGINT) AS true_files
+    FROM probe_hits h
+    JOIN truth t ON t.probe_ck = h.probe_ck
+    LEFT JOIN zone_scan z ON z.probe_ck = h.probe_ck
+    GROUP BY 1
+    """,
+    survey_ref="extension: per-file Bloom indexes — point-lookup file "
+    "pruning on a column UNCORRELATED with the sort order, where zone "
+    "maps are useless (every file's custkey range covers every key); "
+    "the lakehouse bloom-filter-index pattern, fully value-oracled",
+)
+def q203_file_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup pruning where zone maps fail: orders land in 64
+    date-sorted files, so every file's o_custkey [min,max] spans nearly
+    the whole key domain and min/max pruning scans everything. A
+    4096-bit per-file Bloom over the custkeys actually present (k = 3
+    double-hash probes, 62-bit words) prunes to ~the files that truly
+    contain the key.
+
+    Per probed customer: total files, files surviving zone-map pruning
+    (≈ all of them — the negative result that motivates the index),
+    files surviving the Bloom (≥ true_files, one-sided), and the true
+    file count. Scale shape: the Bloom table is ≤ files·67 words —
+    kilobytes per thousand files — built in one map-side-combinable
+    bit_or aggregate and broadcast to probes; this is exactly the
+    pattern lakehouse bloom-filter indexes (Delta/Iceberg) persist per
+    data file."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    epoch = F.lit("1970-01-01").cast("date")
+    p = F.lit(2147483647).cast("long")
+    pts = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("long").alias("dd"),
+    )
+    rng = pts.agg(F.min("dd").alias("dmin"), F.max("dd").alias("dmax"))
+    from stock_data_pipeline_spark.operators.layout import norm16
+    from stock_data_pipeline_spark.operators.sketches import kmv_hash
+
+    filed = pts.crossJoin(F.broadcast(rng)).select(
+        "ck",
+        F.shiftright(norm16(F.col("dd"), F.col("dmin"), F.col("dmax")), 10)
+        .cast("long")
+        .alias("file_id"),
+    )
+    hashed = filed.distinct().withColumn("h", kmv_hash(F.col("ck")))
+    h2 = F.pmod(F.col("h") * F.lit(2654435761).cast("long"), p)
+    cells = (
+        hashed.select(
+            "file_id",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+            "h",
+        )
+        .select("file_id", F.pmod(F.col("h") + F.col("j") * h2, F.lit(4096)).alias("pos"))
+        .distinct()
+    )
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 62 AS INT))")
+    blooms = (
+        cells.select("file_id", (F.col("pos") / 62).cast("long").alias("word_idx"), mask.alias("m"))
+        .groupBy("file_id", "word_idx")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    zmaps = filed.groupBy("file_id").agg(
+        F.min("ck").alias("ck_lo"), F.max("ck").alias("ck_hi")
+    )
+    probes = cust.filter(F.col("c_custkey") % 47 == 0).select(
+        F.col("c_custkey").alias("probe_ck")
+    ).withColumn("h", kmv_hash(F.col("probe_ck")))
+    files = filed.select("file_id").distinct()
+    probe_cells = (
+        probes.crossJoin(F.broadcast(files))
+        .select(
+            "probe_ck",
+            "file_id",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+            "h",
+        )
+        .select(
+            "probe_ck",
+            "file_id",
+            F.pmod(F.col("h") + F.col("j") * h2, F.lit(4096)).alias("pos"),
+        )
+        .withColumn("word_idx", (F.col("pos") / 62).cast("long"))
+        .withColumn("m", mask)
+    )
+    probe_hits = (
+        probe_cells.join(F.broadcast(blooms), ["file_id", "word_idx"], "left")
+        .select(
+            "probe_ck",
+            "file_id",
+            F.when(
+                F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("m")) != 0),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("bit_set"),
+        )
+        .groupBy("probe_ck", "file_id")
+        .agg(F.min("bit_set").alias("bloom_hit"))
+    )
+    truth = (
+        probes.select("probe_ck")
+        .join(filed, filed["ck"] == F.col("probe_ck"), "left")
+        .groupBy("probe_ck")
+        .agg(F.countDistinct("file_id").cast("long").alias("true_files"))
+    )
+    zone_scan = (
+        probes.select("probe_ck")
+        .join(
+            F.broadcast(zmaps),
+            F.col("probe_ck").between(F.col("ck_lo"), F.col("ck_hi")),
+        )
+        .groupBy("probe_ck")
+        .agg(F.count("*").cast("long").alias("files_zone_scanned"))
+    )
+    return (
+        probe_hits.groupBy("probe_ck")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("bloom_hit").cast("long").alias("files_bloom_scanned"),
+        )
+        .join(truth, "probe_ck")
+        .join(zone_scan, "probe_ck", "left")
+        .select(
+            "probe_ck",
+            "n_files",
+            F.coalesce(F.col("files_zone_scanned"), F.lit(0).cast("long")).alias(
+                "files_zone_scanned"
+            ),
+            "files_bloom_scanned",
+            "true_files",
+        )
     )
 
 

@@ -222,6 +222,21 @@ def test_groupwise_ols_r2_bounds(spark):
         assert r.n > 0
 
 
+def test_file_bloom_pruning_sound_and_effective(spark):
+    """Per-file Blooms must never false-negative (scanned ⊇ true files)
+    and must beat zone-map pruning on a key uncorrelated with the sort
+    order (where min/max ranges cover ~everything)."""
+    rows = REGISTRY["q203_file_bloom_pruning"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.files_bloom_scanned >= r.true_files  # no false negatives
+        assert r.files_bloom_scanned <= r.n_files
+        assert r.files_zone_scanned >= r.true_files
+    total_bloom = sum(r.files_bloom_scanned for r in rows)
+    total_zone = sum(r.files_zone_scanned for r in rows)
+    assert total_bloom < total_zone  # the index must actually help
+
+
 def test_ivf_pq_consistent_with_full_adc(spark):
     """IVF-PQ scores candidates with the SAME codebooks as q194's full
     ADC scan, so any (query, vec) pair present in both results must
