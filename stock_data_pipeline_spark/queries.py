@@ -10444,6 +10444,147 @@ def q203_file_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q204_clustering_health",
+    oracle="""
+    WITH pts AS (
+        SELECT o_custkey AS ck, o_orderkey AS ok,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dd
+        FROM orders
+    ), rng AS (
+        SELECT MIN(ck) AS cmin, MAX(ck) AS cmax, MIN(dd) AS dmin, MAX(dd) AS dmax,
+               MIN(ok) AS omin, MAX(ok) AS omax
+        FROM pts
+    ), nrm AS (
+        SELECT ck, dd,
+               ((ck - cmin) * 65535) // greatest(cmax - cmin, 1) AS zx,
+               ((dd - dmin) * 65535) // greatest(dmax - dmin, 1) AS zy,
+               (((ok - omin) * 65535) // greatest(omax - omin, 1)) >> 10 AS ok_file
+        FROM pts CROSS JOIN rng
+    ), zed AS (
+        SELECT ck, dd,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(0, 15),
+                       i -> (((zx >> i) & 1) << (2 * i)) + (((zy >> i) & 1) << (2 * i + 1)))),
+                   (a, b) -> a + b)) >> 26 AS z_file,
+               zy >> 10 AS d_file,
+               ok_file
+        FROM nrm
+    ), zm AS (
+        SELECT 'zorder' AS layout, z_file AS file_id,
+               MIN(ck) AS ck_lo, MAX(ck) AS ck_hi, MIN(dd) AS dd_lo, MAX(dd) AS dd_hi
+        FROM zed GROUP BY 2
+        UNION ALL
+        SELECT 'date_sorted', d_file, MIN(ck), MAX(ck), MIN(dd), MAX(dd)
+        FROM zed GROUP BY 2
+        UNION ALL
+        SELECT 'insertion_order', ok_file, MIN(ck), MAX(ck), MIN(dd), MAX(dd)
+        FROM zed GROUP BY 2
+    ), ovl AS (
+        SELECT a.layout, a.file_id, CAST(COUNT(*) AS BIGINT) AS n_overlapping
+        FROM zm a JOIN zm b
+          ON a.layout = b.layout
+         AND a.ck_hi >= b.ck_lo AND a.ck_lo <= b.ck_hi
+         AND a.dd_hi >= b.dd_lo AND a.dd_lo <= b.dd_hi
+        GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_overlapping) AS BIGINT) AS total_overlaps,
+           CAST(SUM(n_overlapping) AS DOUBLE) / COUNT(*) AS avg_read_amplification,
+           CAST(MAX(n_overlapping) AS BIGINT) AS worst_file_overlaps
+    FROM ovl
+    GROUP BY 1
+    """,
+    survey_ref="extension: clustering-health / read-amplification audit — "
+    "zone-map rectangle-overlap self-join measures how many files a "
+    "point query must consider per layout; the metric an OPTIMIZE/"
+    "re-cluster job watches to decide when to rewrite",
+)
+def q204_clustering_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout health metric: for each file, how many files' zone-map
+    rectangles overlap it (including itself)? That count IS the read
+    amplification of a point query landing in the file's range —
+    when it degrades (new appends widening rectangles), an OPTIMIZE
+    job should re-cluster. Compared across three layouts of the same
+    data: Z-ordered and date-sorted (disjoint rectangles, amplification
+    1.0) vs insertion-order (files by arrival/orderkey, random w.r.t.
+    both dimensions — every file overlaps every file, amplification
+    n_files), which is exactly what unmaintained appends look like.
+
+    The overlap self-join runs on the ZONE MAPS (n_files rows), never
+    the data — at 100 TB that is a few thousand rows joined against
+    themselves, a broadcast, while the data is only scanned once to
+    build the maps."""
+    from stock_data_pipeline_spark.operators.layout import norm16, zorder_assignment
+
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    pts = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("long").alias("dd"),
+    )
+    rng = pts.agg(
+        F.min("dd").alias("dmin"),
+        F.max("dd").alias("dmax"),
+        F.min("ok").alias("omin"),
+        F.max("ok").alias("omax"),
+    )
+    z = zorder_assignment(pts, "ck", "dd", n_files=64).withColumnRenamed(
+        "file_id", "z_file"
+    )
+    assigned = (
+        z.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "d_file",
+            F.shiftright(norm16(F.col("dd"), F.col("dmin"), F.col("dmax")), 10).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "ok_file",
+            F.shiftright(norm16(F.col("ok"), F.col("omin"), F.col("omax")), 10).cast(
+                "long"
+            ),
+        )
+    )
+    zm = None
+    for layout, fcol in (
+        ("zorder", "z_file"),
+        ("date_sorted", "d_file"),
+        ("insertion_order", "ok_file"),
+    ):
+        part = assigned.groupBy(F.col(fcol).alias("file_id")).agg(
+            F.min("ck").alias("ck_lo"),
+            F.max("ck").alias("ck_hi"),
+            F.min("dd").alias("dd_lo"),
+            F.max("dd").alias("dd_hi"),
+        ).withColumn("layout", F.lit(layout))
+        zm = part if zm is None else zm.unionByName(part)
+    a, b = zm.alias("a"), zm.alias("b")
+    ovl = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.layout") == F.col("b.layout"))
+            & (F.col("a.ck_hi") >= F.col("b.ck_lo"))
+            & (F.col("a.ck_lo") <= F.col("b.ck_hi"))
+            & (F.col("a.dd_hi") >= F.col("b.dd_lo"))
+            & (F.col("a.dd_lo") <= F.col("b.dd_hi")),
+        )
+        .groupBy(F.col("a.layout").alias("layout"), F.col("a.file_id"))
+        .agg(F.count("*").cast("long").alias("n_overlapping"))
+    )
+    return ovl.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_overlapping").cast("long").alias("total_overlaps"),
+        (F.sum("n_overlapping").cast("double") / F.count("*")).alias(
+            "avg_read_amplification"
+        ),
+        F.max("n_overlapping").cast("long").alias("worst_file_overlaps"),
+    )
+
+
 def _duck_sqdist(qv: str, cv: str, dim: int) -> str:
     """Σ (q_i − c_i)² as the same left fold clustering._sq_dist runs."""
     return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

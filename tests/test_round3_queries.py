@@ -309,3 +309,13 @@ def test_pq_adc_agrees_with_exact_on_coarse_neighbors(spark):
         total += len(s)
         hits += len(s & exact_sets.get(qid, set()))
     assert hits / total >= 0.3, f"ADC recall vs exact top-20 too low: {hits}/{total}"
+
+
+def test_clustering_health_detects_unclustered_layout(spark):
+    rows = {r.layout: r for r in REGISTRY["q204_clustering_health"].fn(spark, SF).collect()}
+    assert rows["zorder"].avg_read_amplification == 1.0
+    assert rows["date_sorted"].avg_read_amplification == 1.0
+    # insertion-order files are random w.r.t. both dims: total overlap
+    n = rows["insertion_order"].n_files
+    assert rows["insertion_order"].avg_read_amplification == float(n)
+    assert rows["insertion_order"].worst_file_overlaps == n
