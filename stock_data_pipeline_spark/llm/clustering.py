@@ -72,7 +72,7 @@ def _recompute(assigned: DataFrame) -> DataFrame:
     return (
         sums.groupBy("cid")
         .agg(F.sort_array(F.collect_list(F.struct("dim", "s"))).alias("ds"))
-        .join(cnt, "cid")
+        .join(F.broadcast(cnt), "cid")  # k rows — never sort-merge this
         .select(
             "cid",
             F.transform("ds", lambda t: t["s"].cast("double") / F.col("n")).alias("cv"),
@@ -250,8 +250,11 @@ def pq_adc_topk(
             F.col("cid").alias("code"),
             _sq_dist(F.col("qv"), F.col("cv")).alias("d2"),
         )
+        # dtab is |Q|·k rows — BROADCAST it; letting this compile to a
+        # sort-merge join would shuffle the whole corpus on a k-valued
+        # key (16 distinct values: maximal skew for zero benefit)
         per_s_scores.append(
-            corpus_codes.join(dtab, "code").select(
+            corpus_codes.join(F.broadcast(dtab), "code").select(
                 "query_id", "vec_id", F.lit(s).alias("s"), "d2"
             )
         )
@@ -347,7 +350,7 @@ def ivf_pq_topk(
         )
         per_s_scores.append(
             cand.join(codes, "vec_id")
-            .join(dtab, ["query_id", "code"])
+            .join(F.broadcast(dtab), ["query_id", "code"])
             .select("query_id", "vec_id", F.lit(s).alias("s"), "d2")
         )
     scores = per_s_scores[0]
