@@ -10585,6 +10585,205 @@ def q204_clustering_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q205_chi2_drift",
+    oracle="""
+    WITH dated AS (
+        SELECT o_totalprice AS v,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dd
+        FROM orders
+    ), rng AS (
+        SELECT MIN(dd) AS dmin, MAX(dd) AS dmax FROM dated
+    ), split AS (
+        SELECT v, CASE WHEN dd * 2 <= dmin + dmax THEN 0 ELSE 1 END AS period
+        FROM dated CROSS JOIN rng
+    ), ranked AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n
+        FROM split WHERE period = 0
+    ), bounds AS (
+        SELECT MAX(CASE WHEN rn = (d * n + 9) // 10 THEN v END) AS cut, d
+        FROM ranked CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d)
+        WHERE rn = (d * n + 9) // 10
+        GROUP BY d
+    ), binned AS (
+        SELECT period,
+               (SELECT COALESCE(CAST(SUM(CASE WHEN b.cut < s.v THEN 1 ELSE 0 END) AS BIGINT), 0)
+                  FROM bounds b) AS bin
+        FROM split s
+    ), cnts AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        FROM binned GROUP BY 1
+    ), tots AS (
+        SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cnts
+    )
+    SELECT bin, n_ref, n_cur,
+           CAST(n_ref AS DOUBLE) / t_ref AS p_ref,
+           CAST(n_cur AS DOUBLE) / t_cur AS p_cur,
+           (CAST(n_cur AS DOUBLE) / t_cur - CAST(n_ref AS DOUBLE) / t_ref)
+             * (CAST(n_cur AS DOUBLE) / t_cur - CAST(n_ref AS DOUBLE) / t_ref)
+             / (CAST(n_ref AS DOUBLE) / t_ref) AS chi2_term
+    FROM cnts CROSS JOIN tots
+    """,
+    survey_ref="extension: distribution-drift monitor — reference-period "
+    "decile boundaries (exact discrete quantiles), current-period "
+    "re-binning, per-bin chi-square divergence terms; the PSI-style "
+    "drift check a production pipeline runs between batches, with only "
+    "rational arithmetic so it value-matches cross-engine",
+)
+def q205_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Has the order-value distribution drifted between the first and
+    second half of the date range? Fit exact decile boundaries on the
+    REFERENCE period (q87's discrete-quantile trick), re-bin both
+    periods against those fixed cuts, and emit per-bin counts, shares,
+    and chi-square divergence terms ((p_cur − p_ref)²/p_ref — rational
+    ops only, unlike PSI's logarithm, so every value reproduces
+    bit-identically cross-engine).
+
+    Scale: binning against 9 broadcast cut points is a narrow map; the
+    only data-sized exchanges are the reference-period rank (one sort)
+    and the final (bin, period) counts. At 100 TB the reference
+    quantiles would come off q87's per-group histogram instead of a
+    global rank — the binning and divergence stages are unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    dated = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("long").alias("dd"),
+    )
+    rng = dated.agg(F.min("dd").alias("dmin"), F.max("dd").alias("dmax"))
+    split = dated.crossJoin(F.broadcast(rng)).select(
+        "v",
+        F.when(F.col("dd") * 2 <= F.col("dmin") + F.col("dmax"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("period"),
+    )
+    ref = split.filter(F.col("period") == 0)
+    w = Window.orderBy("v")
+    ranked = ref.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    num = F.col("d") * F.col("n") + 9
+    target = ((num - F.pmod(num, F.lit(10))) / 10).cast("long")
+    bounds = (
+        ranked.crossJoin(
+            F.broadcast(
+                spark.range(1, 10).select(F.col("id").cast("long").alias("d"))
+            )
+        )
+        .filter(F.col("rn") == target)
+        .groupBy("d")
+        .agg(F.max("v").alias("cut"))
+    )
+    cuts = bounds.agg(
+        F.sort_array(F.collect_list("cut")).alias("cuts")
+    )
+    binned = split.crossJoin(F.broadcast(cuts)).select(
+        "period",
+        F.size(F.filter(F.col("cuts"), lambda c: c < F.col("v"))).cast("long").alias("bin"),
+    )
+    cnts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("long").alias("n_cur"),
+    )
+    tots = cnts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    return (
+        cnts.crossJoin(F.broadcast(tots))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            p_ref.alias("p_ref"),
+            p_cur.alias("p_cur"),
+            ((p_cur - p_ref) * (p_cur - p_ref) / p_ref).alias("chi2_term"),
+        )
+    )
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), precomputed once in
+#: Python so BOTH engines consume the identical double literals — no
+#: cross-engine log() reproducibility question at all.
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+@register(
+    "q206_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS dch
+        FROM orders
+        WHERE o_totalprice > 0
+    ), cnts AS (
+        SELECT CAST(dch AS BIGINT) AS digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM digits GROUP BY 1
+    ), tot AS (
+        SELECT SUM(n) AS t FROM cnts
+    ), expected AS (
+        SELECT digit, CAST(p_expected AS DOUBLE) AS p_expected
+        FROM (VALUES {", ".join(f"({d}, {_BENFORD_P[d]!r})" for d in range(1, 10))})
+            t(digit, p_expected)
+    )
+    SELECT e.digit,
+           COALESCE(c.n, 0) AS n,
+           CAST(COALESCE(c.n, 0) AS DOUBLE) / t AS p_observed,
+           e.p_expected,
+           (CAST(COALESCE(c.n, 0) AS DOUBLE) / t - e.p_expected)
+             * (CAST(COALESCE(c.n, 0) AS DOUBLE) / t - e.p_expected)
+             / e.p_expected AS chi2_term
+    FROM expected e LEFT JOIN cnts c ON c.digit = e.digit CROSS JOIN tot
+    """,
+    survey_ref="extension: Benford first-digit audit — fraud/anomaly "
+    "screen over order values: observed leading-digit shares vs the "
+    "Benford expectation (log10 literals precomputed host-side so both "
+    "engines consume identical doubles), per-digit chi-square terms",
+)
+def q206_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the leading significant
+    digit of naturally occurring monetary amounts should follow
+    P(d) = log10(1 + 1/d); fabricated or systematically generated
+    values deviate. Emits per-digit observed share, expected share,
+    and the chi-square term — the screening statistic auditors and
+    data-quality monitors threshold.
+
+    One narrow map (leading digit via exact integer-cents
+    stringification — no float formatting differences), one 9-bucket
+    aggregate, a broadcast of the 9 expected rows. The log10
+    expectations are PRECOMPUTED host-side and injected as identical
+    literals into both engines, sidestepping libm reproducibility
+    entirely."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (_dec("o_totalprice") * 100).cast("long")
+    digits = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    cnts = digits.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    tot = cnts.agg(F.sum("n").alias("t"))
+    expected = spark.createDataFrame(
+        [(d, _BENFORD_P[d]) for d in range(1, 10)], "digit long, p_expected double"
+    )
+    p_obs = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("t")
+    return (
+        expected.join(cnts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+            p_obs.alias("p_observed"),
+            "p_expected",
+            (
+                (p_obs - F.col("p_expected"))
+                * (p_obs - F.col("p_expected"))
+                / F.col("p_expected")
+            ).alias("chi2_term"),
+        )
+    )
+
+
 def _duck_sqdist(qv: str, cv: str, dim: int) -> str:
     """Σ (q_i − c_i)² as the same left fold clustering._sq_dist runs."""
     return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -319,3 +319,24 @@ def test_clustering_health_detects_unclustered_layout(spark):
     n = rows["insertion_order"].n_files
     assert rows["insertion_order"].avg_read_amplification == float(n)
     assert rows["insertion_order"].worst_file_overlaps == n
+
+
+def test_chi2_drift_shares_sum_to_one(spark):
+    rows = REGISTRY["q205_chi2_drift"].fn(spark, SF).collect()
+    assert len(rows) == 10  # 9 cuts -> 10 bins
+    assert abs(sum(r.p_ref for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r.p_cur for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r.chi2_term >= 0.0
+    # reference deciles: each ref bin holds ~10% of the ref period
+    for r in rows:
+        assert 0.02 <= r.p_ref <= 0.2
+
+
+def test_benford_audit_covers_all_digits(spark):
+    rows = {r.digit: r for r in REGISTRY["q206_benford_audit"].fn(spark, SF).collect()}
+    assert set(rows) == set(range(1, 10))
+    assert abs(sum(r.p_observed for r in rows.values()) - 1.0) < 1e-12
+    assert abs(sum(r.p_expected for r in rows.values()) - 1.0) < 1e-9
+    for r in rows.values():
+        assert r.chi2_term >= 0.0
