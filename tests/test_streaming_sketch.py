@@ -1,0 +1,77 @@
+"""Mergeable sketches under streaming: a count-min sketch accumulated
+micro-batch by micro-batch (foreachBatch appending per-batch partial
+counter cells) must merge — by plain SUM, the sketch's merge operator —
+to the identical counter array a one-shot batch build produces. This is
+the property that lets a 100 TB pipeline maintain frequency/cardinality
+summaries incrementally instead of rescanning: CMS/KMV merges are
+commutative monoids, so partial sketches from any partitioning of the
+data (micro-batches, shards, days) combine exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_data_pipeline_spark.catalog import load_events
+
+SF = "/root/testdata/sf0.001"
+
+_CMS_ROWS = [(48271, 11213), (69621, 28411), (40692, 52711)]
+_W = 512
+_P = 2147483647
+
+
+def _cms_cells(df):
+    """Per-(row, position) counter increments for user_id occurrences —
+    the same double-affine portable hash family as q200."""
+    from stock_data_pipeline_spark.operators.sketches import kmv_hash
+
+    h = kmv_hash(F.col("user_id"))
+    out = None
+    for j, (a, b) in enumerate(_CMS_ROWS):
+        pos = F.pmod(F.pmod(h * a + b, F.lit(_P).cast("long")), F.lit(_W))
+        part = df.select(F.lit(j).alias("r"), pos.alias("pos"))
+        out = part if out is None else out.unionByName(part)
+    return out.groupBy("r", "pos").agg(F.count("*").cast("long").alias("c"))
+
+
+def test_streaming_cms_merges_to_batch_sketch(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    sink_dir = str(tmp_path / "cms_partials")
+
+    events = load_events(spark, SF).select(F.col("user_id").cast("long"))
+    # 5 files -> 5 micro-batches with maxFilesPerTrigger=1: the merge
+    # property is only exercised when there is more than one partial
+    events.repartition(5).write.parquet(src_dir)
+
+    def write_batch(batch_df, epoch_id: int):
+        (
+            _cms_cells(batch_df)
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream.writeStream.foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    partials = spark.read.parquet(sink_dir)
+    n_epochs = partials.select("epoch").distinct().count()
+    assert n_epochs >= 2, "need multiple micro-batches to test the merge"
+
+    merged = {
+        (r.r, r.pos): r.c
+        for r in partials.groupBy("r", "pos")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
+    }
+    batch = {(r.r, r.pos): r.c for r in _cms_cells(events).collect()}
+    assert merged == batch  # SUM-merge of partials == one-shot sketch
