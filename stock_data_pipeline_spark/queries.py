@@ -10784,6 +10784,194 @@ def q206_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q207_join_size_estimate",
+    oracle="""
+    WITH ka AS (
+        SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1
+    ), kb AS (
+        SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1
+    ), sa AS (
+        SELECT k, cnt FROM ka
+        WHERE (((k * 48271 + 11213) % 2147483647) * 69621 + 28411) % 2147483647 < 2147483647 // 64
+    ), sb AS (
+        SELECT k, cnt FROM kb
+        WHERE (((k * 48271 + 11213) % 2147483647) * 69621 + 28411) % 2147483647 < 2147483647 // 64
+    ), est AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS sampled_keys,
+               CAST(SUM(sa.cnt * sb.cnt) AS BIGINT) AS sampled_pairs
+        FROM sa JOIN sb USING (k)
+    ), truth AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS true_join_rows
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT sampled_keys, sampled_pairs,
+           sampled_pairs * 64 AS est_join_rows,
+           true_join_rows,
+           ABS(CAST(sampled_pairs * 64 AS DOUBLE) - true_join_rows) / true_join_rows
+               AS rel_error
+    FROM est CROSS JOIN truth
+    """,
+    survey_ref="extension: sketch-based join-cardinality estimation — "
+    "coordinated bottom-hash key sampling (same portable hash both "
+    "sides, rate 1/64) scales the sampled per-key count products into a "
+    "|A join B| estimate; the statistic a cost-based optimizer needs "
+    "before committing to a join strategy",
+)
+def q207_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate |orders ⋈ lineitem| without running the join at full
+    size: both sides sample the SAME 1/64 hash slice of the key domain
+    (coordinated sampling — the same keys survive on both sides, so
+    per-key count products are observed, not guessed), and the sampled
+    pair mass scales by 64. Emits the estimate next to the true join
+    cardinality and realized relative error.
+
+    This is how an optimizer prices a join before choosing
+    broadcast/shuffle/sort strategies at 100 TB: the sample join
+    touches ~1.5% of the distinct keys, the scale-up is unbiased
+    (Horvitz-Thompson under hash sampling), and the portable hash
+    makes the whole estimate value-reproducible. The true-count column
+    exists only for the audit; a production caller computes just the
+    sample side."""
+    from stock_data_pipeline_spark.operators.sketches import MERSENNE_31, kmv_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    thresh = MERSENNE_31 // 64
+    ka = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    kb = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    sa = ka.filter(kmv_hash(F.col("k")) < thresh)
+    sb = kb.filter(kmv_hash(F.col("k")) < thresh)
+    est = sa.join(sb, "k").agg(
+        F.count("*").cast("long").alias("sampled_keys"),
+        F.sum(sa["cnt"] * sb["cnt"]).cast("long").alias("sampled_pairs"),
+    )
+    truth = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).agg(
+        F.count("*").cast("long").alias("true_join_rows")
+    )
+    out = est.crossJoin(F.broadcast(truth))
+    est_rows = F.col("sampled_pairs") * 64
+    return out.select(
+        "sampled_keys",
+        "sampled_pairs",
+        est_rows.alias("est_join_rows"),
+        "true_join_rows",
+        (
+            F.abs(est_rows.cast("double") - F.col("true_join_rows"))
+            / F.col("true_join_rows")
+        ).alias("rel_error"),
+    )
+
+
+@register(
+    "q208_histogram_selectivity",
+    oracle="""
+    WITH rng AS (
+        SELECT MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS vmin,
+               MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS vmax
+        FROM orders
+    ), pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, vmin, vmax
+        FROM orders CROSS JOIN rng
+    ), hist AS (
+        SELECT least(((v - vmin) * 64) // greatest(vmax - vmin + 1, 1), 63) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(vmin) AS vmin, MIN(vmax) AS vmax
+        FROM pts GROUP BY 1
+    ), pred AS (
+        SELECT vmin + ((vmax - vmin) * 30) // 100 AS plo,
+               vmin + ((vmax - vmin) * 70) // 100 AS phi,
+               vmin, vmax
+        FROM rng
+    ), est AS (
+        SELECT CAST(SUM(CASE
+            WHEN (h.vmin + ((h.bucket + 1) * (h.vmax - h.vmin + 1)) // 64 - 1) < p.plo
+              OR (h.vmin + (h.bucket * (h.vmax - h.vmin + 1)) // 64) > p.phi THEN 0
+            ELSE h.n END) AS BIGINT) AS est_rows
+        FROM hist h CROSS JOIN pred p
+    ), truth AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS true_rows
+        FROM pts CROSS JOIN pred p
+        WHERE v BETWEEN p.plo AND p.phi
+    )
+    SELECT est_rows, true_rows,
+           CAST(est_rows AS DOUBLE) / true_rows AS overcount_factor
+    FROM est CROSS JOIN truth
+    """,
+    survey_ref="extension: histogram selectivity estimation — 64-bucket "
+    "equi-width histogram prices a range predicate by whole-bucket "
+    "inclusion (the upper-bound estimate an optimizer uses), audited "
+    "against the true selectivity",
+)
+def q208_histogram_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price a range predicate from a 64-bucket equi-width histogram of
+    order values: every bucket whose range intersects [p30, p70] of the
+    domain counts fully (the safe upper-bound rule optimizers use when
+    they refuse to interpolate inside a bucket). Emits the estimate,
+    the true row count, and the overcount factor — the accuracy the
+    optimizer is trading for a 64-row statistic.
+
+    Exact integer arithmetic throughout (cents, floor-division bucket
+    boundaries), so even the audit columns value-match cross-engine;
+    one scan for the histogram, everything after runs on 64 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (_dec("o_totalprice") * 100).cast("long")
+    rng = o.agg(
+        F.min(cents).alias("vmin"), F.max(cents).alias("vmax")
+    )
+    pts = o.select(cents.alias("v")).crossJoin(F.broadcast(rng))
+
+    def idiv(a: F.Column, b: F.Column) -> F.Column:
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    span = F.greatest(F.col("vmax") - F.col("vmin") + 1, F.lit(1).cast("long"))
+    bucket = F.least(idiv((F.col("v") - F.col("vmin")) * 64, span), F.lit(63).cast("long"))
+    hist = (
+        pts.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("vmin").alias("vmin"),
+            F.min("vmax").alias("vmax"),
+        )
+    )
+    pred = rng.select(
+        (F.col("vmin") + idiv((F.col("vmax") - F.col("vmin")) * 30, F.lit(100).cast("long"))).alias("plo"),
+        (F.col("vmin") + idiv((F.col("vmax") - F.col("vmin")) * 70, F.lit(100).cast("long"))).alias("phi"),
+    )
+    hspan = F.col("vmax") - F.col("vmin") + 1
+    b_lo = F.col("vmin") + idiv(F.col("bucket") * hspan, F.lit(64).cast("long"))
+    b_hi = F.col("vmin") + idiv((F.col("bucket") + 1) * hspan, F.lit(64).cast("long")) - 1
+    est = (
+        hist.crossJoin(F.broadcast(pred))
+        .select(
+            F.when((b_hi < F.col("plo")) | (b_lo > F.col("phi")), F.lit(0))
+            .otherwise(F.col("n"))
+            .alias("contrib")
+        )
+        .agg(F.sum("contrib").cast("long").alias("est_rows"))
+    )
+    truth = (
+        pts.crossJoin(F.broadcast(pred))
+        .filter(F.col("v").between(F.col("plo"), F.col("phi")))
+        .agg(F.count("*").cast("long").alias("true_rows"))
+    )
+    return (
+        est.crossJoin(F.broadcast(truth))
+        .select(
+            "est_rows",
+            "true_rows",
+            (F.col("est_rows").cast("double") / F.col("true_rows")).alias(
+                "overcount_factor"
+            ),
+        )
+    )
+
+
 def _duck_sqdist(qv: str, cv: str, dim: int) -> str:
     """Σ (q_i − c_i)² as the same left fold clustering._sq_dist runs."""
     return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -340,3 +340,17 @@ def test_benford_audit_covers_all_digits(spark):
     assert abs(sum(r.p_expected for r in rows.values()) - 1.0) < 1e-9
     for r in rows.values():
         assert r.chi2_term >= 0.0
+
+
+def test_join_size_estimate_reasonable(spark):
+    r = REGISTRY["q207_join_size_estimate"].fn(spark, SF).collect()[0]
+    assert r.sampled_keys > 0
+    assert r.est_join_rows == r.sampled_pairs * 64
+    assert r.rel_error < 0.5  # 1/64 coordinated sample stays in range
+
+
+def test_histogram_selectivity_is_upper_bound(spark):
+    r = REGISTRY["q208_histogram_selectivity"].fn(spark, SF).collect()[0]
+    # whole-bucket inclusion can only overcount
+    assert r.est_rows >= r.true_rows > 0
+    assert r.overcount_factor < 1.2  # 64 buckets keep the bound tight
