@@ -10972,6 +10972,68 @@ def q208_histogram_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q209_interpolated_asof",
+    oracle="""
+    WITH purch AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'
+    ), vw AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events WHERE event_type = 'view'
+    )
+    SELECT l.user_id, l.event_id, l.t AS t_us,
+           p.t0, p.v0, n.t1, n.v1,
+           CASE WHEN p.t0 IS NULL THEN n.v1
+                WHEN n.t1 IS NULL THEN p.v0
+                WHEN n.t1 > p.t0
+                    THEN p.v0 + (n.v1 - p.v0)
+                         * (CAST(l.t - p.t0 AS DOUBLE) / CAST(n.t1 - p.t0 AS DOUBLE))
+                ELSE p.v0
+           END AS v_interp
+    FROM purch l
+    LEFT JOIN LATERAL (
+        SELECT r.t AS t0, r.value AS v0 FROM vw r
+        WHERE r.user_id = l.user_id AND r.t <= l.t
+        ORDER BY r.t DESC, r.event_id DESC LIMIT 1
+    ) p ON true
+    LEFT JOIN LATERAL (
+        SELECT r.t AS t1, r.value AS v1 FROM vw r
+        WHERE r.user_id = l.user_id AND r.t >= l.t
+        ORDER BY r.t ASC, r.event_id ASC LIMIT 1
+    ) n ON true
+    """,
+    survey_ref="J family extension: time-interpolated as-of join — "
+    "bracketing carry in BOTH directions on one (key, time) exchange "
+    "(no range join, no per-row subquery), linear interpolation with "
+    "exact-microsecond fractions and deterministic (time, id) bracket "
+    "ties; the sensor-fusion/market-data alignment primitive",
+)
+def q209_interpolated_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the linearly interpolated 'view value' at
+    purchase time: the previous and next view events bracket the
+    purchase and the value interpolates on the exact-microsecond
+    fraction, clamping to the surviving side at series edges (first/
+    last view) and to the backward value when the bracket collapses.
+
+    The oracle prices each left row with two correlated LATERAL argmin
+    subqueries — quadratic shape, fine for an oracle; the Spark plan is
+    the scalable one: union both streams, ONE exchange on (user_id),
+    and two ordered carry passes (forward for prev, backward for next).
+    """
+    from stock_data_pipeline_spark.operators.asof import asof_join_interpolated
+
+    ev = load_events(spark, sf_dir)
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", t_us.alias("t_us")
+    )
+    vw = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", t_us.alias("t_us"), "value"
+    )
+    return asof_join_interpolated(
+        purch, vw, ["user_id"], "t_us", "t_us", "value", "event_id"
+    )
+
+
 def _duck_sqdist(qv: str, cv: str, dim: int) -> str:
     """Σ (q_i − c_i)² as the same left fold clustering._sq_dist runs."""
     return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -354,3 +354,20 @@ def test_histogram_selectivity_is_upper_bound(spark):
     # whole-bucket inclusion can only overcount
     assert r.est_rows >= r.true_rows > 0
     assert r.overcount_factor < 1.2  # 64 buckets keep the bound tight
+
+
+def test_interpolated_asof_bracketing(spark):
+    rows = REGISTRY["q209_interpolated_asof"].fn(spark, SF).collect()
+    assert rows
+    saw_both = 0
+    for r in rows:
+        if r.t0 is not None and r.t1 is not None:
+            saw_both += 1
+            assert r.t0 <= r.t_us <= r.t1
+            lo, hi = min(r.v0, r.v1), max(r.v0, r.v1)
+            assert lo - 1e-9 <= r.v_interp <= hi + 1e-9
+        elif r.t0 is None:
+            assert r.v_interp == r.v1
+        elif r.t1 is None:
+            assert r.v_interp == r.v0
+    assert saw_both > 0
