@@ -11034,6 +11034,217 @@ def q209_interpolated_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q210_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents
+        FROM orders GROUP BY 1
+    ), rng AS (
+        SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+    ), marked AS (
+        SELECT day, rev_cents,
+               CASE WHEN datediff('day', d0, day) * 2 <= datediff('day', d0, d1)
+                    THEN 0 ELSE 1 END AS period
+        FROM daily CROSS JOIN rng
+    ), ref AS (
+        SELECT SUM(rev_cents) AS s0, CAST(COUNT(*) AS BIGINT) AS n0
+        FROM marked WHERE period = 0
+    ), walked AS (
+        SELECT day, rev_cents, s0, n0,
+               ROW_NUMBER() OVER (ORDER BY day) AS t,
+               SUM(rev_cents) OVER (ORDER BY day) AS prefix_cents,
+               n0 * rev_cents - s0 AS dev_num
+        FROM marked CROSS JOIN ref
+    ), numbered AS (
+        SELECT day, rev_cents, n0,
+               n0 * prefix_cents - t * s0 AS cusum_num,
+               dev_num
+        FROM walked
+    ), scale AS (
+        SELECT MAX(ABS(dev_num)) AS dev_max_num FROM numbered
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(CAST(cusum_num AS VARCHAR) AS DOUBLE) / n0 AS cusum,
+           CAST(CASE WHEN ABS(cusum_num) > 5 * dev_max_num THEN 1 ELSE 0 END AS BIGINT)
+               AS flagged
+    FROM numbered CROSS JOIN scale
+    """,
+    survey_ref="extension: CUSUM change-point detection — cumulative "
+    "deviation from the reference-period mean kept EXACT as the integer "
+    "numerator n0*prefix - t*S0 (the flag compares integers, immune to "
+    "both engines\' running-sum association orders); one window prefix "
+    "sum over the day grain",
+)
+def q210_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart over daily revenue: fix the mean mu = S0/n0 on
+    the first half of the date range and walk the cumulative deviation
+    Sum(x_t - mu). The walk is kept as the EXACT integer numerator
+    n0*prefix_t - t*S0 (decimal accumulators), so the threshold flag
+    |CUSUM| > 5*max|x - mu| compares integers — no running double sum
+    to reconcile across engines (DuckDB computes window sums with a
+    segment tree whose association order differs from a left fold; a
+    double CUSUM diverges in the last ulps, an integer one cannot).
+    The reported cusum column divides the exact numerator by n0 once.
+
+    Scale: the day grain collapses any raw volume to a few thousand
+    rows before the single cumulative window runs."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (_dec("o_totalprice") * 100).cast("long")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents).cast("long").alias("rev_cents")
+    )
+    rng = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    marked = daily.crossJoin(F.broadcast(rng)).select(
+        "day",
+        "rev_cents",
+        F.when(
+            F.datediff(F.col("day"), F.col("d0")) * 2
+            <= F.datediff(F.col("d1"), F.col("d0")),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("period"),
+    )
+    ref = marked.filter(F.col("period") == 0).agg(
+        F.sum("rev_cents").cast("decimal(38,0)").alias("s0"),
+        F.count("*").cast("long").alias("n0"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.orderBy("day")
+    walked = (
+        marked.crossJoin(F.broadcast(ref))
+        .withColumn("t", F.row_number().over(wt).cast("long"))
+        .withColumn("prefix_cents", F.sum("rev_cents").over(w).cast("decimal(38,0)"))
+    )
+    cusum_num = (
+        F.col("n0") * F.col("prefix_cents") - F.col("t") * F.col("s0")
+    ).cast("decimal(38,0)")
+    dev_num = (
+        F.col("n0") * F.col("rev_cents").cast("decimal(38,0)") - F.col("s0")
+    ).cast("decimal(38,0)")
+    numbered = walked.select(
+        "day", "rev_cents", "n0",
+        cusum_num.alias("cusum_num"),
+        dev_num.alias("dev_num"),
+    )
+    scale = numbered.agg(F.max(F.abs(F.col("dev_num"))).alias("dev_max_num"))
+    return (
+        numbered.crossJoin(F.broadcast(scale))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "rev_cents",
+            (F.col("cusum_num").cast("double") / F.col("n0")).alias("cusum"),
+            (F.abs(F.col("cusum_num")) > 5 * F.col("dev_max_num"))
+            .cast("long")
+            .alias("flagged"),
+        )
+    )
+
+
+@register(
+    "q211_bitmap_index",
+    oracle="""
+    WITH ordinals AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_totalprice >= 150000 THEN 'big' ELSE 'small' END AS size_class,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+        FROM orders
+    ), bm_a AS (
+        SELECT o_orderpriority AS val, pos // 62 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INTEGER)) AS bits
+        FROM ordinals GROUP BY 1, 2
+    ), bm_b AS (
+        SELECT size_class AS val, pos // 62 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INTEGER)) AS bits
+        FROM ordinals GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.val AS priority, b.val AS size_class,
+               CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS bitmap_count
+        FROM bm_a a JOIN bm_b b USING (word_idx)
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT o_orderpriority AS priority,
+               CASE WHEN o_totalprice >= 150000 THEN 'big' ELSE 'small' END AS size_class,
+               CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT p.priority, p.size_class, p.bitmap_count, t.true_count
+    FROM pairs p JOIN truth t
+      ON t.priority = p.priority AND t.size_class = p.size_class
+    """,
+    survey_ref="extension: bitmap-index intersection — low-cardinality "
+    "dimensions as row-ordinal bitmaps (62-bit words, one bit_or "
+    "aggregate each); conjunctive counts via word-wise AND + popcount, "
+    "audited exactly equal to the direct GROUP BY — the OLAP "
+    "bitmap-index acceleration, declarative",
+)
+def q211_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap indexes for two low-cardinality dimensions (order
+    priority, big/small order): assign every row a stable ordinal,
+    fold each dimension value's rows into 62-bit bitmap words, and
+    answer the full conjunctive contingency table by word-aligned
+    AND + popcount — then audit it against the direct GROUP BY (every
+    cell must match EXACTLY, which the value oracle enforces).
+
+    Why it matters at scale: once built, ANY boolean combination of
+    indexed predicates (AND/OR/NOT) is answered by word-wise bit ops
+    over |rows|/62 words per value — no rescan of the fact table. The
+    bitmap build is one map-side-combinable bit_or aggregate per
+    dimension; the intersection join is on word_idx (both sides
+    bitmap-sized, not data-sized). The global row-ordinal window is
+    the one deliberately non-scalable step (an identity column /
+    monotonically_increasing_id replaces it in production; the stable
+    rank keeps the oracle deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    ordinals = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_totalprice") >= 150000, F.lit("big"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 62 AS INT))")
+
+    def bitmap(col: str):
+        return (
+            ordinals.select(
+                F.col(col).alias("val"),
+                (F.col("pos") / 62).cast("long").alias("word_idx"),
+                mask.alias("m"),
+            )
+            .groupBy("val", "word_idx")
+            .agg(F.bit_or("m").alias("bits"))
+        )
+
+    bm_a, bm_b = bitmap("o_orderpriority"), bitmap("size_class")
+    pairs = (
+        bm_a.alias("a")
+        .join(bm_b.alias("b"), "word_idx")
+        .groupBy(
+            F.col("a.val").alias("priority"), F.col("b.val").alias("size_class")
+        )
+        .agg(
+            F.sum(F.bit_count(F.col("a.bits").bitwiseAND(F.col("b.bits"))))
+            .cast("long")
+            .alias("bitmap_count")
+        )
+    )
+    truth = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.when(F.col("o_totalprice") >= 150000, F.lit("big"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+    ).agg(F.count("*").cast("long").alias("true_count"))
+    return pairs.join(truth, ["priority", "size_class"]).select(
+        "priority", "size_class", "bitmap_count", "true_count"
+    )
+
+
 def _duck_sqdist(qv: str, cv: str, dim: int) -> str:
     """Σ (q_i − c_i)² as the same left fold clustering._sq_dist runs."""
     return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

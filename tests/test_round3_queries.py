@@ -371,3 +371,30 @@ def test_interpolated_asof_bracketing(spark):
         elif r.t1 is None:
             assert r.v_interp == r.v0
     assert saw_both > 0
+
+
+def test_bitmap_index_counts_exact(spark):
+    rows = REGISTRY["q211_bitmap_index"].fn(spark, SF).collect()
+    assert len(rows) == 10  # 5 priorities x 2 size classes
+    for r in rows:
+        assert r.bitmap_count == r.true_count  # bitmaps are exact, not approx
+
+
+def test_cusum_walk_properties(spark):
+    rows = sorted(
+        REGISTRY["q210_cusum_changepoint"].fn(spark, SF).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    # CUSUM over the reference period ends at exactly zero by
+    # construction: sum of (x - mean(first half)) over the first half
+    # is 0. Find the period boundary the query used (date midpoint).
+    from datetime import date
+
+    days = [date.fromisoformat(r.day) for r in rows]
+    d0, d1 = days[0], days[-1]
+    in_ref = [(d - d0).days * 2 <= (d1 - d0).days for d in days]
+    n0 = sum(in_ref)
+    mid = rows[n0 - 1]
+    peak = max(abs(r.cusum) for r in rows)
+    assert abs(mid.cusum) <= 1e-9 * max(peak, 1.0)
