@@ -11245,6 +11245,183 @@ def q211_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q212_forecast_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE)
+               AS revenue_increase
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+      AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey_ref="TPC-H Q6 (forecast revenue change): pure filter+sum — the "
+    "canonical predicate-pushdown showcase; every predicate reaches the "
+    "parquet scan, the sum is exact decimal, zero joins, zero shuffles "
+    "past the partial aggregate",
+)
+def q212_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue increase had discounts in [0.05, 0.07] been
+    eliminated on small-quantity 1994 lineitems. The simplest query in
+    the suite and the purest scan-efficiency measure: all three
+    predicates push into the parquet reader, the product accumulates in
+    exact DECIMAL (order-free partial aggregation), and the plan is
+    scan → partial agg → single-row final — no exchange of data rows at
+    all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = _dec("l_discount")
+    out = (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1994-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1995-01-01").cast("date"))
+            & d.between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * d)
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("revenue_increase")
+        )
+    )
+    return out
+
+
+@register(
+    "q213_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                       - CAST(0.8 AS DECIMAL(3,2))
+                         * CAST(p.p_retailprice AS DECIMAL(18,2))
+                         * CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS DOUBLE)
+               AS profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type IN ('PROMO', 'ECONOMY')
+    GROUP BY 1, 2
+    """,
+    survey_ref="TPC-H Q9 shape (product-type profit by nation and year over the "
+    "PROMO/ECONOMY type slice; "
+    "the fixture has no partsupp, so supply cost is the deterministic "
+    "0.8 x retailprice proxy): the 5-way star join with two broadcast "
+    "dims and exact-decimal profit accumulation",
+)
+def q213_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted): profit per supplier nation per order year
+    over PROMO/ECONOMY-type parts: Σ extprice·(1−disc) − 0.8·retailprice·qty,
+    exact decimals end-to-end (one double cast at the very end).
+
+    Plan shape to check: part (filtered by type — the filter prunes
+    BEFORE the join), supplier and nation broadcast; lineitem joins
+    orders on the orderkey both sides can be bucketed by; the profit
+    expression folds into one decimal sum with map-side partials. The
+    fixture carries no partsupp table, so the supply-cost term uses a
+    fixed retail-price fraction — the join topology and aggregate are
+    the Q9 ones."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").isin("PROMO", "ECONOMY")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit_term = _dec("l_extendedprice") * (1 - _dec("l_discount")) - F.lit(
+        "0.8"
+    ).cast("decimal(3,2)") * _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(profit_term).cast("decimal(38,6)").cast("double").alias("profit")
+        )
+    )
+
+
+@register(
+    "q214_suppliers_kept_waiting",
+    oracle="""
+    WITH flagged AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CASE WHEN CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 90
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ), per_supp AS (
+        SELECT l_orderkey, l_suppkey, MAX(late) AS late
+        FROM flagged GROUP BY 1, 2
+    ), per_order AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_supps,
+               CAST(SUM(late) AS BIGINT) AS n_late
+        FROM per_supp GROUP BY 1
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per_supp ps
+    JOIN per_order po ON po.l_orderkey = ps.l_orderkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.late = 1 AND po.n_supps > 1 AND po.n_late = 1
+    GROUP BY 1
+    """,
+    survey_ref="TPC-H Q21 shape (suppliers who kept orders waiting; the "
+    "fixture has no commit/receipt dates, so 'late' = shipped more than "
+    "90 days after the order): the EXISTS / NOT-EXISTS double "
+    "correlation rewritten as one per-order aggregate — no correlated "
+    "subqueries, no re-scan of lineitem per supplier",
+)
+def q214_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted): for finalized orders, count per supplier
+    the multi-supplier orders where that supplier was the ONLY late
+    one. The textbook form is a correlated EXISTS (another supplier
+    on the order) plus NOT EXISTS (another LATE supplier) — quadratic
+    if executed naively. This plan decorrelates both into ONE
+    per-order aggregate (supplier count, late count) joined back: the
+    EXISTS becomes n_supps > 1, the NOT-EXISTS becomes n_late = 1
+    given this supplier is late. lineitem is touched once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    flagged = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 90)
+        )
+        .cast("int")
+        .alias("late"),
+    )
+    per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_supps"),
+        F.sum("late").cast("long").alias("n_late"),
+    )
+    return (
+        per_supp.filter(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
 def _duck_sqdist(qv: str, cv: str, dim: int) -> str:
     """Σ (q_i − c_i)² as the same left fold clustering._sq_dist runs."""
     return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
