@@ -398,3 +398,32 @@ def test_cusum_walk_properties(spark):
     mid = rows[n0 - 1]
     peak = max(abs(r.cusum) for r in rows)
     assert abs(mid.cusum) <= 1e-9 * max(peak, 1.0)
+
+
+def test_bot_detection_flag_consistency(spark):
+    rows = REGISTRY["q215_bot_detection"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_events >= 6
+        assert r.gap_cv2 >= -1e-9
+        if r.is_bot:
+            assert r.n_events >= 20 and r.gap_cv2 < 0.5
+
+
+def test_incremental_dedup_agrees_with_full_pairs(spark):
+    """A new doc is rejected iff the FULL pairwise dedup (q25 at the
+    same threshold/shingle width) links it to an old doc — incremental
+    must neither invent nor miss cross-snapshot duplicates."""
+    from stock_data_pipeline_spark.llm import dedup
+    from stock_data_pipeline_spark.catalog import load_table
+
+    doc = load_table(spark, SF, "documents")
+    pairs = dedup.ngram_jaccard_pairs_prefix(doc, "doc_id", "text", n=3, threshold=0.8)
+    cross_rejected = set()
+    for r in pairs.collect():
+        a_new, b_new = r.id_a % 10 == 0, r.id_b % 10 == 0
+        if a_new != b_new:  # one side old, one side new
+            cross_rejected.add(r.id_a if a_new else r.id_b)
+    inc = {r.doc_id: r.admitted for r in REGISTRY["q216_incremental_dedup"].fn(spark, SF).collect()}
+    for doc_id, admitted in inc.items():
+        assert (admitted == 0) == (doc_id in cross_rejected)
