@@ -11591,6 +11591,77 @@ def q216_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q217_decayed_revenue",
+    oracle="""
+    WITH rng AS (
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders
+    ), aged AS (
+        SELECT o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               least(datediff('day', CAST(o_orderdate AS DATE), dmax) // 30, 36) AS k
+        FROM orders CROSS JOIN rng
+    ), scaled AS (
+        SELECT o_custkey,
+               SUM(CAST(cents AS HUGEINT) * (CAST(1 AS HUGEINT) << CAST(36 - k AS INTEGER)))
+                   AS num,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(cents) AS raw_cents
+        FROM aged GROUP BY 1
+    )
+    SELECT o_custkey, n_orders,
+           CAST(raw_cents AS BIGINT) AS raw_cents,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE) / 68719476736.0 / 100.0
+               AS decayed_revenue
+    FROM scaled
+    """,
+    survey_ref="extension: recency-decayed aggregation — half-life decay "
+    "with EXACT dyadic weights (w = 2^-(age//30), accumulated as "
+    "integer cents << (36-k), one divide at the end): the feature-store "
+    "recency score without any pow()/exp() reproducibility question",
+)
+def q217_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted customer revenue: each order contributes its
+    value halved for every 30 days of age (capped at 36 half-lives) —
+    the standard feature-store recency score. The decay weights are
+    dyadic (2^-k), so the whole aggregate accumulates EXACTLY as
+    integer cents shifted by (36−k) bits in 128-bit decimals, with ONE
+    double division by 2^36 at the end — no pow()/exp() call whose
+    libm rounding could differ between engines, and the sum is
+    order-free (map-side combinable at any parallelism).
+
+    One broadcast max-date row, one narrow projection, one grouped
+    sum — the same plan as a plain revenue rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    rng = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("dmax"))
+    age_days = F.datediff(F.col("dmax"), F.col("o_orderdate").cast("date"))
+    k = F.least(
+        ((age_days - F.pmod(age_days, F.lit(30))) / 30).cast("long"), F.lit(36).cast("long")
+    )
+    cents = (_dec("o_totalprice") * 100).cast("long")
+    aged = o.crossJoin(F.broadcast(rng)).select(
+        "o_custkey",
+        cents.alias("cents"),
+        k.alias("k"),
+    )
+    weight = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(36 - k AS INT))")
+    scaled = aged.groupBy("o_custkey").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)") * weight.cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("num"),
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("raw_cents"),
+    )
+    return scaled.select(
+        "o_custkey",
+        "n_orders",
+        "raw_cents",
+        (F.col("num").cast("double") / F.lit(68719476736.0) / F.lit(100.0)).alias(
+            "decayed_revenue"
+        ),
+    )
+
+
 def _duck_sqdist(qv: str, cv: str, dim: int) -> str:
     """Σ (q_i − c_i)² as the same left fold clustering._sq_dist runs."""
     return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

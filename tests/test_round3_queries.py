@@ -427,3 +427,12 @@ def test_incremental_dedup_agrees_with_full_pairs(spark):
     inc = {r.doc_id: r.admitted for r in REGISTRY["q216_incremental_dedup"].fn(spark, SF).collect()}
     for doc_id, admitted in inc.items():
         assert (admitted == 0) == (doc_id in cross_rejected)
+
+
+def test_decayed_revenue_bounded_by_raw(spark):
+    rows = REGISTRY["q217_decayed_revenue"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # decay only shrinks: 0 < decayed <= raw (equality iff all k=0)
+        assert 0.0 < r.decayed_revenue <= r.raw_cents / 100.0 + 1e-9
+        assert r.n_orders > 0
