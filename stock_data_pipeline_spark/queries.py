@@ -11662,6 +11662,252 @@ def q217_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q218_top_paths",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ), marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        FROM ordered
+    ), sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+        FROM marked
+    ), tri AS (
+        SELECT event_type
+               || '>' || lead(event_type, 1) OVER w
+               || '>' || lead(event_type, 2) OVER w AS path
+        FROM sess
+        WINDOW w AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id)
+        QUALIFY lead(event_type, 2) OVER w IS NOT NULL
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri GROUP BY 1
+    ORDER BY n DESC, path LIMIT 20
+    """,
+    survey_ref="extension: session path mining — 30-minute-gap "
+    "sessionization, within-session event-type trigrams via two lead "
+    "windows on ONE (user, time) exchange, global top-20 paths as a "
+    "TakeOrdered; the clickstream sequence-mining staple",
+)
+def q218_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most common 3-step event-type paths within sessions
+    (30-minute inactivity gap): gaps-and-islands sessionization, then
+    each row pairs with its two successors via lead() — all on the
+    single (user_id, time) sort the sessionizer already needs; the
+    final top-20 is a TakeOrderedAndProject, never a global sort of
+    all paths. Deterministic (n desc, path) ordering."""
+    ev = load_events(spark, sf_dir)
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wo = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap = t_us - F.lag(t_us).over(wo)
+    marked = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("new_sess"),
+    )
+    sess = marked.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy(F.col("ts"), F.col("event_id"))
+    tri = sess.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(ws),
+            F.lead("event_type", 2).over(ws),
+        ).alias("path"),
+        F.lead("event_type", 2).over(ws).alias("_third"),
+    ).filter(F.col("_third").isNotNull())
+    return (
+        tri.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(20)
+    )
+
+
+@register(
+    "q219_truncated_dim_recall",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id % 97 = 0
+    ), c AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS cv
+        FROM embeddings WHERE vec_id % 97 <> 0
+    ), full_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, 64),
+                               i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))), (a, b) -> a + b)
+                       ASC, c.vec_id ASC) AS rn
+            FROM q CROSS JOIN c
+        ) WHERE rn <= 10
+    ), trunc_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, 16),
+                               i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))), (a, b) -> a + b)
+                       ASC, c.vec_id ASC) AS rn
+            FROM q CROSS JOIN c
+        ) WHERE rn <= 10
+    )
+    SELECT f.query_id,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_recalled,
+           CAST(COUNT(t.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM full_top f
+    LEFT JOIN trunc_top t ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+    GROUP BY 1
+    """,
+    survey_ref="extension: truncated-dimension retrieval audit — recall@10 "
+    "of a 16-dim embedding prefix against the full 64-dim exact search "
+    "(the Matryoshka/dimension-budget question), both scans exact "
+    "integer distance, fully value-oracled",
+)
+def q219_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much retrieval quality does a 4× cheaper 16-dim embedding
+    prefix keep? Per query: how many of the full-64-dim exact top-10
+    the 16-dim-prefix top-10 recovers. This is the measurement behind
+    dimension-budget decisions (Matryoshka-style truncation, cheap
+    first-stage retrieval): at 100 TB a 16-dim first pass reads a
+    quarter of the bytes; this query quantifies what that costs in
+    recall, exactly (integer-quantized distances, deterministic ties).
+    Both scans share the corpus crossJoin shape of q28 — the broadcast
+    side is the query set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from stock_data_pipeline_spark.llm.clustering import _quantize
+
+    q = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), _quantize(F.col("embedding"), 10).alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") % 97 != 0).select(
+        "vec_id", _quantize(F.col("embedding"), 10).alias("cv")
+    )
+
+    def top10(n_dims: int, out: str) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(
+                F.slice("qv", 1, n_dims),
+                F.slice("cv", 1, n_dims),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        return (
+            q.crossJoin(c)
+            .withColumn("_d", d2)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 10)
+            .select("query_id", F.col("vec_id").alias(out))
+        )
+
+    full = top10(64, "vec_id")
+    trunc = top10(16, "t_vec")
+    return (
+        full.join(
+            trunc,
+            (full["query_id"] == trunc["query_id"]) & (full["vec_id"] == trunc["t_vec"]),
+            "left",
+        )
+        .groupBy(full["query_id"].alias("query_id"))
+        .agg(
+            F.count(trunc["t_vec"]).cast("long").alias("n_recalled"),
+            (F.count(trunc["t_vec"]).cast("double") / 10.0).alias("recall_at_10"),
+        )
+    )
+
+
+@register(
+    "q220_join_strategy_advisor",
+    oracle="""
+    WITH stats AS (
+        SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               8 + 8 + SUM(length(c_name)) // COUNT(*) AS avg_row_bytes
+        FROM customer
+        UNION ALL
+        SELECT 'supplier', COUNT(*), 8 + 8 + SUM(length(s_name)) // COUNT(*)
+        FROM supplier
+        UNION ALL
+        SELECT 'nation', COUNT(*), 8 + 8 + SUM(length(n_name)) // COUNT(*)
+        FROM nation
+        UNION ALL
+        SELECT 'orders', COUNT(*), 8 + 8 + 8 + SUM(length(o_orderpriority)) // COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', COUNT(*), CAST(8 + 8 + 8 + 8 AS BIGINT)
+        FROM lineitem
+    )
+    SELECT tbl, n_rows, avg_row_bytes,
+           n_rows * avg_row_bytes AS est_bytes,
+           CASE WHEN n_rows * avg_row_bytes <= 10485760 THEN 'broadcast'
+                ELSE 'shuffle' END AS recommended_join
+    FROM stats
+    """,
+    survey_ref="extension: join-strategy advisor — per-table size "
+    "estimates (row count x estimated row width from integer column "
+    "widths + measured mean string lengths) against Spark's 10 MB "
+    "autoBroadcastJoinThreshold; the planning statistic behind every "
+    "broadcast decision in this repo",
+)
+def q220_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which tables should broadcast? Estimate each table's in-memory
+    size as rows × (fixed column widths + measured mean string length)
+    and compare against Spark's default 10 MB broadcast threshold —
+    the advisor output mirrors the explicit F.broadcast() decisions
+    hard-coded throughout this repo (nation/supplier/customer
+    broadcast; orders/lineitem shuffle). One count+sum aggregate per
+    table, integer floor-division for the mean width so the estimate
+    is engine-exact."""
+    specs = [
+        ("customer", ["c_name"], 16),
+        ("supplier", ["s_name"], 16),
+        ("nation", ["n_name"], 16),
+        ("orders", ["o_orderpriority"], 24),
+        ("lineitem", [], 32),
+    ]
+    out = None
+    for tbl, strcols, fixed in specs:
+        t = load_table(spark, sf_dir, tbl)
+        if strcols:
+            sum_len = F.sum(F.length(strcols[0]).cast("long"))
+            avg = (
+                F.lit(fixed).cast("long")
+                + ((sum_len - F.pmod(sum_len, F.count("*"))) / F.count("*")).cast("long")
+            )
+        else:
+            avg = F.lit(fixed).cast("long")
+        part = t.agg(
+            F.count("*").cast("long").alias("n_rows"), avg.alias("avg_row_bytes")
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "avg_row_bytes")
+        out = part if out is None else out.unionByName(part)
+    est = F.col("n_rows") * F.col("avg_row_bytes")
+    return out.select(
+        "tbl",
+        "n_rows",
+        "avg_row_bytes",
+        est.alias("est_bytes"),
+        F.when(est <= 10 * 1024 * 1024, F.lit("broadcast"))
+        .otherwise(F.lit("shuffle"))
+        .alias("recommended_join"),
+    )
+
+
 def _duck_sqdist(qv: str, cv: str, dim: int) -> str:
     """Σ (q_i − c_i)² as the same left fold clustering._sq_dist runs."""
     return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -436,3 +436,27 @@ def test_decayed_revenue_bounded_by_raw(spark):
         # decay only shrinks: 0 < decayed <= raw (equality iff all k=0)
         assert 0.0 < r.decayed_revenue <= r.raw_cents / 100.0 + 1e-9
         assert r.n_orders > 0
+
+
+def test_top_paths_shape(spark):
+    rows = REGISTRY["q218_top_paths"].fn(spark, SF).collect()
+    assert rows
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert r.path.count(">") == 2
+
+
+def test_truncated_recall_bounds(spark):
+    rows = REGISTRY["q219_truncated_dim_recall"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_recalled <= 10
+        assert abs(r.recall_at_10 - r.n_recalled / 10.0) < 1e-12
+
+
+def test_join_advisor_matches_repo_conventions(spark):
+    rows = {r.tbl: r for r in REGISTRY["q220_join_strategy_advisor"].fn(spark, SF).collect()}
+    # the dims this repo broadcasts everywhere must come out broadcast
+    for t in ("customer", "supplier", "nation"):
+        assert rows[t].recommended_join == "broadcast"
