@@ -11908,6 +11908,131 @@ def q220_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q221_span_corruption",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), posl AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tk)),
+                                     i -> {'p': i - 1, 'token': tk[i]})) AS u
+        FROM toks
+    ), pos AS (
+        SELECT doc_id, u.p AS p, u.token AS token FROM posl
+    ), starts AS (
+        SELECT doc_id, p, token,
+               CASE WHEN (doc_id * 1009 + p) % 11 = 0 THEN 1 ELSE 0 END AS is_start
+        FROM pos
+    ), masked AS (
+        SELECT doc_id, p, token, is_start,
+               CASE WHEN MAX(is_start) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1
+                    THEN 1 ELSE 0 END AS m
+        FROM starts
+    ), islands AS (
+        SELECT doc_id, p, token, m,
+               CASE WHEN m = 1 AND COALESCE(lag(m) OVER (PARTITION BY doc_id ORDER BY p), 0) = 0
+                    THEN 1 ELSE 0 END AS new_island
+        FROM masked
+    ), numbered AS (
+        SELECT doc_id, p, token, m, new_island,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p) AS island_id
+        FROM islands
+    ), pieces AS (
+        SELECT doc_id, p, m,
+               CASE WHEN m = 0 THEN token
+                    WHEN new_island = 1 THEN '<X' || CAST(island_id - 1 AS VARCHAR) || '>'
+                    ELSE NULL END AS in_piece,
+               CASE WHEN m = 1 AND new_island = 1
+                        THEN '<X' || CAST(island_id - 1 AS VARCHAR) || '> ' || token
+                    WHEN m = 1 THEN token
+                    ELSE NULL END AS tgt_piece
+        FROM numbered
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(m) AS BIGINT) AS n_masked,
+           COALESCE(array_to_string(list(in_piece ORDER BY p) FILTER (WHERE in_piece IS NOT NULL), ' '), '') AS input_text,
+           COALESCE(array_to_string(list(tgt_piece ORDER BY p) FILTER (WHERE tgt_piece IS NOT NULL), ' '), '') AS target_text
+    FROM pieces
+    GROUP BY 1
+    """,
+    survey_ref="extension: T5-style span corruption — deterministic "
+    "positional span selection, gaps-and-islands sentinel numbering, "
+    "input/target construction by order-pinned list aggregation; the "
+    "denoising-objective data build as a declarative plan",
+)
+def q221_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a T5-style denoising example per document: deterministic
+    3-token spans (every position where (doc_id·1009 + pos) % 11 == 0
+    starts a span) collapse to numbered sentinels <X0>,<X1>,… in the
+    input, and the target lists each sentinel followed by the tokens it
+    hid. Span starts, island numbering, and both output strings are
+    pure window/aggregate machinery — posexplode, one (doc, pos) sort,
+    order-pinned list aggregation — so the whole augmentation is
+    engine-reproducible (no RNG: position hashing IS the sampler, and
+    the same seed formula regenerates the identical corpus anywhere).
+
+    Scale: one exchange on doc_id for the windows; output strings are
+    built per document with no driver involvement."""
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id", F.posexplode(text.tokens(F.col("text"))).alias("p", "token")
+    )
+    is_start = (F.pmod(F.col("doc_id") * 1009 + F.col("p"), F.lit(11)) == 0).cast("int")
+    wp = Window.partitionBy("doc_id").orderBy("p")
+    w3 = wp.rowsBetween(-2, 0)
+    wcum = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stage = (
+        tok.withColumn("is_start", is_start)
+        .withColumn("m", (F.max("is_start").over(w3) == 1).cast("int"))
+        .withColumn(
+            "new_island",
+            (
+                (F.col("m") == 1)
+                & (F.coalesce(F.lag("m").over(wp), F.lit(0)) == 0)
+            ).cast("int"),
+        )
+        .withColumn("island_id", F.sum("new_island").over(wcum))
+    )
+    sentinel = F.concat(F.lit("<X"), (F.col("island_id") - 1).cast("string"), F.lit(">"))
+    in_piece = (
+        F.when(F.col("m") == 0, F.col("token"))
+        .when(F.col("new_island") == 1, sentinel)
+        .otherwise(F.lit(None))
+    )
+    tgt_piece = (
+        F.when(
+            (F.col("m") == 1) & (F.col("new_island") == 1),
+            F.concat(sentinel, F.lit(" "), F.col("token")),
+        )
+        .when(F.col("m") == 1, F.col("token"))
+        .otherwise(F.lit(None))
+    )
+    pieces = stage.select(
+        "doc_id", "p", "m", in_piece.alias("in_piece"), tgt_piece.alias("tgt_piece")
+    )
+
+    def joined(col: str) -> F.Column:
+        arr = F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col(col).isNotNull(), F.struct(F.col("p"), F.col(col).alias("s"))
+                )
+            )
+        )
+        return F.array_join(F.transform(arr, lambda x: x["s"]), " ")
+
+    return pieces.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("m").cast("long").alias("n_masked"),
+        joined("in_piece").alias("input_text"),
+        joined("tgt_piece").alias("target_text"),
+    )
+
+
 def _duck_sqdist(qv: str, cv: str, dim: int) -> str:
     """Σ (q_i − c_i)² as the same left fold clustering._sq_dist runs."""
     return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -460,3 +460,41 @@ def test_join_advisor_matches_repo_conventions(spark):
     # the dims this repo broadcasts everywhere must come out broadcast
     for t in ("customer", "supplier", "nation"):
         assert rows[t].recommended_join == "broadcast"
+
+
+def test_span_corruption_roundtrip(spark):
+    """The input's sentinels and the target's sentinel-tagged spans must
+    reconstruct the original token sequence exactly."""
+    from stock_data_pipeline_spark.catalog import load_table
+    import re
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    rows = REGISTRY["q221_span_corruption"].fn(spark, SF).collect()
+    assert rows
+    masked_docs = 0
+    for r in rows:
+        orig = [t for t in re.split(r"\s+", docs[r.doc_id]) if t]
+        assert r.n_tokens == len(orig)
+        # parse target into {sentinel: [tokens]}
+        spans: dict[str, list[str]] = {}
+        cur = None
+        for piece in r.target_text.split(" ") if r.target_text else []:
+            if piece.startswith("<X"):
+                cur = piece
+                spans[cur] = []
+            else:
+                spans[cur].append(piece)
+        rebuilt: list[str] = []
+        for piece in r.input_text.split(" ") if r.input_text else []:
+            if piece.startswith("<X"):
+                rebuilt.extend(spans[piece])
+            else:
+                rebuilt.append(piece)
+        assert rebuilt == orig, f"doc {r.doc_id} does not round-trip"
+        if r.n_masked:
+            masked_docs += 1
+            assert sum(len(v) for v in spans.values()) == r.n_masked
+    assert masked_docs > 0
