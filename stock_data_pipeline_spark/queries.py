@@ -12033,6 +12033,157 @@ def q221_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q222_SCORE_SQL = """
+        SELECT doc_id,
+               0.4 * least(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) / 100.0, 1.0)
+               + 0.3 * (len(list_filter(string_split_regex(text, '\\s+'),
+                            t -> list_contains(['the','and','of','to','a','in','is','it','that','for','on','with','as','at','by'], lower(t))))
+                        / CAST(greatest(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')), 1) AS DOUBLE))
+               + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                              / greatest(length(text), 1)) AS score,
+               CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) >= 60
+                    THEN 1 ELSE 0 END AS label
+        FROM documents
+"""
+
+
+@register(
+    "q222_calibration_curve",
+    oracle=f"""
+    WITH scored AS ({_Q222_SCORE_SQL}
+    ), binned AS (
+        SELECT NTILE(10) OVER (ORDER BY score, doc_id) AS bin, doc_id, score, label
+        FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(score ORDER BY doc_id)),
+                       (a, b) -> a + b) / COUNT(*) AS mean_score,
+           CAST(SUM(label) AS DOUBLE) / COUNT(*) AS positive_rate
+    FROM binned GROUP BY 1
+    """,
+    survey_ref="extension: model-calibration table — score deciles "
+    "(deterministic ntile ties) vs realized positive rate, the "
+    "reliability-diagram data every scored-filter pipeline audits "
+    "before thresholding",
+)
+def q222_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/reliability table for a document scorer: bucket the
+    q31 quality score into deciles (deterministic (score, doc_id)
+    ordering) and compare each bucket's mean score against the realized
+    positive rate of a downstream label (here: the ≥60-token docs the
+    score is meant to surface). A well-calibrated scorer tracks the
+    diagonal; the drift between columns is what picks the production
+    threshold. One sort-based ntile window plus one aggregate.
+
+    The mean_score sum adds identical doubles in ntile order... no —
+    SUM over a group is order-ambiguous, so the score itself must be
+    summed carefully: DuckDB and Spark both hash-aggregate per bin over
+    ≤n/10 rows; the scores here are sums of exactly-representable
+    rationals? They are not — so this query's hash-match relies on the
+    per-bin double sums agreeing, which they do because each bin's rows
+    arrive in ntile output order in BOTH engines only under
+    single-partition execution. To keep the oracle honest at any
+    parallelism, the Spark side folds each bin's scores in sorted
+    order via collect_list — order-pinned, engine-exact."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    score = (
+        0.4 * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+        + 0.3 * text.stopword_ratio(F.col("text"))
+        + 0.3 * (1.0 - text.punct_ratio(F.col("text")))
+    )
+    scored = doc.select(
+        "doc_id",
+        score.alias("score"),
+        (F.size(toks) >= 60).cast("int").alias("label"),
+    )
+    w = Window.orderBy(F.col("score"), F.col("doc_id"))
+    binned = scored.withColumn("bin", F.ntile(10).over(w))
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("doc_id", "score"))),
+                F.lit(0.0),
+                lambda a, x: a + x["score"],
+            )
+            / F.count("*")
+        ).alias("mean_score"),
+        (F.sum("label").cast("double") / F.count("*")).alias("positive_rate"),
+    )
+
+
+@register(
+    "q223_exact_auc",
+    oracle=f"""
+    WITH scored AS ({_Q222_SCORE_SQL}
+    ), ranked AS (
+        SELECT label, score,
+               RANK() OVER (ORDER BY score) AS r_lo,
+               CAST(COUNT(*) OVER (PARTITION BY score) AS BIGINT) AS n_tied
+        FROM scored
+    ), sums AS (
+        SELECT CAST(SUM(CASE WHEN label = 1 THEN 2 * r_lo + n_tied - 1 ELSE 0 END) AS BIGINT)
+                   AS two_ranksum_pos,
+               CAST(SUM(label) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - label) AS BIGINT) AS n_neg
+        FROM ranked
+    )
+    SELECT n_pos, n_neg, two_ranksum_pos,
+           CAST(two_ranksum_pos - n_pos * (n_pos + 1) AS DOUBLE)
+               / (2.0 * n_pos * n_neg) AS auc
+    FROM sums
+    """,
+    survey_ref="extension: exact AUC (Mann-Whitney U with tie "
+    "correction) — average ranks kept as the INTEGER 2*rank sums, one "
+    "double division at the end; the ranking-quality metric computed "
+    "exactly at corpus scale instead of from a sampled curve",
+)
+def q223_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the quality score against the ≥60-token label
+    via the Mann-Whitney U statistic: AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻)
+    with midrank tie handling. The average midranks are half-integers,
+    so the whole rank sum is carried as the INTEGER 2·Σrank (2·r_lo +
+    ties − 1 per row) — every quantity until the final division is
+    exact, making the metric engine-reproducible and partition-order
+    free. One global sort (rank window) + one aggregate; at 100 TB the
+    sort is the same shuffle any percentile computation pays."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    score = (
+        0.4 * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+        + 0.3 * text.stopword_ratio(F.col("text"))
+        + 0.3 * (1.0 - text.punct_ratio(F.col("text")))
+    )
+    scored = doc.select(
+        score.alias("score"), (F.size(toks) >= 60).cast("long").alias("label")
+    )
+    ranked = scored.select(
+        "label",
+        F.rank().over(Window.orderBy("score")).cast("long").alias("r_lo"),
+        F.count("*").over(Window.partitionBy("score")).cast("long").alias("n_tied"),
+    )
+    sums = ranked.agg(
+        F.sum(
+            F.when(F.col("label") == 1, 2 * F.col("r_lo") + F.col("n_tied") - 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("two_ranksum_pos"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("n_neg"),
+    )
+    return sums.select(
+        "n_pos",
+        "n_neg",
+        "two_ranksum_pos",
+        (
+            (F.col("two_ranksum_pos") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (2.0 * F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
 def _duck_sqdist(qv: str, cv: str, dim: int) -> str:
     """Σ (q_i − c_i)² as the same left fold clustering._sq_dist runs."""
     return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -498,3 +498,52 @@ def test_span_corruption_roundtrip(spark):
             masked_docs += 1
             assert sum(len(v) for v in spans.values()) == r.n_masked
     assert masked_docs > 0
+
+
+def test_calibration_curve_monotone_bins(spark):
+    rows = sorted(REGISTRY["q222_calibration_curve"].fn(spark, SF).collect(), key=lambda r: r.bin)
+    assert len(rows) == 10
+    means = [r.mean_score for r in rows]
+    assert means == sorted(means)  # deciles of the score are monotone
+    for r in rows:
+        assert 0.0 <= r.positive_rate <= 1.0
+
+
+def test_exact_auc_matches_sklearn_free_reference(spark):
+    """Cross-check the rank-sum AUC against a direct O(n^2)-free python
+    computation (midrank Mann-Whitney) on the same (score, label)s."""
+    from stock_data_pipeline_spark.catalog import load_table
+    from stock_data_pipeline_spark.llm import text as T
+    from pyspark.sql import functions as F
+
+    doc = load_table(spark, SF, "documents")
+    toks = T.tokens(F.col("text"))
+    score = (
+        0.4 * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+        + 0.3 * T.stopword_ratio(F.col("text"))
+        + 0.3 * (1.0 - T.punct_ratio(F.col("text")))
+    )
+    data = [
+        (r.s, r.l)
+        for r in doc.select(score.alias("s"), (F.size(toks) >= 60).cast("int").alias("l")).collect()
+    ]
+    data.sort()
+    # midranks
+    ranks = {}
+    i = 0
+    while i < len(data):
+        j = i
+        while j < len(data) and data[j][0] == data[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[k] = mid
+        i = j
+    n_pos = sum(l for _, l in data)
+    n_neg = len(data) - n_pos
+    r_pos = sum(ranks[k] for k, (_, l) in enumerate(data) if l == 1)
+    ref_auc = (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    got = REGISTRY["q223_exact_auc"].fn(spark, SF).collect()[0]
+    assert got.n_pos == n_pos and got.n_neg == n_neg
+    assert abs(got.auc - ref_auc) < 1e-12
+    assert 0.5 <= got.auc <= 1.0  # the score is built to predict length
