@@ -12363,6 +12363,562 @@ def q197_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 15 (round 3): HyperLogLog, exact cent allocation, weighted SSSP,
+# hybrid-retrieval rank fusion, leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+# HLL with p=8 (m=256 registers) over a portable 31-bit multiply-mod /
+# xor-shift mixer (a plain LCG strides registers for sequential keys —
+# measured: 150 consecutive ids hit exactly 150 registers, which breaks
+# both estimators). The low 8 bits pick the register, the remaining 23
+# bits w give rank = (leading zeros of w) + 1 = 24 - bit_length(w),
+# computed by a generated descending-threshold CASE so both engines run
+# the identical integer comparisons (no log/clz builtin dependence).
+_HLL_M = 256
+_HLL_WBITS = 23
+# alpha_256 * m^2 * 2^23 as ONE host-computed double literal: the only
+# data-dependent float op in the query is a single division by Z.
+_HLL_A = repr(0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(1 << _HLL_WBITS))
+
+
+def _hll_lc_sql(v: str) -> str:
+    """Linear-counting correction m*ln(m/V) for the small-cardinality
+    regime, as a generated V → host-computed-literal table: V only
+    takes 256 values, so ln never executes in either engine and the
+    corrected estimate stays bit-identical cross-engine."""
+    import math
+
+    branches = " ".join(
+        f"WHEN {v} = {k} THEN {repr(_HLL_M * math.log(_HLL_M / k))}"
+        for k in range(1, _HLL_M)
+    )
+    return f"CASE {branches} END"
+
+
+def _hll_lc_col(v: F.Column) -> F.Column:
+    import math
+
+    out = F.lit(None).cast("double")
+    for k in range(1, _HLL_M):
+        out = F.when(v == k, F.lit(float(repr(_HLL_M * math.log(_HLL_M / k))))).otherwise(out)
+    return out
+
+
+def _hll_rank_sql(w: str) -> str:
+    branches = " ".join(
+        f"WHEN {w} >= {1 << (_HLL_WBITS - r)} THEN {r}" for r in range(1, _HLL_WBITS + 1)
+    )
+    return f"CASE {branches} ELSE {_HLL_WBITS + 1} END"
+
+
+def _hll_rank_col(w: F.Column) -> F.Column:
+    out = F.lit(_HLL_WBITS + 1)
+    for r in range(_HLL_WBITS, 0, -1):
+        out = F.when(w >= (1 << (_HLL_WBITS - r)), F.lit(r)).otherwise(out)
+    return out
+
+
+def _hll_term_sql(m: str) -> str:
+    branches = " ".join(
+        f"WHEN {m} = {r} THEN {1 << (_HLL_WBITS + 1 - r)}" for r in range(1, _HLL_WBITS + 2)
+    )
+    return f"CASE {branches} END"
+
+
+def _hll_term_col(m: F.Column) -> F.Column:
+    out = F.lit(None).cast("long")
+    for r in range(1, _HLL_WBITS + 2):
+        out = F.when(m == r, F.lit(1 << (_HLL_WBITS + 1 - r)).cast("long")).otherwise(out)
+    return out
+
+
+@register(
+    "q224_hll_distinct",
+    oracle=f"""
+    WITH h1 AS (
+        SELECT (user_id * 48271 + 11) % 2147483647 AS a FROM events
+    ), h2 AS (
+        SELECT (xor(a, a >> 16) * 69621) % 2147483647 AS b FROM h1
+    ), hashed AS (
+        SELECT xor(b, b >> 16) AS h FROM h2
+    ), slots AS (
+        SELECT h % {_HLL_M} AS idx, h // {_HLL_M} AS w FROM hashed
+    ), regs AS (
+        SELECT idx, MAX({_hll_rank_sql("w")}) AS m FROM slots GROUP BY 1
+    ), sketch AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hit,
+               CAST(SUM({_hll_term_sql("m")}) AS BIGINT) AS z_present
+        FROM regs
+    ), truth AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct FROM events
+    ), est AS (
+        SELECT CAST({_HLL_M} AS BIGINT) AS m,
+               CAST({_HLL_M} - n_hit AS BIGINT) AS n_empty,
+               z_present + ({_HLL_M} - n_hit) * {1 << _HLL_WBITS} AS z_scaled,
+               {_HLL_A} / CAST(z_present + ({_HLL_M} - n_hit) * {1 << _HLL_WBITS} AS DOUBLE)
+                   AS raw_estimate,
+               true_distinct
+        FROM sketch CROSS JOIN truth
+    )
+    SELECT m, n_empty, z_scaled, raw_estimate,
+           CASE WHEN raw_estimate <= {repr(2.5 * _HLL_M)} AND n_empty > 0
+                THEN {_hll_lc_sql("n_empty")} ELSE raw_estimate END AS hll_estimate,
+           true_distinct
+    FROM est
+    """,
+    survey_ref="extension: HyperLogLog distinct sketch (p=8, 256 "
+    "registers) — the canonical mergeable cardinality sketch next to "
+    "q186's KMV; portable multiply-mod/xor-shift mixer, register ranks "
+    "via generated integer-threshold CASE (portable clz), harmonic sum "
+    "carried as the exact integer Σ2^(24-M[j]), linear-counting "
+    "correction from a host-generated V→m·ln(m/V) literal table",
+)
+def q224_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality of events.user_id, fully value-oracled.
+
+    The sketch is ONE map-side-combinable aggregate: mix → (register,
+    rank) is a narrow map, MAX(rank) per register partial-aggregates
+    before the (256-row) shuffle, and the harmonic denominator
+    Σ 2^-M[j] is kept exact by scaling to the integer Σ 2^(24-M[j])
+    (empty registers contribute 2^24 each). Below the 2.5m threshold
+    the standard linear-counting correction applies — its m·ln(m/V)
+    comes from a generated 255-entry literal table (V is 8-bit), so ln
+    never executes in either engine and the corrected estimate is
+    bit-identical cross-engine. At 100 TB this is the sketch you'd
+    MAX-merge across partitions and days; register state is 256 small
+    ints regardless of input size.
+
+    Ref parity: none in reference (pandas nunique equivalent is q46);
+    this is the mergeable at-scale form.
+    """
+    ev = load_events(spark, sf_dir)
+    p = F.lit(2147483647).cast("long")
+    a = F.pmod(F.col("user_id") * 48271 + 11, p)
+    b = F.pmod(a.bitwiseXOR(F.shiftright(a, 16)) * 69621, p)
+    h = b.bitwiseXOR(F.shiftright(b, 16))
+    idx = F.pmod(h, F.lit(_HLL_M).cast("long"))
+    w = ((h - idx) / _HLL_M).cast("long")
+    regs = (
+        ev.select(idx.alias("idx"), _hll_rank_col(w).alias("rank"))
+        .groupBy("idx")
+        .agg(F.max("rank").alias("m"))
+    )
+    sketch = regs.agg(
+        F.count("*").cast("long").alias("n_hit"),
+        F.sum(_hll_term_col(F.col("m"))).cast("long").alias("z_present"),
+    )
+    truth = ev.agg(F.countDistinct("user_id").cast("long").alias("true_distinct"))
+    n_empty = F.lit(_HLL_M).cast("long") - F.col("n_hit")
+    z_scaled = F.col("z_present") + n_empty * (1 << _HLL_WBITS)
+    raw = F.lit(float(_HLL_A)) / z_scaled.cast("double")
+    est = sketch.crossJoin(F.broadcast(truth)).select(
+        F.lit(_HLL_M).cast("long").alias("m"),
+        n_empty.alias("n_empty"),
+        z_scaled.alias("z_scaled"),
+        raw.alias("raw_estimate"),
+        F.col("true_distinct"),
+    )
+    corrected = (
+        F.when(
+            (F.col("raw_estimate") <= float(repr(2.5 * _HLL_M))) & (F.col("n_empty") > 0),
+            _hll_lc_col(F.col("n_empty")),
+        )
+        .otherwise(F.col("raw_estimate"))
+    )
+    return est.select(
+        "m", "n_empty", "z_scaled", "raw_estimate",
+        corrected.alias("hll_estimate"),
+        "true_distinct",
+    )
+
+
+@register(
+    "q225_proration",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+        FROM lineitem
+    ), ords AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 10 AS t
+        FROM orders
+    ), sized AS (
+        SELECT l.l_orderkey, l.l_linenumber, l.pc, o.t,
+               SUM(l.pc) OVER (PARTITION BY l.l_orderkey) AS p
+        FROM li l JOIN ords o ON l.l_orderkey = o.o_orderkey
+    ), parts AS (
+        SELECT l_orderkey, l_linenumber, t,
+               (t * pc) // p AS base,
+               (t * pc) % p AS rem,
+               SUM((t * pc) // p) OVER (PARTITION BY l_orderkey) AS sum_base,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY (t * pc) % p DESC, l_linenumber ASC) AS rnk
+        FROM sized
+    )
+    SELECT l_orderkey AS o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MAX(t) AS BIGINT) AS discount_cents,
+           CAST(SUM(base + CASE WHEN rnk <= t - sum_base THEN 1 ELSE 0 END) AS BIGINT)
+               AS allocated_cents,
+           CAST(MAX(t - sum_base) AS BIGINT) AS n_bumped,
+           CAST(MAX(base + CASE WHEN rnk <= t - sum_base THEN 1 ELSE 0 END) AS BIGINT)
+               AS max_share,
+           CAST(MIN(base + CASE WHEN rnk <= t - sum_base THEN 1 ELSE 0 END) AS BIGINT)
+               AS min_share
+    FROM parts GROUP BY 1
+    """,
+    survey_ref="extension: largest-remainder proration — allocate a "
+    "10% order-level discount across line items in EXACT integer cents "
+    "(floor shares + the r largest fractional remainders get the odd "
+    "cent, deterministic tie-break); Σshares ≡ total by construction — "
+    "the invoice/ledger allocation primitive floats cannot express",
+)
+def q225_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prorate each order's discount (10% of the order total, in whole
+    cents) across its line items proportionally to extended price,
+    using the largest-remainder method: base_i = ⌊T·pc_i/P⌋, and the
+    r = T − Σbase_i lines with the largest remainders (tie: lowest
+    line number) each take one extra cent. Every quantity is a 64-bit
+    integer — the allocation is exactly conserved (Σ = T) on any
+    engine, which is the whole point: float proration drifts by cents
+    and fails reconciliation.
+
+    Scale shape: one shuffle on l_orderkey; the order total joins in,
+    then BOTH window passes (P, remainder rank) and the final groupBy
+    reuse that same hash partitioning — Spark plans exactly one
+    exchange for the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", (_dec("l_extendedprice") * 100).cast("long").alias("pc")
+    )
+    tp = (_dec("o_totalprice") * 100).cast("long")
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", ((tp - F.pmod(tp, F.lit(10).cast("long"))) / 10).cast("long").alias("t")
+    )
+    sized = li.join(ords, li["l_orderkey"] == ords["o_orderkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        "pc",
+        "t",
+        F.sum("pc").over(Window.partitionBy("l_orderkey")).alias("p"),
+    )
+    num = F.col("t") * F.col("pc")
+    base = ((num - F.pmod(num, F.col("p"))) / F.col("p")).cast("long")
+    parts = sized.select(
+        "l_orderkey",
+        "l_linenumber",
+        "t",
+        base.alias("base"),
+        F.pmod(num, F.col("p")).alias("rem"),
+    )
+    wo = Window.partitionBy("l_orderkey")
+    ranked = parts.select(
+        "l_orderkey",
+        "t",
+        "base",
+        F.sum("base").over(wo).alias("sum_base"),
+        F.row_number()
+        .over(wo.orderBy(F.col("rem").desc(), F.col("l_linenumber").asc()))
+        .alias("rnk"),
+    )
+    share = F.col("base") + (F.col("rnk") <= F.col("t") - F.col("sum_base")).cast("long")
+    return (
+        ranked.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.max("t").cast("long").alias("discount_cents"),
+            F.sum(share).cast("long").alias("allocated_cents"),
+            F.max(F.col("t") - F.col("sum_base")).cast("long").alias("n_bumped"),
+            F.max(share).cast("long").alias("max_share"),
+            F.min(share).cast("long").alias("min_share"),
+        )
+    )
+
+
+def _sssp_oracle(rounds: int) -> str:
+    parts = [
+        """li AS (
+        SELECT l_orderkey, l_partkey, MIN(CAST(l_quantity AS BIGINT)) AS q
+        FROM lineitem GROUP BY 1, 2
+    ), e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, MIN(a.q + b.q) AS w
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ), d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f"""d{k} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{k - 1}
+            UNION ALL
+            SELECT e.v AS node, d.dist + e.w AS dist
+            FROM d{k - 1} d JOIN e ON e.u = d.node
+        ) GROUP BY 1
+    )""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, dist FROM d{rounds}\n    "
+    )
+
+
+@register(
+    "q226_sssp",
+    oracle=_sssp_oracle(4),
+    survey_ref="extension: weighted single-source shortest paths "
+    "(Bellman-Ford, 4 unrolled relaxation rounds) over the co-purchase "
+    "graph with MIN-quantity edge weights — the weighted companion to "
+    "q156's BFS; each round is one frontier×edges equi-join + MIN "
+    "combine, exactly the Pregel superstep",
+)
+def q226_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest co-purchase path from part 1 to every part reachable in
+    ≤4 weighted hops: edge (u,v) costs the minimum combined quantity of
+    any order containing both parts, and Bellman-Ford relaxes 4 rounds.
+    Each round is dist ⋈ edges (equi-join on the source vertex) plus a
+    MIN-merge groupBy — the Pregel superstep as a lazy unrolled plan
+    (the q110/q156 technique, now with weights so paths with MORE hops
+    can win over direct edges, which plain BFS cannot express).
+    Distances are exact integer sums. Beyond a handful of rounds the
+    checkpointed to-convergence loop (connected_components's driver)
+    takes over; 4 lazy rounds keep the whole thing one Catalyst plan.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.min(F.col("a.q") + F.col("b.q")).alias("w"))
+    )
+    dist = spark.createDataFrame([(1, 0)], "node long, dist long")
+    for _ in range(4):
+        relax = (
+            dist.join(e, F.col("node") == F.col("u"))
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return dist.select("node", "dist")
+
+
+# Reciprocal-rank fusion with k=60 over two top-20 rankers, kept EXACT:
+# every 1/(60+r) is scaled by L = lcm(61..80) so each term is the
+# integer L//(60+r) and fused scores compare as integers — rank fusion
+# with zero float ties.
+_RRF_K = 60
+_RRF_DEPTH = 20
+_RRF_L = 205543280508215814964800  # lcm(61..80), host-verified
+
+
+def _rrf_term_sql(rank: str) -> str:
+    branches = " ".join(
+        f"WHEN {rank} = {r} THEN CAST('{_RRF_L // (_RRF_K + r)}' AS DECIMAL(38,0))"
+        for r in range(1, _RRF_DEPTH + 1)
+    )
+    return f"CASE {branches} ELSE CAST(0 AS DECIMAL(38,0)) END"
+
+
+def _rrf_term_col(rank: F.Column) -> F.Column:
+    out = F.lit("0").cast("decimal(38,0)")
+    for r in range(1, _RRF_DEPTH + 1):
+        out = F.when(rank == r, F.lit(str(_RRF_L // (_RRF_K + r))).cast("decimal(38,0)")).otherwise(
+            out
+        )
+    return out
+
+
+@register(
+    "q227_hybrid_rrf",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id % 97 = 0
+    ), c AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS cv
+        FROM embeddings WHERE vec_id % 97 <> 0
+    ), full_top AS (
+        SELECT query_id, vec_id, rn FROM (
+            SELECT q.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, 64),
+                               i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))), (a, b) -> a + b)
+                       ASC, c.vec_id ASC) AS rn
+            FROM q CROSS JOIN c
+        ) WHERE rn <= {_RRF_DEPTH}
+    ), trunc_top AS (
+        SELECT query_id, vec_id, rn FROM (
+            SELECT q.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, 16),
+                               i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))), (a, b) -> a + b)
+                       ASC, c.vec_id ASC) AS rn
+            FROM q CROSS JOIN c
+        ) WHERE rn <= {_RRF_DEPTH}
+    ), fused AS (
+        SELECT COALESCE(f.query_id, t.query_id) AS query_id,
+               COALESCE(f.vec_id, t.vec_id) AS vec_id,
+               {_rrf_term_sql("f.rn")} + {_rrf_term_sql("t.rn")} AS score
+        FROM full_top f FULL OUTER JOIN trunc_top t
+          ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    )
+    SELECT query_id, vec_id, score AS rrf_score_scaled, CAST(rnk AS BIGINT) AS fused_rank
+    FROM (
+        SELECT query_id, vec_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id ASC) AS rnk
+        FROM fused
+    ) WHERE rnk <= 10
+    """,
+    survey_ref="extension: hybrid-retrieval reciprocal-rank fusion — "
+    "full-64-dim and 16-dim-prefix exact rankers fused by RRF (k=60) "
+    "with every 1/(k+r) scaled by lcm(61..80) to an exact integer, so "
+    "fused ordering is engine-reproducible with zero float ties — the "
+    "standard ensemble step in front of an LLM retrieval stack",
+)
+def q227_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuse two retrievers with reciprocal-rank fusion, exactly. The
+    two input rankers are q219's pair (full 64-dim exact scan; 16-dim
+    Matryoshka prefix), each to depth 20; RRF scores Σ 1/(60+rank) are
+    scaled by L = lcm(61..80) so every term — and therefore every
+    fused comparison — is a 38-digit integer. Missing-from-one-ranker
+    candidates COALESCE through a full outer join on (query, doc).
+
+    Scale: the ranker scans share q28's broadcast-queries ×
+    never-shuffled-corpus shape; fusion shuffles only the 2×20-per-
+    query candidate lists. This is the shape of production hybrid
+    search (BM25 + dense, or multi-vector ensembles): rankers stay
+    independent, fusion touches only top-k lists.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    from stock_data_pipeline_spark.llm.clustering import _quantize
+
+    q = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), _quantize(F.col("embedding"), 10).alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") % 97 != 0).select(
+        "vec_id", _quantize(F.col("embedding"), 10).alias("cv")
+    )
+
+    def topk(n_dims: int) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(
+                F.slice("qv", 1, n_dims),
+                F.slice("cv", 1, n_dims),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        return (
+            q.crossJoin(c)
+            .withColumn("_d", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RRF_DEPTH)
+            .select("query_id", "vec_id", "rn")
+        )
+
+    full, trunc = topk(64).alias("f"), topk(16).alias("t")
+    fused = full.join(
+        trunc,
+        (F.col("f.query_id") == F.col("t.query_id")) & (F.col("f.vec_id") == F.col("t.vec_id")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("f.query_id"), F.col("t.query_id")).alias("query_id"),
+        F.coalesce(F.col("f.vec_id"), F.col("t.vec_id")).alias("vec_id"),
+        (_rrf_term_col(F.col("f.rn")) + _rrf_term_col(F.col("t.rn"))).alias("score"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        fused.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("score").alias("rrf_score_scaled"),
+            F.col("rnk").cast("long").alias("fused_rank"),
+        )
+    )
+
+
+@register(
+    "q228_loo_target_encoding",
+    oracle="""
+    WITH joined AS (
+        SELECT o.o_orderkey, c.c_mktsegment,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), seg AS (
+        SELECT c_mktsegment,
+               CAST(SUM(cents) AS BIGINT) AS s_sum,
+               CAST(COUNT(*) AS BIGINT) AS s_cnt
+        FROM joined GROUP BY 1
+    )
+    SELECT j.o_orderkey, j.c_mktsegment,
+           s.s_sum - j.cents AS loo_num_cents,
+           s.s_cnt - 1 AS loo_den,
+           CAST(s.s_sum - j.cents AS DOUBLE) / CAST(s.s_cnt - 1 AS DOUBLE)
+               AS loo_encoding_cents
+    FROM joined j JOIN seg s ON j.c_mktsegment = s.c_mktsegment
+    """,
+    survey_ref="extension: leave-one-out mean target encoding — the ML "
+    "feature-engineering primitive (encode a category by the mean "
+    "target of the OTHER rows, preventing self-leakage); numerator and "
+    "denominator carried as exact integers, one double division per "
+    "row with identical operands on both engines",
+)
+def q228_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of c_mktsegment against order
+    value: each order's feature is (segment Σcents − own cents) /
+    (segment count − 1) — the standard leakage-free categorical
+    encoding for training tabular models. The segment aggregate is 5
+    rows, so the encode join is a broadcast: one shuffle for the
+    orders⋈customer join, a broadcast hash join back, no second
+    exchange. Exact integer numerator/denominator make the feature
+    reproducible across engines and retries — an auditability property
+    float target encodings lack.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "c_mktsegment", (_dec("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    seg = joined.groupBy("c_mktsegment").agg(
+        F.sum("cents").cast("long").alias("s_sum"),
+        F.count("*").cast("long").alias("s_cnt"),
+    )
+    return joined.join(F.broadcast(seg), "c_mktsegment").select(
+        "o_orderkey",
+        "c_mktsegment",
+        (F.col("s_sum") - F.col("cents")).alias("loo_num_cents"),
+        (F.col("s_cnt") - 1).alias("loo_den"),
+        (
+            (F.col("s_sum") - F.col("cents")).cast("double")
+            / (F.col("s_cnt") - 1).cast("double")
+        ).alias("loo_encoding_cents"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

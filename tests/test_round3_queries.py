@@ -547,3 +547,100 @@ def test_exact_auc_matches_sklearn_free_reference(spark):
     assert got.n_pos == n_pos and got.n_neg == n_neg
     assert abs(got.auc - ref_auc) < 1e-12
     assert 0.5 <= got.auc <= 1.0  # the score is built to predict length
+
+
+# --- batch 15 -------------------------------------------------------------
+
+
+def test_hll_estimate_within_expected_error(spark):
+    r = REGISTRY["q224_hll_distinct"].fn(spark, SF).collect()[0]
+    assert r.m == 256
+    assert 0 <= r.n_empty < 256
+    # z_scaled is at least the empty-register mass and at most m * 2^24
+    assert r.n_empty * (1 << 23) <= r.z_scaled <= 256 * (1 << 23)
+    # standard error for m=256 is ~6.5%; allow 3 sigma
+    assert abs(r.hll_estimate - r.true_distinct) / r.true_distinct < 0.20
+    plan = _plan(REGISTRY["q224_hll_distinct"].fn(spark, SF))
+    assert "Python" not in plan
+
+
+def test_proration_conserves_every_order(spark):
+    rows = REGISTRY["q225_proration"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.allocated_cents == r.discount_cents  # exact conservation
+        assert 0 <= r.n_bumped < r.n_lines or (r.n_bumped == 0 and r.n_lines >= 1)
+        assert r.min_share >= 0
+        assert r.max_share - r.min_share >= 0
+
+
+def test_sssp_matches_driver_bellman_ford(spark):
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.catalog import load_table
+
+    li = (
+        load_table(spark, SF, "lineitem")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("q"))
+        .collect()
+    )
+    by_order = defaultdict(list)
+    for r in li:
+        by_order[r.l_orderkey].append((r.l_partkey, r.q))
+    w = {}
+    for parts in by_order.values():
+        for u, qu in parts:
+            for v, qv in parts:
+                if u != v:
+                    key = (u, v)
+                    w[key] = min(w.get(key, 1 << 60), qu + qv)
+    dist = {1: 0}
+    for _ in range(4):
+        nxt = dict(dist)
+        for (u, v), wt in w.items():
+            if u in dist and dist[u] + wt < nxt.get(v, 1 << 60):
+                nxt[v] = dist[u] + wt
+        dist = nxt
+    got = {r.node: r.dist for r in REGISTRY["q226_sssp"].fn(spark, SF).collect()}
+    assert got == dist
+
+
+def test_rrf_ranks_contiguous_and_scores_positive(spark):
+    rows = REGISTRY["q227_hybrid_rrf"].fn(spark, SF).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.fused_rank)
+        assert [r.fused_rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [int(r.rrf_score_scaled) for r in rs]
+        assert all(s > 0 for s in scores)
+        assert scores == sorted(scores, reverse=True)
+    plan = _plan(REGISTRY["q227_hybrid_rrf"].fn(spark, SF))
+    assert "Python" not in plan
+
+
+def test_loo_encoding_sums_check_out(spark):
+    from collections import defaultdict
+
+    rows = REGISTRY["q228_loo_target_encoding"].fn(spark, SF).collect()
+    assert rows
+    seg_rows = defaultdict(list)
+    for r in rows:
+        seg_rows[r.c_mktsegment].append(r)
+    for seg, rs in seg_rows.items():
+        n = len(rs)
+        assert all(r.loo_den == n - 1 for r in rs)
+        # Σᵢ (S − xᵢ) = (n−1)·S exactly, so the segment total S is
+        # recoverable and every own value xᵢ = S − loo_numᵢ must be a
+        # positive order amount in cents.
+        total = sum(r.loo_num_cents for r in rs)
+        assert total % (n - 1) == 0
+        s = total // (n - 1)
+        assert all(0 < s - r.loo_num_cents for r in rs)
+    plan = _plan(REGISTRY["q228_loo_target_encoding"].fn(spark, SF))
+    assert "Python" not in plan
