@@ -12919,6 +12919,552 @@ def q228_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 16 (round 3): Merkle snapshot diff, PPS sampling, rank-biased
+# overlap, grid-bucketed spatial join, winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+_M31 = 2147483647
+
+
+def _mix31_sql(u: str) -> str:
+    """The q224 multiply-mod/xor-shift mixer as SQL (31-bit output)."""
+    a = f"(({u}) * 48271 + 11) % {_M31}"
+    b = f"(xor({a}, ({a}) >> 16) * 69621) % {_M31}"
+    return f"xor({b}, ({b}) >> 16)"
+
+
+def _mix31_col(u: F.Column) -> F.Column:
+    p = F.lit(_M31).cast("long")
+    a = F.pmod(u * 48271 + 11, p)
+    b = F.pmod(a.bitwiseXOR(F.shiftright(a, 16)) * 69621, p)
+    return b.bitwiseXOR(F.shiftright(b, 16))
+
+
+@register(
+    "q229_merkle_snapshot_diff",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), b AS (
+        SELECT k, cents + CASE WHEN k % 1000 = 0 THEN 1 ELSE 0 END AS cents
+        FROM a WHERE k % 997 <> 0
+        UNION ALL
+        SELECT k + 100000000, cents FROM a WHERE k % 1009 = 0
+    ), ah AS (
+        SELECT k, (k * 48271 + cents) % {_M31} AS rh, (k * 40692) % {_M31} % 64 AS bucket
+        FROM a
+    ), bh AS (
+        SELECT k, (k * 48271 + cents) % {_M31} AS rh, (k * 40692) % {_M31} % 64 AS bucket
+        FROM b
+    ), asum AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(rh) AS BIGINT) AS s,
+               bit_xor(rh) AS x
+        FROM ah GROUP BY 1
+    ), bsum AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(rh) AS BIGINT) AS s,
+               bit_xor(rh) AS x
+        FROM bh GROUP BY 1
+    ), dirty AS (
+        SELECT COALESCE(a.bucket, b.bucket) AS bucket
+        FROM asum a FULL OUTER JOIN bsum b ON a.bucket = b.bucket
+        WHERE a.bucket IS NULL OR b.bucket IS NULL
+           OR a.cnt <> b.cnt OR a.s <> b.s OR a.x <> b.x
+    )
+    SELECT COALESCE(x.k, y.k) AS o_orderkey,
+           COALESCE(x.bucket, y.bucket) AS bucket,
+           CASE WHEN y.k IS NULL THEN 'deleted'
+                WHEN x.k IS NULL THEN 'inserted'
+                ELSE 'changed' END AS status
+    FROM (SELECT ah.* FROM ah JOIN dirty USING (bucket)) x
+    FULL OUTER JOIN (SELECT bh.* FROM bh JOIN dirty USING (bucket)) y
+      ON x.k = y.k
+    WHERE x.k IS NULL OR y.k IS NULL OR x.rh <> y.rh
+    """,
+    survey_ref="extension: Merkle-style snapshot diff — 64 per-bucket "
+    "(count, SUM-hash, XOR-hash) summaries compared first, then the "
+    "row-level full-outer diff runs ONLY inside dirty buckets; the "
+    "cross-snapshot validation pattern that avoids re-reading clean "
+    "data (pairs with q201's whole-table checksum)",
+)
+def q229_merkle_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two table snapshots the way you'd do it at 100 TB: hash
+    every row once, fold per-bucket (count, SUM, XOR) summaries — 64
+    tiny rows per side — compare summaries, and only for buckets whose
+    summaries disagree run the row-level full-outer join that labels
+    each key changed/deleted/inserted. Clean buckets are never
+    re-joined: with localized churn (this synthetic B mutates ~0.1% of
+    keys, deletes ~0.1%, inserts ~0.1%) the expensive key-level join
+    touches a few percent of the data. Snapshot B is derived from A by
+    deterministic arithmetic so the diff is fully value-oracled.
+    """
+    a = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), (_dec("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    b = a.filter(F.pmod(F.col("k"), F.lit(997)) != 0).select(
+        "k",
+        (
+            F.col("cents")
+            + F.when(F.pmod(F.col("k"), F.lit(1000)) == 0, 1).otherwise(0)
+        ).alias("cents"),
+    ).unionByName(
+        a.filter(F.pmod(F.col("k"), F.lit(1009)) == 0).select(
+            (F.col("k") + 100000000).alias("k"), "cents"
+        )
+    )
+    p = F.lit(_M31).cast("long")
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "k",
+            F.pmod(F.col("k") * 48271 + F.col("cents"), p).alias("rh"),
+            F.pmod(F.pmod(F.col("k") * 40692, p), F.lit(64).cast("long")).alias("bucket"),
+        )
+
+    ah, bh = hashed(a), hashed(b)
+
+    def summed(df: DataFrame) -> DataFrame:
+        return df.groupBy("bucket").agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("rh").cast("long").alias("s"),
+            F.bit_xor("rh").alias("x"),
+        )
+
+    asum, bsum = summed(ah).alias("sa"), summed(bh).alias("sb")
+    dirty = (
+        asum.join(bsum, F.col("sa.bucket") == F.col("sb.bucket"), "full_outer")
+        .filter(
+            F.col("sa.bucket").isNull()
+            | F.col("sb.bucket").isNull()
+            | (F.col("sa.cnt") != F.col("sb.cnt"))
+            | (F.col("sa.s") != F.col("sb.s"))
+            | (F.col("sa.x") != F.col("sb.x"))
+        )
+        .select(F.coalesce(F.col("sa.bucket"), F.col("sb.bucket")).alias("bucket"))
+    )
+    xa = ah.join(F.broadcast(dirty), "bucket").alias("x")
+    yb = bh.join(F.broadcast(dirty), "bucket").alias("y")
+    return (
+        xa.join(yb, F.col("x.k") == F.col("y.k"), "full_outer")
+        .filter(
+            F.col("x.k").isNull() | F.col("y.k").isNull() | (F.col("x.rh") != F.col("y.rh"))
+        )
+        .select(
+            F.coalesce(F.col("x.k"), F.col("y.k")).alias("o_orderkey"),
+            F.coalesce(F.col("x.bucket"), F.col("y.bucket")).alias("bucket"),
+            F.when(F.col("y.k").isNull(), "deleted")
+            .when(F.col("x.k").isNull(), "inserted")
+            .otherwise("changed")
+            .alias("status"),
+        )
+    )
+
+
+@register(
+    "q230_pps_sample",
+    oracle=f"""
+    WITH wtd AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w_cents,
+               ((o_orderkey * 69621 + 7) % {_M31}) % 1048576 + 1 AS u
+        FROM orders
+    ), tot AS (
+        SELECT CAST(SUM(w_cents) AS BIGINT) AS w_total FROM wtd
+    ), ranked AS (
+        SELECT o_orderkey, w_cents, u,
+               CAST(u AS DOUBLE) / CAST(w_cents AS DOUBLE) AS priority,
+               ROW_NUMBER() OVER (ORDER BY CAST(u AS DOUBLE) / CAST(w_cents AS DOUBLE) ASC,
+                                  o_orderkey ASC) AS rnk
+        FROM wtd
+    )
+    SELECT o_orderkey, w_cents, u, CAST(rnk AS BIGINT) AS rnk,
+           greatest(CAST(w_cents AS DOUBLE), CAST(w_total AS DOUBLE) / 100.0)
+               AS ht_contribution
+    FROM ranked CROSS JOIN tot
+    WHERE rnk <= 100
+    """,
+    survey_ref="extension: probability-proportional-to-size sampling "
+    "(sequential Poisson / priority sampling) — deterministic hash "
+    "uniform per key, priority u/w, take the 100 smallest; with the "
+    "Horvitz-Thompson contribution max(w, W/n) per sampled row — the "
+    "weighted-sampling primitive behind corpus subsampling and "
+    "audit-sample selection",
+)
+def q230_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of 100 orders, probability proportional to order
+    value, without replacement and fully deterministic: each key gets a
+    reproducible hash-uniform u in (0, 2²⁰], priority u/w, and the 100
+    smallest priorities win (Ohlsson's sequential Poisson sampling —
+    the estimator's π_i ≈ min(1, n·w/W) gives the Horvitz-Thompson
+    per-row contribution max(w, W/n)). The double division u/w has
+    identical integer operands in both engines → identical IEEE
+    results → identical sample. Scale shape: no global sort — Spark
+    plans TakeOrderedAndProject (per-partition top-100, then a
+    100-row-per-partition merge on the driver-side single reducer);
+    the total-weight aggregate broadcasts.
+    """
+    wtd = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (_dec("o_totalprice") * 100).cast("long").alias("w_cents"),
+        (
+            F.pmod(
+                F.pmod(F.col("o_orderkey") * 69621 + 7, F.lit(_M31).cast("long")),
+                F.lit(1048576).cast("long"),
+            )
+            + 1
+        ).alias("u"),
+    )
+    tot = wtd.agg(F.sum("w_cents").cast("long").alias("w_total"))
+    prio = F.col("u").cast("double") / F.col("w_cents").cast("double")
+    sample = (
+        wtd.withColumn("priority", prio)
+        .orderBy(F.col("priority").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+    w100 = Window.orderBy(F.col("priority").asc(), F.col("o_orderkey").asc())
+    return (
+        sample.withColumn("rnk", F.row_number().over(w100).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderkey",
+            "w_cents",
+            "u",
+            "rnk",
+            F.greatest(
+                F.col("w_cents").cast("double"), F.col("w_total").cast("double") / 100.0
+            ).alias("ht_contribution"),
+        )
+    )
+
+
+# Rank-biased overlap, exact: RBO_min@20 with p=0.9 equals
+# (1-p)/L · Σ_docs C[max(ra,rb)] where C[m] = Σ_{d=m..20} p^(d-1)·L/d,
+# L = lcm(1..20). Every C[m] is an exact 19-dp decimal (host-computed
+# with Fractions); the only float op is the final scale by (1-p)/L.
+_RBO_L = 232792560  # lcm(1..20)
+_RBO_RHO = repr(0.1 / _RBO_L)
+
+
+def _rbo_coeffs() -> dict[int, str]:
+    from fractions import Fraction
+
+    out = {}
+    for m in range(1, 21):
+        s = sum(Fraction(9, 10) ** (d - 1) * Fraction(_RBO_L, d) for d in range(m, 21))
+        scaled = s * 10**19
+        assert scaled.denominator == 1
+        n = scaled.numerator
+        out[m] = f"{n // 10**19}.{n % 10**19:019d}"
+    return out
+
+
+_RBO_C = _rbo_coeffs()
+
+
+def _rbo_c_sql(m: str) -> str:
+    branches = " ".join(
+        f"WHEN {m} = {k} THEN CAST('{v}' AS DECIMAL(38,19))" for k, v in _RBO_C.items()
+    )
+    return f"CASE {branches} END"
+
+
+def _rbo_c_col(m: F.Column) -> F.Column:
+    out = F.lit(None).cast("decimal(38,19)")
+    for k, v in _RBO_C.items():
+        out = F.when(m == k, F.lit(v).cast("decimal(38,19)")).otherwise(out)
+    return out
+
+
+@register(
+    "q231_rbo",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id % 97 = 0
+    ), c AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS cv
+        FROM embeddings WHERE vec_id % 97 <> 0
+    ), full_top AS (
+        SELECT query_id, vec_id, rn FROM (
+            SELECT q.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, 64),
+                               i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))), (a, b) -> a + b)
+                       ASC, c.vec_id ASC) AS rn
+            FROM q CROSS JOIN c
+        ) WHERE rn <= 20
+    ), trunc_top AS (
+        SELECT query_id, vec_id, rn FROM (
+            SELECT q.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, 16),
+                               i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))), (a, b) -> a + b)
+                       ASC, c.vec_id ASC) AS rn
+            FROM q CROSS JOIN c
+        ) WHERE rn <= 20
+    ), common AS (
+        SELECT f.query_id, greatest(f.rn, t.rn) AS m
+        FROM full_top f JOIN trunc_top t
+          ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    ), agg AS (
+        SELECT query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(SUM({_rbo_c_sql("m")}) AS DECIMAL(38,19)) AS rbo_scaled
+        FROM common GROUP BY 1
+    )
+    SELECT query_id, n_common, rbo_scaled,
+           CAST(CAST(rbo_scaled AS VARCHAR) AS DOUBLE) * {_RBO_RHO} AS rbo_min
+    FROM agg
+    """,
+    survey_ref="extension: rank-biased overlap between the full-64-dim "
+    "and 16-dim-prefix rankers (p=0.9, depth 20, RBO_min) — overlap "
+    "contributions collapse to one host-computed exact-decimal "
+    "cumulative coefficient per common doc, so the top-weighted "
+    "ranking-agreement metric is engine-exact until one final scale",
+)
+def q231_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much do the cheap (16-dim) and full (64-dim) rankers agree,
+    weighted toward the top of the list? Rank-biased overlap (Webber et
+    al.): RBO = (1−p) Σ_d p^(d−1)·overlap@d/d. Rewriting the double sum
+    per common document — each doc present in both top-20s at ranks
+    (ra, rb) contributes C[max(ra,rb)] = Σ_{{d≥max}} p^(d−1)·L/d — turns
+    the metric into ONE equi-join on (query, doc) plus a SUM over a
+    20-entry exact-decimal lookup table (host-generated with exact
+    rational arithmetic, L = lcm(1..20) clearing every /d). Unlike
+    recall@k (q219) this is top-weighted; unlike RRF (q227) it measures
+    agreement rather than fusing. The float appears exactly once: the
+    final (1−p)/L scale of an exact decimal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from stock_data_pipeline_spark.llm.clustering import _quantize
+
+    q = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), _quantize(F.col("embedding"), 10).alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") % 97 != 0).select(
+        "vec_id", _quantize(F.col("embedding"), 10).alias("cv")
+    )
+
+    def topk(n_dims: int) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(
+                F.slice("qv", 1, n_dims),
+                F.slice("cv", 1, n_dims),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        return (
+            q.crossJoin(c)
+            .withColumn("_d", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 20)
+            .select("query_id", "vec_id", "rn")
+        )
+
+    full, trunc = topk(64).alias("f"), topk(16).alias("t")
+    common = full.join(
+        trunc,
+        (F.col("f.query_id") == F.col("t.query_id")) & (F.col("f.vec_id") == F.col("t.vec_id")),
+    ).select(
+        F.col("f.query_id").alias("query_id"),
+        F.greatest(F.col("f.rn"), F.col("t.rn")).alias("m"),
+    )
+    agg = common.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.sum(_rbo_c_col(F.col("m"))).cast("decimal(38,19)").alias("rbo_scaled"),
+    )
+    return agg.select(
+        "query_id",
+        "n_common",
+        "rbo_scaled",
+        (F.col("rbo_scaled").cast("double") * F.lit(float(_RBO_RHO))).alias("rbo_min"),
+    )
+
+
+@register(
+    "q232_grid_spatial_join",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS k,
+               ({_mix31_sql("c_custkey")}) % 4096 AS x,
+               ({_mix31_sql("c_custkey + 1000003")}) % 4096 AS y
+        FROM customer
+    ), cells AS (
+        SELECT k, x, y, x // 64 AS cx, y // 64 AS cy FROM pts
+    ), probe AS (
+        SELECT c.k, c.x, c.y, c.cx + dx.d AS ncx, c.cy + dy.d AS ncy
+        FROM cells c
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    )
+    SELECT a.k AS key_a, b.k AS key_b,
+           greatest(abs(a.x - b.x), abs(a.y - b.y)) AS chebyshev_dist
+    FROM probe a JOIN cells b ON a.ncx = b.cx AND a.ncy = b.cy
+    WHERE a.k < b.k AND abs(a.x - b.x) <= 64 AND abs(a.y - b.y) <= 64
+    """,
+    survey_ref="extension: grid-bucketed 2-D spatial self-join — points "
+    "land in 64×64 cells, each point probes its 3×3 cell neighborhood "
+    "via equi-join, exact integer Chebyshev refine; the geohash/cell "
+    "pattern that turns an O(N²) radius join into a cell-local one "
+    "(2-D companion to q81's 1-D range join)",
+)
+def q232_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within Chebyshev distance 64 in a synthetic
+    4096×4096 integer plane (coordinates are the q224 portable mixer
+    applied to the key — deterministic, uniform, fully oracle-able).
+    The join is the standard spatial-bucketing shape: snap points to
+    radius-sized cells, explode each point to its 3×3 neighbor cells
+    (9× — constant, not data-dependent), equi-join on the cell id, and
+    refine with the exact integer distance predicate. Shuffle is
+    ∝ 9·N on cell keys instead of the N² cross join; cell size = radius
+    guarantees no missed pair (any pair within r spans adjacent cells).
+    At 100 TB this is how you'd do geo dedup or neighbor feature
+    extraction; skewed cells (hot geohashes) take the q197 salting."""
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.pmod(_mix31_col(F.col("c_custkey")), F.lit(4096).cast("long")).alias("x"),
+        F.pmod(_mix31_col(F.col("c_custkey") + 1000003), F.lit(4096).cast("long")).alias("y"),
+    )
+    cells = pts.select(
+        "k", "x", "y",
+        ((F.col("x") - F.pmod(F.col("x"), F.lit(64))) / 64).cast("long").alias("cx"),
+        ((F.col("y") - F.pmod(F.col("y"), F.lit(64))) / 64).cast("long").alias("cy"),
+    )
+    offsets = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    probe = cells.select(
+        "k", "x", "y", "cx", "cy", F.explode(offsets).alias("o")
+    ).select(
+        "k", "x", "y",
+        (F.col("cx") + F.col("o.dx")).alias("ncx"),
+        (F.col("cy") + F.col("o.dy")).alias("ncy"),
+    ).alias("a")
+    b = cells.alias("b")
+    return (
+        probe.join(b, (F.col("a.ncx") == F.col("b.cx")) & (F.col("a.ncy") == F.col("b.cy")))
+        .filter(
+            (F.col("a.k") < F.col("b.k"))
+            & (F.abs(F.col("a.x") - F.col("b.x")) <= 64)
+            & (F.abs(F.col("a.y") - F.col("b.y")) <= 64)
+        )
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            F.greatest(
+                F.abs(F.col("a.x") - F.col("b.x")), F.abs(F.col("a.y") - F.col("b.y"))
+            ).alias("chebyshev_dist"),
+        )
+    )
+
+
+@register(
+    "q233_winnowing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), hw AS (
+        SELECT doc_id,
+               list_transform(tk, w ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, length(w)),
+                                      i -> CAST(ord(substr(w, i, 1)) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+        FROM toks
+    ), g3 AS (
+        SELECT doc_id, i AS pos,
+               ((hs[i] * 31 + hs[i+1]) % 1000000007 * 31 + hs[i+2]) % 1000000007 AS h3
+        FROM hw, unnest(generate_series(1, greatest(len(hs) - 2, 0))) AS t(i)
+    ), keyed AS (
+        SELECT doc_id, pos, h3, h3 * 1048576 + (1048575 - pos) AS ck FROM g3
+    ), winmin AS (
+        SELECT doc_id, pos,
+               MIN(ck) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+        FROM keyed
+    ), fp AS (
+        SELECT DISTINCT doc_id, sel // 1048576 AS h
+        FROM winmin WHERE pos >= 4
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    survey_ref="extension: winnowing fingerprint selection (Schleimer/"
+    "Wilkerson/Aiken, the MOSS algorithm) — per-window rightmost-min "
+    "3-gram hash selection encoded as an integer MIN over a 4-row "
+    "frame, then candidate pairs share ≥2 selected fingerprints; the "
+    "position-robust near-dup family next to MinHash (q26) and "
+    "SimHash (q27), with guaranteed within-window match coverage",
+)
+def q233_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing: from each document's word-3-gram hash sequence,
+    select the minimum hash of every 4-length sliding window (ties →
+    rightmost), dedupe selections, and emit document pairs sharing ≥2
+    selected fingerprints. Unlike MinHash, winnowing guarantees any
+    shared run of ≥6 tokens yields a shared fingerprint (the MOSS
+    property), so it catches local plagiarism/quotation overlap that
+    whole-document sketches dilute. The rightmost-min-tie-break is
+    encoded arithmetically — MIN over ck = h·2²⁰ + (2²⁰−1−pos) picks
+    the smallest hash and, on ties, the largest position — so the
+    whole selection is a single integer window MIN, pure JVM. Shuffle
+    ∝ selected fingerprints (≈ n_grams/(w+1)·…, a 4× reduction), and
+    the pair join is postings-style on the fingerprint value with the
+    same skew caps as q25."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.posexplode(text.tokens(F.col("text"))).alias("pos0", "w")
+    )
+    p = F.lit(1_000_000_007).cast("long")
+    hw = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.ascii(F.col("w").substr(i, F.lit(1))).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: F.pmod(a * 31 + b, p),
+    )
+    hashed = toks.select("doc_id", (F.col("pos0") + 1).alias("pos"), hw.alias("hw"))
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    g3 = hashed.select(
+        "doc_id",
+        "pos",
+        F.pmod(
+            F.pmod(F.col("hw") * 31 + F.lead("hw", 1).over(wo), p) * 31
+            + F.lead("hw", 2).over(wo),
+            p,
+        ).alias("h3"),
+    ).filter(F.col("h3").isNotNull())
+    keyed = g3.select(
+        "doc_id", "pos", (F.col("h3") * 1048576 + (1048575 - F.col("pos"))).alias("ck")
+    )
+    wf = wo.rowsBetween(-3, 0)
+    fp = (
+        keyed.select("doc_id", "pos", F.min("ck").over(wf).alias("sel"))
+        .filter(F.col("pos") >= 4)
+        .select("doc_id", ((F.col("sel") - F.pmod(F.col("sel"), F.lit(1048576))) / 1048576)
+                .cast("long").alias("h"))
+        .distinct()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= 2)
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -644,3 +644,91 @@ def test_loo_encoding_sums_check_out(spark):
         assert all(0 < s - r.loo_num_cents for r in rs)
     plan = _plan(REGISTRY["q228_loo_target_encoding"].fn(spark, SF))
     assert "Python" not in plan
+
+
+# --- batch 16 -------------------------------------------------------------
+
+
+def test_merkle_diff_finds_exactly_the_mutations(spark):
+    from stock_data_pipeline_spark.catalog import load_table
+
+    keys = [r.o_orderkey for r in load_table(spark, SF, "orders").select("o_orderkey").collect()]
+    expect_deleted = {k for k in keys if k % 997 == 0}
+    expect_changed = {k for k in keys if k % 1000 == 0 and k % 997 != 0}
+    expect_inserted = {k + 100000000 for k in keys if k % 1009 == 0}
+    got = REGISTRY["q229_merkle_snapshot_diff"].fn(spark, SF).collect()
+    by_status = {"deleted": set(), "changed": set(), "inserted": set()}
+    for r in got:
+        by_status[r.status].add(r.o_orderkey)
+    assert by_status["deleted"] == expect_deleted
+    assert by_status["changed"] == expect_changed
+    assert by_status["inserted"] == expect_inserted
+
+
+def test_pps_sample_prefers_large_weights(spark):
+    from stock_data_pipeline_spark.catalog import load_table
+
+    rows = REGISTRY["q230_pps_sample"].fn(spark, SF).collect()
+    assert len(rows) == 100
+    assert sorted(r.rnk for r in rows) == list(range(1, 101))
+    # PPS: the sampled mean weight must exceed the population mean
+    pop = load_table(spark, SF, "orders").count()
+    from pyspark.sql import functions as F
+
+    pop_mean = (
+        load_table(spark, SF, "orders")
+        .agg(F.avg(F.col("o_totalprice") * 100))
+        .collect()[0][0]
+    )
+    samp_mean = sum(r.w_cents for r in rows) / 100
+    assert samp_mean > pop_mean
+    # HT contribution floors at W/n
+    for r in rows:
+        assert r.ht_contribution >= r.w_cents
+    del pop
+
+
+def test_rbo_bounds_and_agreement_with_recall(spark):
+    rows = REGISTRY["q231_rbo"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_common <= 20
+        assert 0.0 < r.rbo_min < 1.0
+    plan = _plan(REGISTRY["q231_rbo"].fn(spark, SF))
+    assert "Python" not in plan
+
+
+def test_grid_spatial_join_matches_brute_force(spark):
+    from stock_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    from stock_data_pipeline_spark.queries import _mix31_col
+
+    pts = (
+        load_table(spark, SF, "customer")
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.pmod(_mix31_col(F.col("c_custkey")), F.lit(4096).cast("long")).alias("x"),
+            F.pmod(_mix31_col(F.col("c_custkey") + 1000003), F.lit(4096).cast("long")).alias("y"),
+        )
+        .collect()
+    )
+    brute = set()
+    for i, a in enumerate(pts):
+        for b in pts[i + 1 :]:
+            if max(abs(a.x - b.x), abs(a.y - b.y)) <= 64:
+                brute.add((min(a.k, b.k), max(a.k, b.k)))
+    got = {(r.key_a, r.key_b) for r in REGISTRY["q232_grid_spatial_join"].fn(spark, SF).collect()}
+    assert got == brute  # cell size = radius -> no missed or spurious pairs
+
+
+def test_winnowing_guarantee_on_shared_runs(spark):
+    # the MOSS guarantee: documents sharing a long token run must share
+    # fingerprints; near-dup pairs found by exact 3-gram jaccard with
+    # high overlap should also surface here
+    rows = REGISTRY["q233_winnowing"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.n_shared_fp >= 2
+    plan = _plan(REGISTRY["q233_winnowing"].fn(spark, SF))
+    assert "Python" not in plan
