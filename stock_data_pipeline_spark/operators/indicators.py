@@ -340,3 +340,69 @@ def rsi(
         F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + _d(sg) / _d(sl))
     )
     return df.withColumn("rsi", out)
+
+
+def holt_linear(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    price_col: str,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (α=β=0.5):
+
+        l₁ = y₁, b₁ = 0
+        lₜ = 0.5·yₜ + 0.5·(lₜ₋₁ + bₜ₋₁)
+        bₜ = 0.5·(lₜ − lₜ₋₁) + 0.5·bₜ₋₁
+
+    Appends ``level``, ``trend``, ``forecast`` (= level + trend, the
+    one-step-ahead prediction). The EMA-family recurrence with a second
+    coupled accumulator — no pandas C kernel exists for it, so the
+    per-key scan is a numpy loop inside ONE ``mapInPandas`` pass over
+    key-partitioned, key-sorted Arrow batches (same physical shape as
+    :func:`ema_linear`: one exchange, batches stream, state carried
+    across batch boundaries per key). Still O(n) per key with ~µs/row
+    Python cost; a production deployment would drop the loop into a
+    compiled kernel, but the plan shape — and the bit-exact IEEE
+    sequence, since 0.5 is exactly representable and the op order
+    matches the recursive-CTE oracle — would not change.
+    """
+    keys = list(partition_cols)
+    sort_cols = list(order_cols)
+    fields = ", ".join(f.name + " " + f.dataType.simpleString() for f in df.schema.fields)
+    schema = f"{fields}, level double, trend double, forecast double"
+    out_fields = [f.name for f in df.schema.fields] + ["level", "trend", "forecast"]
+    with_pd = (
+        df.withColumn("_pd", _d(F.col(price_col)))
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, *sort_cols)
+    )
+
+    def per_partition(pdfs):
+        carry_key: tuple | None = None
+        carry_l = carry_b = float("nan")
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            ys = pdf["_pd"].to_numpy()
+            key_rows = list(zip(*(pdf[k].to_numpy() for k in keys)))
+            levels = [0.0] * len(ys)
+            trends = [0.0] * len(ys)
+            prev_key, l, b = carry_key, carry_l, carry_b
+            for i, (ky, y) in enumerate(zip(key_rows, ys)):
+                y = float(y)
+                if ky != prev_key:
+                    l, b = y, 0.0
+                    prev_key = ky
+                else:
+                    l_new = 0.5 * y + 0.5 * (l + b)
+                    b = 0.5 * (l_new - l) + 0.5 * b
+                    l = l_new
+                levels[i] = l
+                trends[i] = b
+            carry_key, carry_l, carry_b = prev_key, l, b
+            pdf["level"] = levels
+            pdf["trend"] = trends
+            pdf["forecast"] = [lv + tr for lv, tr in zip(levels, trends)]
+            yield pdf[out_fields]
+
+    return with_pd.mapInPandas(per_partition, schema=schema)

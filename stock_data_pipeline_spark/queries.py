@@ -13465,6 +13465,344 @@ def q233_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 17 (round 3): FastSS fuzzy join, k-core, k-anonymity, bitemporal
+# as-of, Holt linear trend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q234_fastss_neighbors",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    survey_ref="extension: FastSS edit-distance-≤1 similarity join — "
+    "deletion-neighborhood candidate generation (each string joins on "
+    "its |s|+1 one-char-deletion variants) + exact levenshtein refine; "
+    "the oracle runs the INDEPENDENT O(N²) brute-force algorithm, so "
+    "the match validates the candidate set is lossless",
+)
+def q234_fastss_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer-name pairs within edit distance 1, without the N²
+    comparison: FastSS (Bocek et al.) — every string emits itself plus
+    each one-character-deletion variant; any ed≤1 pair must share a
+    variant (substitution → both delete the differing position;
+    indel → one side's deletion equals the other's string), so an
+    equi-join on the variant generates a small candidate superset and
+    the built-in JVM levenshtein refines exactly. Shuffle is
+    ∝ N·(len+1) postings instead of N² pairs; hot variants (shared
+    prefixes) are bounded by the alphabet, and the deliberately
+    different brute-force oracle proves no pair is missed. This is the
+    typo-tolerant entity-resolution join q112's blocking approximates —
+    here with a lossless candidate guarantee.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # variants via a SQL lambda (substring with column-valued bounds)
+    posting = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(c_name)), i -> "
+                "CASE WHEN i = 0 THEN c_name "
+                "ELSE concat(substring(c_name, 1, i - 1), "
+                "substring(c_name, i + 1, length(c_name))) END)"
+            )
+        ).alias("v"),
+    )
+    a, b = posting.alias("a"), posting.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.col("a.c_name").alias("na"),
+            F.col("b.c_name").alias("nb"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("na", "nb") <= 1).select(
+        "key_a", "key_b", F.levenshtein("na", "nb").cast("long").alias("edit_distance")
+    )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    parts = [
+        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""n{r} AS (
+        SELECT u FROM e{r - 1} GROUP BY u HAVING COUNT(*) >= {k}
+    ), e{r} AS (
+        SELECT e.u, e.v FROM e{r - 1} e
+        JOIN n{r} a ON e.u = a.u JOIN n{r} b ON e.v = b.u
+    )""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY 1
+    """
+    )
+
+
+@register(
+    "q235_k_core",
+    oracle=_kcore_oracle(60, 3),
+    survey_ref="extension: k-core decomposition (k=60, 3 unrolled peel "
+    "rounds) over the co-purchase graph — iterative low-degree peeling "
+    "where each round is one degree aggregate + two semi-joins; the "
+    "community-density primitive next to q155's triangles and q110's "
+    "PageRank",
+)
+def q235_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approach the 60-core of the co-purchase graph: repeatedly remove
+    vertices with degree < 60 (3 unrolled rounds; peeling cascades, so
+    each round is degree-count → keep-set → edge restriction). Each
+    round is one shuffle on the vertex key plus two semi-joins that
+    reuse it — the standard dense-subgraph/community-seed primitive
+    (spam rings, core reviewer groups) expressed as lazy Pregel-style
+    rounds like q156/q226; run to fixpoint it would switch to the
+    checkpointed connected-components driver."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    for _ in range(3):
+        keep = e.groupBy("u").agg(F.count("*").alias("d")).filter(F.col("d") >= 60).select("u")
+        e = e.join(keep, "u", "left_semi").join(
+            keep.withColumnRenamed("u", "v"), "v", "left_semi"
+        )
+    return e.groupBy(F.col("u").alias("node")).agg(F.count("*").cast("long").alias("degree"))
+
+
+@register(
+    "q236_k_anonymity",
+    oracle="""
+    WITH joined AS (
+        SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey, n.n_regionkey,
+               CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), l0 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM joined GROUP BY c_nationkey, c_mktsegment,
+            (cents - ((cents % 10000) + 10000) % 10000) // 10000
+    ), l1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM joined GROUP BY n_regionkey, c_mktsegment,
+            (cents - ((cents % 100000) + 100000) % 100000) // 100000
+    ), l2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM joined GROUP BY n_regionkey, c_mktsegment
+    ), stats AS (
+        SELECT 0 AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(MIN(n) AS BIGINT) AS min_group_size,
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk
+        FROM l0
+        UNION ALL
+        SELECT 1, COUNT(*), MIN(n), SUM(CASE WHEN n < 5 THEN n ELSE 0 END) FROM l1
+        UNION ALL
+        SELECT 2, COUNT(*), MIN(n), SUM(CASE WHEN n < 5 THEN n ELSE 0 END) FROM l2
+    )
+    SELECT level, n_groups, min_group_size, rows_at_risk,
+           CASE WHEN min_group_size >= 5 THEN 1 ELSE 0 END AS k_anonymous
+    FROM stats
+    """,
+    survey_ref="extension: k-anonymity audit across a 3-level "
+    "generalization hierarchy — quasi-identifier (nation, segment, "
+    "$100-balance) coarsened to (region, segment, $1000) to (region, "
+    "segment); per level the group-size floor and re-identifiable row "
+    "mass; the privacy gate a training-data release pipeline runs "
+    "before export (pairs with q65's redaction)",
+)
+def q236_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the customer table k-anonymous (k=5) under its quasi-
+    identifiers, and how much generalization fixes it? Three lattice
+    levels — exact (nation, segment, $100 balance bucket), coarsened
+    (region, segment, $1000), and (region, segment) — each one
+    aggregate counting group sizes, then a tiny rollup of the
+    count-of-counts (the q197 histogram trick: the audit never holds
+    more than the group-size distribution). rows_at_risk is the mass
+    in groups smaller than k — the records an attacker could
+    re-identify by quasi-identifier join."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    cents = (_dec("c_acctbal") * 100).cast("long")
+    joined = cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]).select(
+        "c_mktsegment", "c_nationkey", "n_regionkey", cents.alias("cents")
+    )
+
+    def bucket(c: F.Column, size: int) -> F.Column:
+        return ((c - F.pmod(c, F.lit(size).cast("long"))) / size).cast("long")
+
+    def level(df_keys: list[F.Column], lvl: int) -> DataFrame:
+        sizes = joined.groupBy(*df_keys).agg(F.count("*").alias("n"))
+        return sizes.agg(
+            F.lit(lvl).cast("int").alias("level"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.min("n").cast("long").alias("min_group_size"),
+            F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+        )
+
+    l0 = level([F.col("c_nationkey"), F.col("c_mktsegment"), bucket(F.col("cents"), 10000)], 0)
+    l1 = level([F.col("n_regionkey"), F.col("c_mktsegment"), bucket(F.col("cents"), 100000)], 1)
+    l2 = level([F.col("n_regionkey"), F.col("c_mktsegment")], 2)
+    out = l0.unionByName(l1).unionByName(l2)
+    return out.select(
+        "level",
+        "n_groups",
+        "min_group_size",
+        "rows_at_risk",
+        F.when(F.col("min_group_size") >= 5, 1).otherwise(0).alias("k_anonymous"),
+    )
+
+
+@register(
+    "q237_bitemporal_asof",
+    oracle="""
+    WITH versions AS (
+        SELECT o_orderkey, 1 AS ver,
+               CAST(o_orderdate AS DATE) AS valid_from,
+               CAST(o_orderdate AS DATE) AS tx_date,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 2,
+               CAST(o_orderdate AS DATE) + 10,
+               CAST(o_orderdate AS DATE) + 30,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 500
+        FROM orders WHERE o_orderkey % 100 = 0
+    ), visible AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                      ORDER BY valid_from DESC, tx_date DESC, ver DESC) AS rn
+        FROM versions
+        WHERE tx_date <= DATE '1999-01-01' AND valid_from <= DATE '1998-06-01'
+    )
+    SELECT o_orderkey, CAST(ver AS BIGINT) AS ver,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(tx_date, '%Y-%m-%d') AS tx_date,
+           cents
+    FROM visible WHERE rn = 1
+    """,
+    survey_ref="extension: bitemporal as-of lookup — reconstruct table "
+    "state along BOTH time axes (system time ≤ T: versions the database "
+    "knew by then; valid time ≤ B: the version in effect on the "
+    "business date), one window over the version history; the "
+    "two-axis generalization of q149's SCD2 point lookup",
+)
+def q237_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF SYSTEM TIME 1999-01-01, what did each order look like ON
+    business date 1998-06-01? Version 2 rows (a correction recorded 30
+    days after the fact, effective 10 days after the fact, +$5) are
+    synthesized deterministically for every 100th key, so the query is
+    fully value-oracled. Bitemporal reconstruction is one filter on
+    both axes plus one (valid_from, tx_date) DESC window per key —
+    corrections recorded late (tx > T) are invisible, corrections
+    effective late (valid_from > B) don't apply, and otherwise the
+    latest-effective, latest-known version wins. The audit/backtest
+    primitive: 'reproduce the report as the data stood then'."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (_dec("o_totalprice") * 100).cast("long")
+    odate = F.col("o_orderdate").cast("date")
+    v1 = o.select(
+        "o_orderkey",
+        F.lit(1).alias("ver"),
+        odate.alias("valid_from"),
+        odate.alias("tx_date"),
+        cents.alias("cents"),
+    )
+    v2 = o.filter(F.pmod(F.col("o_orderkey"), F.lit(100)) == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("ver"),
+        F.date_add(odate, 10).alias("valid_from"),
+        F.date_add(odate, 30).alias("tx_date"),
+        (cents + 500).alias("cents"),
+    )
+    versions = v1.unionByName(v2)
+    visible = versions.filter(
+        (F.col("tx_date") <= F.lit("1999-01-01").cast("date"))
+        & (F.col("valid_from") <= F.lit("1998-06-01").cast("date"))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("valid_from").desc(), F.col("tx_date").desc(), F.col("ver").desc()
+    )
+    return (
+        visible.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            F.col("ver").cast("long").alias("ver"),
+            F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format("tx_date", "yyyy-MM-dd").alias("tx_date"),
+            "cents",
+        )
+    )
+
+
+@register(
+    "q238_holt_trend",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               CAST(o_totalprice AS DOUBLE) AS p,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ), rec AS (
+        SELECT o_custkey, o_orderkey, order_date, rn,
+               p AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.o_custkey, s.o_orderkey, s.order_date, s.rn,
+               0.5 * s.p + 0.5 * (r.l + r.b),
+               0.5 * ((0.5 * s.p + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+        FROM rec r JOIN seq s ON s.o_custkey = r.o_custkey AND s.rn = r.rn + 1
+    )
+    SELECT o_custkey, o_orderkey, order_date,
+           l AS level, b AS trend, l + b AS forecast
+    FROM rec
+    """,
+    survey_ref="extension: Holt linear-trend double exponential "
+    "smoothing (α=β=0.5) — the EMA recurrence with a coupled trend "
+    "accumulator; O(n)-per-key mapInPandas scan vs recursive-CTE "
+    "oracle, bit-identical doubles (exact coefficients, matching op "
+    "order); extends the q68 recurrence engine to two-state recurrences",
+)
+def q238_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level + trend + one-step forecast of order totals per customer
+    (Holt's method, α=β=0.5). See operators/indicators.holt_linear for
+    the physical shape: one exchange on the key, state carried across
+    Arrow batches, bit-exact against the recursive-CTE oracle because
+    both engines run the identical IEEE sequence with exactly-
+    representable coefficients. The dispatcher story matches q68: this
+    is what 'custom stateful operator Spark lacks' compiles to when
+    the recurrence has more than one accumulator."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", _d("o_orderdate").alias("order_date"), "o_totalprice"
+    )
+    out = indicators.holt_linear(o, ["o_custkey"], ["order_date", "o_orderkey"], "o_totalprice")
+    return out.select("o_custkey", "o_orderkey", "order_date", "level", "trend", "forecast")
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -732,3 +732,148 @@ def test_winnowing_guarantee_on_shared_runs(spark):
         assert r.n_shared_fp >= 2
     plan = _plan(REGISTRY["q233_winnowing"].fn(spark, SF))
     assert "Python" not in plan
+
+
+# --- batch 17 -------------------------------------------------------------
+
+
+def test_fastss_matches_driver_brute_force(spark):
+    from stock_data_pipeline_spark.catalog import load_table
+
+    names = {
+        r.c_custkey: r.c_name
+        for r in load_table(spark, SF, "customer").select("c_custkey", "c_name").collect()
+    }
+
+    def ed1(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = j = diff = 0
+        while i < la and j < lb:
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+            else:
+                diff += 1
+                if diff > 1:
+                    return False
+                j += 1
+        return True
+
+    keys = sorted(names)
+    brute = {
+        (x, y)
+        for i, x in enumerate(keys)
+        for y in keys[i + 1 :]
+        if ed1(names[x], names[y])
+    }
+    got = {(r.key_a, r.key_b) for r in REGISTRY["q234_fastss_neighbors"].fn(spark, SF).collect()}
+    assert got == brute
+
+
+def test_k_core_matches_driver_peeling(spark):
+    from collections import Counter
+
+    from stock_data_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey").distinct().collect()
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        for u in parts:
+            for v in parts:
+                if u != v:
+                    edges.add((u, v))
+    for _ in range(3):
+        deg = Counter(u for u, _ in edges)
+        keep = {u for u, d in deg.items() if d >= 60}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+    final = Counter(u for u, _ in edges)
+    got = {r.node: r.degree for r in REGISTRY["q235_k_core"].fn(spark, SF).collect()}
+    assert got == dict(final)
+
+
+def test_k_anonymity_generalization_monotone(spark):
+    rows = sorted(REGISTRY["q236_k_anonymity"].fn(spark, SF).collect(), key=lambda r: r.level)
+    assert [r.level for r in rows] == [0, 1, 2]
+    # each level is a strict coarsening of the previous partition:
+    # groups only merge, so group count shrinks, the size floor rises,
+    # and re-identifiable mass cannot grow
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_groups <= a.n_groups
+        assert b.min_group_size >= a.min_group_size
+        assert b.rows_at_risk <= a.rows_at_risk
+    plan = _plan(REGISTRY["q236_k_anonymity"].fn(spark, SF))
+    assert "Python" not in plan
+
+
+def test_bitemporal_visibility_rules(spark):
+    import datetime
+
+    from stock_data_pipeline_spark.catalog import load_table
+
+    T = datetime.date(1999, 1, 1)
+    B = datetime.date(1998, 6, 1)
+    odates = {
+        r.o_orderkey: r.o_orderdate.date()
+        for r in load_table(spark, SF, "orders").select("o_orderkey", "o_orderdate").collect()
+    }
+    got = {r.o_orderkey: r for r in REGISTRY["q237_bitemporal_asof"].fn(spark, SF).collect()}
+    import datetime as dt
+
+    for k, od in odates.items():
+        visible_v1 = od <= B
+        v2_exists = k % 100 == 0
+        visible_v2 = (
+            v2_exists
+            and od + dt.timedelta(days=30) <= T
+            and od + dt.timedelta(days=10) <= B
+        )
+        if not visible_v1 and not visible_v2:
+            assert k not in got
+        else:
+            assert k in got
+            expect_ver = 2 if visible_v2 else 1
+            assert got[k].ver == expect_ver, (k, od, got[k])
+
+
+def test_holt_matches_driver_recurrence(spark):
+    from collections import defaultdict
+
+    from stock_data_pipeline_spark.catalog import load_table
+
+    rows = load_table(spark, SF, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    series = defaultdict(list)
+    for r in rows:
+        series[r.o_custkey].append((r.o_orderdate.strftime("%Y-%m-%d"), r.o_orderkey, r.o_totalprice))
+    expect = {}
+    for ck, items in series.items():
+        items.sort()
+        l = b = None
+        for od, ok, p in items:
+            y = float(p)
+            if l is None:
+                l, b = y, 0.0
+            else:
+                l_new = 0.5 * y + 0.5 * (l + b)
+                b = 0.5 * (l_new - l) + 0.5 * b
+                l = l_new
+            expect[ok] = (l, b, l + b)
+    got = REGISTRY["q238_holt_trend"].fn(spark, SF).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        el, eb, ef = expect[r.o_orderkey]
+        assert r.level == el and r.trend == eb and r.forecast == ef  # bit-exact
