@@ -13803,6 +13803,498 @@ def q238_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_custkey", "o_orderkey", "order_date", "level", "trend", "forecast")
 
 
+# ---------------------------------------------------------------------------
+# Batch 18 (round 3): rendezvous hashing, FK integrity audit, Spearman,
+# MMR re-ranking, kNN label-noise audit
+# ---------------------------------------------------------------------------
+
+_RDV_NODES = 8
+
+
+def _rdv_weight_sql(key: str, node: int) -> str:
+    # encode (weight, node) as weight*8 + node so greatest() breaks the
+    # (astronomically rare but possible) weight ties deterministically
+    return f"({_mix31_sql(f'{key} * 31 + {node * 69621 + 13}')}) * 8 + {node}"
+
+
+def _rdv_weight_col(key: F.Column, node: int) -> F.Column:
+    return _mix31_col(key * 31 + (node * 69621 + 13)) * 8 + node
+
+
+@register(
+    "q239_rendezvous_hashing",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT o_orderkey,
+               greatest({", ".join(_rdv_weight_sql("o_orderkey", n) for n in range(_RDV_NODES))})
+                   % 8 AS node_before,
+               greatest({", ".join(_rdv_weight_sql("o_orderkey", n) for n in range(_RDV_NODES) if n != 3)})
+                   % 8 AS node_after
+        FROM orders
+    )
+    SELECT node_before AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN node_after = node_before THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stayed,
+           CAST((SELECT COUNT(*) FROM assigned a2 WHERE a2.node_after = assigned.node_before)
+               AS BIGINT) AS n_after
+    FROM assigned GROUP BY 1
+    """,
+    survey_ref="extension: rendezvous (highest-random-weight) hashing — "
+    "each key's owner is argmax over per-node portable hash weights "
+    "(ties broken by encoding weight·8+node in one integer, so "
+    "greatest() is the whole assignment); removing node 3 provably "
+    "moves ONLY node 3's keys — the minimal-disruption partition-"
+    "assignment primitive behind shard maps and consistent routing",
+)
+def q239_rendezvous_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every order key to one of 8 nodes by rendezvous hashing
+    and audit what happens when node 3 is decommissioned. The whole
+    assignment is a pure per-row expression — 8 portable hash weights,
+    one greatest() — zero shuffle until the per-node count, and the
+    HRW property falls out of the construction: a key's ranking of the
+    other 7 nodes is unchanged by removing one, so only node-3 keys
+    move (asserted: n_stayed = n_before on every other node). This is
+    how you'd assign 100 TB of keys to executors/shards with no
+    coordination state and minimal churn on topology change."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    before = F.pmod(
+        F.greatest(*[_rdv_weight_col(key, n) for n in range(_RDV_NODES)]), F.lit(8).cast("long")
+    )
+    after = F.pmod(
+        F.greatest(*[_rdv_weight_col(key, n) for n in range(_RDV_NODES) if n != 3]),
+        F.lit(8).cast("long"),
+    )
+    assigned = o.select(before.alias("node_before"), after.alias("node_after"))
+    before_counts = assigned.groupBy(F.col("node_before").alias("node")).agg(
+        F.count("*").cast("long").alias("n_before"),
+        F.sum((F.col("node_after") == F.col("node_before")).cast("long"))
+        .cast("long")
+        .alias("n_stayed"),
+    )
+    after_counts = assigned.groupBy(F.col("node_after").alias("node")).agg(
+        F.count("*").cast("long").alias("n_after")
+    )
+    return before_counts.join(F.broadcast(after_counts), "node", "left").select(
+        "node", "n_before", "n_stayed", F.coalesce("n_after", F.lit(0).cast("long")).alias("n_after")
+    )
+
+
+@register(
+    "q240_fk_integrity_audit",
+    oracle="""
+    WITH corrupted AS (
+        SELECT CASE WHEN l_orderkey % 1000 = 0 THEN -l_suppkey - 1 ELSE l_suppkey END AS fk
+        FROM lineitem
+    ), edges AS (
+        SELECT 'orders->customer' AS fk_edge, o_custkey AS fk FROM orders
+        UNION ALL SELECT 'lineitem->orders', l_orderkey FROM lineitem
+        UNION ALL SELECT 'lineitem->part', l_partkey FROM lineitem
+        UNION ALL SELECT 'lineitem->supplier', l_suppkey FROM lineitem
+        UNION ALL SELECT 'customer->nation', c_nationkey FROM customer
+        UNION ALL SELECT 'supplier->nation', s_nationkey FROM supplier
+        UNION ALL SELECT 'nation->region', n_regionkey FROM nation
+        UNION ALL SELECT 'lineitem(corrupted)->supplier', fk FROM corrupted
+    ), parents AS (
+        SELECT 'orders->customer' AS fk_edge, c_custkey AS pk FROM customer
+        UNION ALL SELECT 'lineitem->orders', o_orderkey FROM orders
+        UNION ALL SELECT 'lineitem->part', p_partkey FROM part
+        UNION ALL SELECT 'lineitem->supplier', s_suppkey FROM supplier
+        UNION ALL SELECT 'customer->nation', n_nationkey FROM nation
+        UNION ALL SELECT 'supplier->nation', n_nationkey FROM nation
+        UNION ALL SELECT 'nation->region', r_regionkey FROM region
+        UNION ALL SELECT 'lineitem(corrupted)->supplier', s_suppkey FROM supplier
+    )
+    SELECT e.fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(COUNT(DISTINCT e.fk) AS BIGINT) AS n_child_keys,
+           CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+           CAST(COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN e.fk END) AS BIGINT)
+               AS n_orphan_keys
+    FROM edges e
+    LEFT JOIN (SELECT DISTINCT fk_edge, pk FROM parents) p
+      ON e.fk_edge = p.fk_edge AND e.fk = p.pk
+    GROUP BY 1
+    """,
+    survey_ref="extension: schema-wide referential-integrity audit — "
+    "every FK edge of the star schema checked in one union of "
+    "broadcast-dimension left joins, orphan rows and orphan keys per "
+    "edge; plus a deterministically corrupted lineitem edge proving "
+    "the audit actually fires (the data-quality gate generalizing "
+    "q41's single anti-join and q98's column expectations)",
+)
+def q240_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass over every parent-child edge in the schema, reporting
+    row and key orphan counts per edge. The seven real edges are clean
+    by construction (the audit's green path); an eighth edge negates
+    every 1000th lineitem's supplier key to prove the red path fires.
+    Each edge is child-scan → broadcast parent keys → left-join null
+    count: the parent key sets are dimension-sized (or key-only
+    projections), so no edge shuffles the fact table — at 100 TB this
+    audit costs one scan per child table. Distinct-orphan-keys vs
+    orphan-rows separates 'one bad key repeated' from 'many bad keys'.
+    """
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("orders", "lineitem", "customer", "supplier", "nation", "region", "part")}
+    corrupted = t["lineitem"].select(
+        F.when(
+            F.pmod(F.col("l_orderkey"), F.lit(1000)) == 0, -F.col("l_suppkey") - 1
+        ).otherwise(F.col("l_suppkey")).alias("fk")
+    )
+    edges = [
+        ("orders->customer", t["orders"].select(F.col("o_custkey").alias("fk")),
+         t["customer"].select(F.col("c_custkey").alias("pk"))),
+        ("lineitem->orders", t["lineitem"].select(F.col("l_orderkey").alias("fk")),
+         t["orders"].select(F.col("o_orderkey").alias("pk"))),
+        ("lineitem->part", t["lineitem"].select(F.col("l_partkey").alias("fk")),
+         t["part"].select(F.col("p_partkey").alias("pk"))),
+        ("lineitem->supplier", t["lineitem"].select(F.col("l_suppkey").alias("fk")),
+         t["supplier"].select(F.col("s_suppkey").alias("pk"))),
+        ("customer->nation", t["customer"].select(F.col("c_nationkey").alias("fk")),
+         t["nation"].select(F.col("n_nationkey").alias("pk"))),
+        ("supplier->nation", t["supplier"].select(F.col("s_nationkey").alias("fk")),
+         t["nation"].select(F.col("n_nationkey").alias("pk"))),
+        ("nation->region", t["nation"].select(F.col("n_regionkey").alias("fk")),
+         t["region"].select(F.col("r_regionkey").alias("pk"))),
+        ("lineitem(corrupted)->supplier", corrupted,
+         t["supplier"].select(F.col("s_suppkey").alias("pk"))),
+    ]
+    out = None
+    for name, child, parent in edges:
+        joined = child.join(
+            F.broadcast(parent.distinct()), child["fk"] == parent["pk"], "left"
+        )
+        agg = joined.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count("*").cast("long").alias("n_child_rows"),
+            F.countDistinct("fk").cast("long").alias("n_child_keys"),
+            F.sum(F.col("pk").isNull().cast("long")).cast("long").alias("n_orphan_rows"),
+            F.countDistinct(F.when(F.col("pk").isNull(), F.col("fk")))
+            .cast("long")
+            .alias("n_orphan_keys"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+@register(
+    "q241_spearman",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+               CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100), 0) AS BIGINT)
+                   AS spend_cents
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    ), ranked AS (
+        SELECT c_nationkey,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY bal_cents, c_custkey) AS r_bal,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY spend_cents, c_custkey) AS r_spend
+        FROM spend
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((r_bal - r_spend) * (r_bal - r_spend)) AS BIGINT) AS sum_d2,
+           1.0 - CAST(6 * SUM((r_bal - r_spend) * (r_bal - r_spend)) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE)
+                  * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) AS rho
+    FROM ranked GROUP BY 1
+    """,
+    survey_ref="extension: Spearman rank correlation per nation — "
+    "account balance vs lifetime spend, both rankings deterministic "
+    "(value then key tie-break), Σd² exact integer, ρ = 1 − 6Σd²/"
+    "(n(n²−1)) in one final double expression; the monotone-association "
+    "companion to q57's Pearson and q223's AUC",
+)
+def q241_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a customer's account balance predict their lifetime spend,
+    monotonically? Spearman's ρ per nation: rank both measures inside
+    each nation (deterministic tie-break by key — documented: this is
+    the row_number variant, not midranks), take the exact integer Σd²,
+    and apply the closed form once in double. Both rank windows share
+    the nation partition, so the plan is one exchange + two
+    in-partition sorts + one aggregate. Rank transforms make the
+    correlation robust to the heavy right tail that makes Pearson
+    (q57) misleading on money columns."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", "c_nationkey", (_dec("c_acctbal") * 100).cast("long").alias("bal_cents"))
+        .agg(
+            F.coalesce(F.sum((_dec("o_totalprice") * 100).cast("long")), F.lit(0))
+            .cast("long")
+            .alias("spend_cents")
+        )
+    )
+    wn = Window.partitionBy("c_nationkey")
+    ranked = spend.select(
+        "c_nationkey",
+        F.row_number().over(wn.orderBy("bal_cents", "c_custkey")).alias("r_bal"),
+        F.row_number().over(wn.orderBy("spend_cents", "c_custkey")).alias("r_spend"),
+    )
+    d2 = (F.col("r_bal") - F.col("r_spend")) * (F.col("r_bal") - F.col("r_spend"))
+    n_d = F.count("*").cast("double")
+    return ranked.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d2).cast("long").alias("sum_d2"),
+        (
+            F.lit(1.0)
+            - (6 * F.sum(d2)).cast("double") / (n_d * (n_d * n_d - F.lit(1.0)))
+        ).alias("rho"),
+    )
+
+
+def _mmr_oracle(rounds: int) -> str:
+    qd = """qc AS (
+        SELECT q.query_id, c.vec_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, 64),
+                       i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), (a, b) -> a + b) AS dq
+        FROM (SELECT vec_id AS query_id,
+                     list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+              FROM embeddings WHERE vec_id % 97 = 0) q
+        CROSS JOIN (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS cv
+              FROM embeddings WHERE vec_id % 97 <> 0) c
+    ), cand AS (
+        SELECT query_id, vec_id, dq FROM (
+            SELECT query_id, vec_id, dq,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dq ASC, vec_id ASC) AS rn
+            FROM qc
+        ) WHERE rn <= 20
+    ), cc AS (
+        SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, 64),
+                       i -> (ea.ev[i] - eb.ev[i]) * (ea.ev[i] - eb.ev[i]))), (a2, b2) -> a2 + b2) AS dcc
+        FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+        JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS ev
+              FROM embeddings) ea ON ea.vec_id = a.vec_id
+        JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS ev
+              FROM embeddings) eb ON eb.vec_id = b.vec_id
+    ), s1 AS (
+        SELECT query_id, vec_id, CAST(1 AS BIGINT) AS mmr_rank,
+               CAST(NULL AS BIGINT) AS score
+        FROM (SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dq ASC, vec_id ASC) AS rn
+              FROM cand) WHERE rn = 1
+    )"""
+    parts = [qd]
+    for r in range(2, rounds + 1):
+        prev = " UNION ALL ".join(f"SELECT query_id, vec_id FROM s{i}" for i in range(1, r))
+        parts.append(f"""s{r} AS (
+        SELECT query_id, vec_id, CAST({r} AS BIGINT) AS mmr_rank, score FROM (
+            SELECT c.query_id, c.vec_id,
+                   MIN(cc.dcc) - c.dq AS score,
+                   ROW_NUMBER() OVER (PARTITION BY c.query_id
+                       ORDER BY MIN(cc.dcc) - c.dq DESC, c.vec_id ASC) AS rn
+            FROM cand c
+            JOIN cc ON cc.query_id = c.query_id AND cc.va = c.vec_id
+                   AND cc.vb IN (SELECT vec_id FROM ({prev}) p WHERE p.query_id = c.query_id)
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM ({prev}) p2 WHERE p2.query_id = c.query_id)
+            GROUP BY c.query_id, c.vec_id, c.dq
+        ) WHERE rn = 1
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, rounds + 1))
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT query_id, vec_id, mmr_rank, score FROM ({union})\n    "
+    )
+
+
+@register(
+    "q242_mmr_rerank",
+    oracle=_mmr_oracle(5),
+    survey_ref="extension: maximal-marginal-relevance re-ranking — 5 "
+    "unrolled greedy rounds over the exact top-20 candidates; score = "
+    "min-distance-to-selected − distance-to-query, all exact integers "
+    "(λ=0.5 scaled away); the diversity-aware final stage of a "
+    "retrieval stack, composed after q28/q53/q198's candidate "
+    "generators",
+)
+def q242_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-rank each query's top-20 exact-nearest candidates for
+    diversity: greedily pick the candidate maximizing
+    (min distance to already-selected) − (distance to query) — the
+    λ=0.5 MMR objective with both terms exact integers, ties to the
+    smaller id. Five unrolled rounds; each is a join of the
+    (query-local, ≤20-row) candidate set against the selected set plus
+    a MIN-groupBy — tiny per query, so at 100 TB the cost remains the
+    candidate generator's, and this composes behind IVF/LSH/PQ exactly
+    like a production reranker. The candidate pairwise distances are
+    computed once (20×19 per query) and reused by every round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from stock_data_pipeline_spark.llm.clustering import _quantize
+
+    qv = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), _quantize(F.col("embedding"), 10).alias("qv")
+    )
+    cv = emb.filter(F.col("vec_id") % 97 != 0).select(
+        "vec_id", _quantize(F.col("embedding"), 10).alias("cv")
+    )
+
+    def d2(a: str, b: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    wq = Window.partitionBy("query_id").orderBy(F.col("dq").asc(), F.col("vec_id").asc())
+    cand = (
+        qv.crossJoin(cv)
+        .withColumn("dq", d2("qv", "cv"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 20)
+        .select("query_id", "vec_id", "dq", F.col("cv").alias("ev"))
+    )
+    ca, cb = cand.alias("ca"), cand.alias("cb")
+    cc = ca.join(
+        cb,
+        (F.col("ca.query_id") == F.col("cb.query_id"))
+        & (F.col("ca.vec_id") != F.col("cb.vec_id")),
+    ).select(
+        F.col("ca.query_id").alias("query_id"),
+        F.col("ca.vec_id").alias("va"),
+        F.col("cb.vec_id").alias("vb"),
+        F.aggregate(
+            F.zip_with(F.col("ca.ev"), F.col("cb.ev"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dcc"),
+    )
+    s1 = (
+        cand.withColumn("rn2", F.row_number().over(wq))
+        .filter(F.col("rn2") == 1)
+        .select(
+            "query_id", "vec_id",
+            F.lit(1).cast("long").alias("mmr_rank"),
+            F.lit(None).cast("long").alias("score"),
+        )
+    )
+    selected = [s1]
+    for r in range(2, 6):
+        sel = selected[0]
+        for s in selected[1:]:
+            sel = sel.unionByName(s)
+        remaining = cand.join(
+            sel.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+        scored = (
+            remaining.alias("r")
+            .join(
+                cc.alias("p"),
+                (F.col("p.query_id") == F.col("r.query_id"))
+                & (F.col("p.va") == F.col("r.vec_id")),
+            )
+            .join(
+                sel.alias("s"),
+                (F.col("s.query_id") == F.col("r.query_id"))
+                & (F.col("s.vec_id") == F.col("p.vb")),
+                "left_semi",
+            )
+            .groupBy(F.col("r.query_id").alias("query_id"), F.col("r.vec_id").alias("vec_id"),
+                     F.col("r.dq").alias("dq"))
+            .agg(F.min("p.dcc").alias("min_dcc"))
+            .select(
+                "query_id", "vec_id", (F.col("min_dcc") - F.col("dq")).alias("score")
+            )
+        )
+        wr = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        pick = (
+            scored.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "vec_id",
+                F.lit(r).cast("long").alias("mmr_rank"),
+                F.col("score").cast("long").alias("score"),
+            )
+        )
+        selected.append(pick)
+    out = selected[0]
+    for s in selected[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+@register(
+    "q243_knn_label_agreement",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS v
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id, a.label AS own_label, b.label AS nb_label,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, 64),
+                           i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))), (x, y) -> x + y)
+                   ASC, b.vec_id ASC) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, CAST(MAX(own_label) AS BIGINT) AS label,
+           CAST(SUM(CASE WHEN nb_label = own_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           CAST(SUM(CASE WHEN nb_label = own_label THEN 1 ELSE 0 END) AS DOUBLE) / 10.0
+               AS agreement,
+           CASE WHEN SUM(CASE WHEN nb_label = own_label THEN 1 ELSE 0 END) < 3
+                THEN 1 ELSE 0 END AS flagged
+    FROM pairs WHERE rn <= 10
+    GROUP BY 1
+    """,
+    survey_ref="extension: kNN label-agreement audit — every vector's "
+    "10 exact nearest neighbors vote on its label; low agreement flags "
+    "probable mislabels (the label-noise screen run before training); "
+    "exact integer distances, deterministic ties, N² here as the "
+    "oracle-able baseline that composes with q53/q74's ANN at scale",
+)
+def q243_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection on the embeddings table: for each vector,
+    what fraction of its 10 nearest neighbors (exact integer-quantized
+    L², self excluded) share its label? Vectors agreeing with fewer
+    than 3 of 10 neighbors are flagged as likely mislabeled — the
+    standard cleaning pass before fine-tuning on labeled corpora. The
+    N×N scan is the exact baseline (same shape as q28); the production
+    path swaps the candidate generator for IVF (q53) or LSH (q74)
+    without touching the voting logic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from stock_data_pipeline_spark.llm.clustering import _quantize
+
+    e = emb.select("vec_id", "label", _quantize(F.col("embedding"), 10).alias("v"))
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("label").alias("own_label"), F.col("v").alias("av")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("label").alias("nb_label"), F.col("v").alias("bv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("av"), F.col("bv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("_d").asc(), F.col("b_id").asc())
+    n_agree = F.sum((F.col("nb_label") == F.col("own_label")).cast("long")).cast("long")
+    return (
+        a.join(b, F.col("a_id") != F.col("b_id"))
+        .withColumn("_d", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy(F.col("a_id").alias("vec_id"))
+        .agg(
+            F.max("own_label").cast("long").alias("label"),
+            n_agree.alias("n_agree"),
+            (n_agree.cast("double") / 10.0).alias("agreement"),
+            F.when(n_agree < 3, 1).otherwise(0).alias("flagged"),
+        )
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

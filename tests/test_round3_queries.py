@@ -877,3 +877,69 @@ def test_holt_matches_driver_recurrence(spark):
     for r in got:
         el, eb, ef = expect[r.o_orderkey]
         assert r.level == el and r.trend == eb and r.forecast == ef  # bit-exact
+
+
+# --- batch 18 -------------------------------------------------------------
+
+
+def test_rendezvous_minimal_disruption(spark):
+    rows = {r.node: r for r in REGISTRY["q239_rendezvous_hashing"].fn(spark, SF).collect()}
+    assert set(rows) == set(range(8))
+    total = sum(r.n_before for r in rows.values())
+    # HRW guarantee: every node except the removed one keeps ALL its keys
+    for n, r in rows.items():
+        if n != 3:
+            assert r.n_stayed == r.n_before
+            assert r.n_after >= r.n_before
+        else:
+            assert r.n_stayed == 0
+            assert r.n_after == 0
+    assert sum(r.n_after for r in rows.values()) == total
+    plan = _plan(REGISTRY["q239_rendezvous_hashing"].fn(spark, SF))
+    assert "Python" not in plan
+
+
+def test_fk_audit_clean_edges_clean_corrupted_edge_fires(spark):
+    rows = {r.fk_edge: r for r in REGISTRY["q240_fk_integrity_audit"].fn(spark, SF).collect()}
+    assert len(rows) == 8
+    for name, r in rows.items():
+        if name == "lineitem(corrupted)->supplier":
+            assert r.n_orphan_rows > 0 and r.n_orphan_keys > 0
+        else:
+            assert r.n_orphan_rows == 0 and r.n_orphan_keys == 0
+        assert r.n_child_keys <= r.n_child_rows
+
+
+def test_spearman_bounds_and_self_correlation(spark):
+    rows = REGISTRY["q241_spearman"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.rho <= 1.0
+        assert r.sum_d2 >= 0
+    plan = _plan(REGISTRY["q241_spearman"].fn(spark, SF))
+    assert "Python" not in plan
+
+
+def test_mmr_first_pick_is_nearest_and_set_is_diverse(spark):
+    rows = REGISTRY["q242_mmr_rerank"].fn(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.mmr_rank)
+        assert [r.mmr_rank for r in rs] == [1, 2, 3, 4, 5]
+        assert len({r.vec_id for r in rs}) == 5  # no repeats
+        assert rs[0].score is None  # seed round has no diversity term
+
+
+def test_knn_agreement_fields_consistent(spark):
+    rows = REGISTRY["q243_knn_label_agreement"].fn(spark, SF).collect()
+    assert rows
+    n_flagged = 0
+    for r in rows:
+        assert 0 <= r.n_agree <= 10
+        assert abs(r.agreement - r.n_agree / 10.0) < 1e-15
+        assert r.flagged == (1 if r.n_agree < 3 else 0)
+        n_flagged += r.flagged
+    assert 0 <= n_flagged < len(rows)
