@@ -14295,6 +14295,414 @@ def q243_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 19 (round 3): mergeable-sketch demo, exact KS test, imputation
+# hierarchy, experiment sample-ratio check
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q244_grouped_hll_merge",
+    oracle=f"""
+    WITH h1 AS (
+        SELECT o_orderpriority AS grp, (o_custkey * 48271 + 11) % 2147483647 AS a,
+               o_custkey
+        FROM orders
+    ), hashed AS (
+        SELECT grp, o_custkey,
+               xor((xor(a, a >> 16) * 69621) % 2147483647,
+                   ((xor(a, a >> 16) * 69621) % 2147483647) >> 16) AS h
+        FROM h1
+    ), slots AS (
+        SELECT grp, h % {_HLL_M} AS idx, h // {_HLL_M} AS w, o_custkey FROM hashed
+    ), regs AS (
+        SELECT grp, idx, MAX({_hll_rank_sql("w")}) AS m FROM slots GROUP BY 1, 2
+    ), merged_regs AS (
+        SELECT CAST('__merged__' AS VARCHAR) AS grp, idx, MAX(m) AS m FROM regs GROUP BY 2
+    ), all_regs AS (
+        SELECT * FROM regs UNION ALL SELECT * FROM merged_regs
+    ), sketch AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_hit,
+               CAST(SUM({_hll_term_sql("m")}) AS BIGINT) AS z_present
+        FROM all_regs GROUP BY 1
+    ), truth AS (
+        SELECT grp, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS true_distinct
+        FROM slots GROUP BY 1
+        UNION ALL
+        SELECT '__merged__', COUNT(DISTINCT o_custkey) FROM slots
+    ), est AS (
+        SELECT s.grp, {_HLL_M} - s.n_hit AS n_empty,
+               s.z_present + ({_HLL_M} - s.n_hit) * {1 << _HLL_WBITS} AS z_scaled,
+               {_HLL_A} / CAST(s.z_present + ({_HLL_M} - s.n_hit) * {1 << _HLL_WBITS} AS DOUBLE)
+                   AS raw_estimate,
+               t.true_distinct
+        FROM sketch s JOIN truth t ON s.grp = t.grp
+    )
+    SELECT grp,
+           CASE WHEN raw_estimate <= {repr(2.5 * _HLL_M)} AND n_empty > 0
+                THEN {_hll_lc_sql("n_empty")} ELSE raw_estimate END AS hll_estimate,
+           true_distinct
+    FROM est
+    """,
+    survey_ref="extension: grouped HyperLogLog + register-MAX merge — "
+    "per-priority customer sketches and the '__merged__' global sketch "
+    "built by MAX over the groups' registers (never re-reading the "
+    "data); the mergeability property that makes HLL the cross-"
+    "partition/cross-day cardinality primitive, demonstrated and "
+    "value-oracled in one query",
+)
+def q244_grouped_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority AND overall, from ONE scan:
+    each group keeps its 256 HLL registers, and the global sketch is
+    the register-wise MAX of the group sketches — exactly how HLL
+    state merges across partitions, executors, or daily rollups
+    without touching raw data again. Per-group and merged estimates
+    are corrected and reported against exact truth. At 100 TB you'd
+    persist the per-day register tables (256 ints each) and answer
+    'distinct over any date range' by MAX-merge — this query is that
+    pattern, compacted."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.lit(_M31).cast("long")
+    a = F.pmod(F.col("o_custkey") * 48271 + 11, p)
+    b = F.pmod(a.bitwiseXOR(F.shiftright(a, 16)) * 69621, p)
+    h = b.bitwiseXOR(F.shiftright(b, 16))
+    idx = F.pmod(h, F.lit(_HLL_M).cast("long"))
+    w = ((h - idx) / _HLL_M).cast("long")
+    slots = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_custkey",
+        idx.alias("idx"),
+        _hll_rank_col(w).alias("rank"),
+    )
+    regs = slots.groupBy("grp", "idx").agg(F.max("rank").alias("m"))
+    merged = regs.groupBy("idx").agg(F.max("m").alias("m")).select(
+        F.lit("__merged__").alias("grp"), "idx", "m"
+    )
+    all_regs = regs.unionByName(merged)
+    sketch = all_regs.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_hit"),
+        F.sum(_hll_term_col(F.col("m"))).cast("long").alias("z_present"),
+    )
+    truth = (
+        slots.groupBy("grp")
+        .agg(F.countDistinct("o_custkey").cast("long").alias("true_distinct"))
+        .unionByName(
+            slots.agg(
+                F.lit("__merged__").alias("grp"),
+                F.countDistinct("o_custkey").cast("long").alias("true_distinct"),
+            )
+        )
+    )
+    n_empty = F.lit(_HLL_M).cast("long") - F.col("n_hit")
+    z_scaled = F.col("z_present") + n_empty * (1 << _HLL_WBITS)
+    raw = F.lit(float(_HLL_A)) / z_scaled.cast("double")
+    est = sketch.join(truth, "grp").select(
+        "grp", n_empty.alias("n_empty"), raw.alias("raw_estimate"), "true_distinct"
+    )
+    corrected = (
+        F.when(
+            (F.col("raw_estimate") <= float(repr(2.5 * _HLL_M))) & (F.col("n_empty") > 0),
+            _hll_lc_col(F.col("n_empty")),
+        )
+        .otherwise(F.col("raw_estimate"))
+    )
+    return est.select("grp", corrected.alias("hll_estimate"), "true_distinct")
+
+
+@register(
+    "q245_ks_test",
+    oracle="""
+    WITH tagged AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_r
+        FROM lineitem
+    ), vals AS (
+        SELECT v, CAST(SUM(is_r) AS BIGINT) AS ca, CAST(SUM(1 - is_r) AS BIGINT) AS cb
+        FROM tagged GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM vals
+    ), cum AS (
+        SELECT v,
+               SUM(ca) OVER (ORDER BY v) AS cum_a,
+               SUM(cb) OVER (ORDER BY v) AS cum_b
+        FROM vals
+    ), scored AS (
+        SELECT CAST(abs(cum_a * nb - cum_b * na) AS DECIMAL(38,0)) * 16777216
+               + (16777215 - v) AS enc,
+               na, nb
+        FROM cum CROSS JOIN tot
+    )
+    SELECT na AS n_returned, nb AS n_kept,
+           -- subtract the remainder first: DECIMAL // rounds in DuckDB,
+           -- so only divide exact multiples
+           CAST((MAX(enc) - MAX(enc) % 16777216) // 16777216 AS BIGINT) AS d_scaled,
+           CAST(16777215 - MAX(enc) % 16777216 AS BIGINT) AS at_value_cents,
+           CAST(CAST((MAX(enc) - MAX(enc) % 16777216) // 16777216 AS BIGINT) AS DOUBLE)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d
+    FROM scored GROUP BY 1, 2
+    """,
+    survey_ref="extension: exact two-sample Kolmogorov-Smirnov distance "
+    "(returned vs kept line-item prices) — D carried as the INTEGER "
+    "max|cumA·nB − cumB·nA| with the argmax value packed into the same "
+    "integer (deterministic ties); the Spark plan demonstrates the "
+    "DISTRIBUTED PREFIX SUM (range partition → local cumsum → tiny "
+    "per-partition offset broadcast), so no global single-partition "
+    "window — the scalable form of q205's drift monitor",
+)
+def q245_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are returned items priced differently from kept ones? Exact KS
+    distance between the two empirical CDFs, evaluated at every
+    distinct price: D = max |F_A − F_B| scaled by n_A·n_B into an
+    exact integer, argmax price packed into the low 24 bits so even
+    the tie-break is deterministic cross-engine.
+
+    The interesting part is HOW the cumulative is computed at scale:
+    instead of one global ORDER BY window (single-partition — the
+    WindowExec warning), the plan range-partitions the distinct values,
+    cumsums WITHIN each partition, aggregates one total row per
+    partition (≤16 rows), prefix-sums THAT tiny frame, and broadcasts
+    the offsets back — the textbook two-phase distributed scan. Output
+    values are identical to the naive window (asserted by the oracle
+    match); only the physical shape changes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tagged = li.select(
+        (_dec("l_extendedprice") * 100).cast("long").alias("v"),
+        (F.col("l_returnflag") == "R").cast("long").alias("is_r"),
+    )
+    vals = tagged.groupBy("v").agg(
+        F.sum("is_r").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_r")).cast("long").alias("cb"),
+    )
+    tot = vals.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    # deterministic order-preserving bucket id (v < 2^24, 16 buckets by
+    # high bits): unlike repartitionByRange + spark_partition_id, the
+    # bucket of a row never depends on sampled boundaries, so the two
+    # consumers of this frame (local cumsum, per-bucket totals) always
+    # agree
+    pid = ((F.col("v") - F.pmod(F.col("v"), F.lit(1048576))) / 1048576).cast("long")
+    ranged = vals.withColumn("pid", pid)
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.select(
+        "v", "pid",
+        F.sum("ca").over(w_in).alias("la"),
+        F.sum("cb").over(w_in).alias("lb"),
+    )
+    ptot = ranged.groupBy("pid").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    w_pid = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = ptot.select(
+        "pid",
+        F.coalesce(F.sum("ta").over(w_pid), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(w_pid), F.lit(0)).alias("ob"),
+    )
+    cum = local.join(F.broadcast(offsets), "pid").select(
+        "v",
+        (F.col("oa") + F.col("la")).alias("cum_a"),
+        (F.col("ob") + F.col("lb")).alias("cum_b"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        (
+            F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+            .cast("decimal(38,0)")
+            * 16777216
+            + (16777215 - F.col("v"))
+        ).alias("enc"),
+        "na",
+        "nb",
+    )
+    enc_max = F.max("enc")
+    d_scaled = (enc_max - F.pmod(enc_max, F.lit(16777216).cast("decimal(38,0)"))) / 16777216
+    return scored.groupBy(
+        F.col("na").alias("n_returned"), F.col("nb").alias("n_kept")
+    ).agg(
+        d_scaled.cast("long").alias("d_scaled"),
+        (F.lit(16777215) - F.pmod(enc_max, F.lit(16777216).cast("decimal(38,0)")))
+        .cast("long")
+        .alias("at_value_cents"),
+        (
+            d_scaled.cast("double")
+            / (F.first("na").cast("double") * F.first("nb").cast("double"))
+        ).alias("ks_d"),
+    )
+
+
+@register(
+    "q246_imputation_hierarchy",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey, c_nationkey, n_regionkey,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ), clean AS (
+        SELECT * FROM cust WHERE cents >= 0
+    ), nat_med AS (
+        SELECT c_nationkey, CAST(MAX(cnt) AS BIGINT) AS n, CAST(MAX(med) AS BIGINT) AS med
+        FROM (
+            SELECT c_nationkey, cents AS med,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY cents, c_custkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY c_nationkey) AS cnt
+            FROM clean
+        ) WHERE rn = (cnt + 1) // 2
+        GROUP BY 1
+    ), reg_med AS (
+        SELECT n_regionkey, CAST(MAX(med) AS BIGINT) AS med
+        FROM (
+            SELECT n_regionkey, cents AS med,
+                   ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY cents, c_custkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY n_regionkey) AS cnt
+            FROM clean
+        ) WHERE rn = (cnt + 1) // 2
+        GROUP BY 1
+    ), glob_med AS (
+        SELECT CAST(MAX(med) AS BIGINT) AS med FROM (
+            SELECT cents AS med,
+                   ROW_NUMBER() OVER (ORDER BY cents, c_custkey) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM clean
+        ) WHERE rn = (cnt + 1) // 2
+    )
+    SELECT m.c_custkey, m.c_nationkey,
+           CASE WHEN COALESCE(nm.n, 0) >= 20 THEN 'nation'
+                WHEN rm.med IS NOT NULL THEN 'region'
+                ELSE 'global' END AS imputed_from,
+           CAST(CASE WHEN COALESCE(nm.n, 0) >= 20 THEN nm.med
+                     WHEN rm.med IS NOT NULL THEN rm.med
+                     ELSE g.med END AS BIGINT) AS imputed_cents
+    FROM (SELECT * FROM cust WHERE cents < 0) m
+    LEFT JOIN nat_med nm ON m.c_nationkey = nm.c_nationkey
+    LEFT JOIN reg_med rm ON m.n_regionkey = rm.n_regionkey
+    CROSS JOIN glob_med g
+    """,
+    survey_ref="extension: hierarchical median imputation — negative "
+    "balances imputed from the nation median when the nation has ≥20 "
+    "clean rows, else the region median, else global (exact lower "
+    "medians, deterministic ties); the coalescing-fallback feature-"
+    "engineering pattern for sparse categories",
+)
+def q246_imputation_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impute 'missing' (negative) account balances from a fallback
+    hierarchy: nation median if the nation has enough clean support
+    (≥20 rows), else region median, else global median — the standard
+    sparse-category imputation ladder for feature pipelines. Medians
+    are exact lower medians (rank = ⌈n/2⌉, ties by key), so every
+    imputed value is reproducible. All three median frames reduce to
+    tiny broadcast sides (25 nations / 5 regions / 1 row); the missing
+    rows join against them without shuffling the fact table."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    base = cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]).select(
+        "c_custkey", "c_nationkey", "n_regionkey", (_dec("c_acctbal") * 100).cast("long").alias("cents")
+    )
+    clean = base.filter(F.col("cents") >= 0)
+
+    def lower_median(df: DataFrame, keys: list[str]) -> DataFrame:
+        if keys:
+            wp = Window.partitionBy(*keys)
+        else:
+            df = df.withColumn("_g", F.lit(1))
+            keys = ["_g"]
+            wp = Window.partitionBy("_g")
+        ranked = df.select(
+            *keys,
+            "cents",
+            F.row_number().over(wp.orderBy("cents", "c_custkey")).alias("rn"),
+            F.count("*").over(wp).alias("cnt"),
+        )
+        half = ((F.col("cnt") + 1) - F.pmod(F.col("cnt") + 1, F.lit(2))) / 2
+        return (
+            ranked.filter(F.col("rn") == half.cast("int"))
+            .groupBy(*keys)
+            .agg(F.count("*").alias("_one"), F.max("cents").cast("long").alias("med"),
+                 F.max("cnt").cast("long").alias("n"))
+            .drop("_one")
+        )
+
+    nat_med = lower_median(clean, ["c_nationkey"]).select(
+        F.col("c_nationkey").alias("nk"), F.col("med").alias("nat_med"), F.col("n").alias("nat_n")
+    )
+    reg_med = lower_median(clean, ["n_regionkey"]).select(
+        F.col("n_regionkey").alias("rk"), F.col("med").alias("reg_med")
+    )
+    glob = lower_median(clean, []).select(F.col("med").alias("glob_med"))
+    missing = base.filter(F.col("cents") < 0)
+    joined = (
+        missing.join(F.broadcast(nat_med), missing["c_nationkey"] == nat_med["nk"], "left")
+        .join(F.broadcast(reg_med), missing["n_regionkey"] == reg_med["rk"], "left")
+        .crossJoin(F.broadcast(glob))
+    )
+    use_nation = F.coalesce(F.col("nat_n"), F.lit(0)) >= 20
+    return joined.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(use_nation, "nation")
+        .when(F.col("reg_med").isNotNull(), "region")
+        .otherwise("global")
+        .alias("imputed_from"),
+        F.when(use_nation, F.col("nat_med"))
+        .when(F.col("reg_med").isNotNull(), F.col("reg_med"))
+        .otherwise(F.col("glob_med"))
+        .cast("long")
+        .alias("imputed_cents"),
+    )
+
+
+@register(
+    "q247_srm_check",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT ({_mix31_sql("o_orderkey")}) % 2 AS variant FROM orders
+    ), counts AS (
+        SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+               CAST(SUM(variant) AS BIGINT) AS n_treatment
+        FROM assigned
+    )
+    SELECT n_control, n_treatment,
+           (n_control - n_treatment) * (n_control - n_treatment) AS chi2_num,
+           CAST((n_control - n_treatment) * (n_control - n_treatment) AS DOUBLE)
+               / CAST(n_control + n_treatment AS DOUBLE) AS chi2,
+           CASE WHEN CAST((n_control - n_treatment) * (n_control - n_treatment) AS DOUBLE)
+                     / CAST(n_control + n_treatment AS DOUBLE) > 3.841458820694124
+                THEN 1 ELSE 0 END AS srm_flag
+    FROM counts
+    """,
+    survey_ref="extension: sample-ratio-mismatch check — hash-based "
+    "50/50 assignment, χ²(1df) = (a−b)²/(a+b) with an exact integer "
+    "numerator and the 0.05 critical value as a host literal; the "
+    "experiment-health gate run before trusting any A/B readout "
+    "(companion to q141's effect estimate)",
+)
+def q247_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the experiment's hash-based 50/50 split actually 50/50? The
+    sample-ratio-mismatch χ² — the first thing to check before reading
+    an A/B test (q141), because a biased assignment invalidates
+    everything downstream. Assignment reuses the q224 portable mixer
+    (deterministic, uniform); the statistic's numerator stays an exact
+    integer and one double division + one literal comparison finish
+    it. Scale: a pure map + one two-cell aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    variant = F.pmod(_mix31_col(F.col("o_orderkey")), F.lit(2).cast("long"))
+    counts = o.select(variant.alias("variant")).agg(
+        F.sum((F.col("variant") == 0).cast("long")).cast("long").alias("n_control"),
+        F.sum("variant").cast("long").alias("n_treatment"),
+    )
+    diff = F.col("n_control") - F.col("n_treatment")
+    chi2 = (diff * diff).cast("double") / (F.col("n_control") + F.col("n_treatment")).cast("double")
+    return counts.select(
+        "n_control",
+        "n_treatment",
+        (diff * diff).alias("chi2_num"),
+        chi2.alias("chi2"),
+        F.when(chi2 > 3.841458820694124, 1).otherwise(0).alias("srm_flag"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

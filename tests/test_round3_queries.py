@@ -943,3 +943,72 @@ def test_knn_agreement_fields_consistent(spark):
         assert r.flagged == (1 if r.n_agree < 3 else 0)
         n_flagged += r.flagged
     assert 0 <= n_flagged < len(rows)
+
+
+# --- batch 19 -------------------------------------------------------------
+
+
+def test_grouped_hll_merge_properties(spark):
+    rows = {r.grp: r for r in REGISTRY["q244_grouped_hll_merge"].fn(spark, SF).collect()}
+    assert "__merged__" in rows and len(rows) == 6
+    merged = rows.pop("__merged__")
+    # merged truth is the union, so >= every group's truth
+    for r in rows.values():
+        assert merged.true_distinct >= r.true_distinct
+        assert abs(r.hll_estimate - r.true_distinct) / max(r.true_distinct, 1) < 0.25
+    assert abs(merged.hll_estimate - merged.true_distinct) / merged.true_distinct < 0.25
+
+
+def test_ks_matches_driver_reference_and_avoids_global_window(spark):
+    from collections import Counter
+
+    from stock_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    import stock_data_pipeline_spark.queries as Q
+
+    li = load_table(spark, SF, "lineitem").select(
+        (Q._dec("l_extendedprice") * 100).cast("long").alias("v"),
+        (F.col("l_returnflag") == "R").alias("isr"),
+    ).collect()
+    ca, cb = Counter(), Counter()
+    for r in li:
+        (ca if r.isr else cb)[r.v] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    cum_a = cum_b = 0
+    best = (-1, None)
+    for v in sorted(set(ca) | set(cb)):
+        cum_a += ca[v]
+        cum_b += cb[v]
+        m = abs(cum_a * nb - cum_b * na)
+        if m > best[0]:
+            best = (m, v)
+    got = REGISTRY["q245_ks_test"].fn(spark, SF).collect()[0]
+    assert (got.n_returned, got.n_kept) == (na, nb)
+    assert (got.d_scaled, got.at_value_cents) == best
+    # the whole point: the big cumulative must NOT be a single-partition
+    # global window — only the <=16-row per-bucket offset frame may be
+    plan = _plan(REGISTRY["q245_ks_test"].fn(spark, SF))
+    assert plan.count("Window") >= 2
+
+
+def test_imputation_hierarchy_covers_all_missing(spark):
+    from stock_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    n_missing = (
+        load_table(spark, SF, "customer").filter(F.col("c_acctbal") < 0).count()
+    )
+    rows = REGISTRY["q246_imputation_hierarchy"].fn(spark, SF).collect()
+    assert len(rows) == n_missing
+    for r in rows:
+        assert r.imputed_from in ("nation", "region", "global")
+        assert r.imputed_cents >= 0  # imputed from the clean (>=0) pool
+
+
+def test_srm_balanced_assignment(spark):
+    r = REGISTRY["q247_srm_check"].fn(spark, SF).collect()[0]
+    total = r.n_control + r.n_treatment
+    assert total > 0
+    assert r.chi2_num == (r.n_control - r.n_treatment) ** 2
+    # the mixer is uniform: a true 50/50 hash split must not trip SRM
+    assert r.srm_flag == 0

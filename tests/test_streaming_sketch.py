@@ -75,3 +75,49 @@ def test_streaming_cms_merges_to_batch_sketch(spark, tmp_path):
     }
     batch = {(r.r, r.pos): r.c for r in _cms_cells(events).collect()}
     assert merged == batch  # SUM-merge of partials == one-shot sketch
+
+
+def test_streaming_hll_registers_merge_to_batch_sketch(spark, tmp_path):
+    """HLL's merge operator is register-wise MAX: per-micro-batch
+    register partials MAX-merged across epochs must equal the one-shot
+    batch registers (the q224/q244 sketches maintained incrementally)."""
+    from stock_data_pipeline_spark.queries import _hll_rank_col, _mix31_col, _HLL_M
+
+    src_dir = str(tmp_path / "hll_src")
+    sink_dir = str(tmp_path / "hll_partials")
+
+    events = load_events(spark, SF).select(F.col("user_id").cast("long"))
+    events.repartition(5).write.parquet(src_dir)
+
+    def regs(df):
+        h = _mix31_col(F.col("user_id"))
+        idx = F.pmod(h, F.lit(_HLL_M).cast("long"))
+        w = ((h - idx) / _HLL_M).cast("long")
+        return (
+            df.select(idx.alias("idx"), _hll_rank_col(w).alias("rank"))
+            .groupBy("idx")
+            .agg(F.max("rank").alias("m"))
+        )
+
+    def write_batch(batch_df, epoch_id: int):
+        regs(batch_df).withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            sink_dir
+        )
+
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream.writeStream.foreachBatch(write_batch).start()
+    q.processAllAvailable()
+    q.stop()
+
+    partials = spark.read.parquet(sink_dir)
+    assert partials.select("epoch").distinct().count() >= 2  # real merge exercised
+    merged = {
+        r.idx: r.m
+        for r in partials.groupBy("idx").agg(F.max("m").alias("m")).collect()
+    }
+    batch = {r.idx: r.m for r in regs(spark.read.parquet(src_dir)).collect()}
+    assert merged == batch
