@@ -94,3 +94,38 @@ def zone_maps(
         aggs.append(F.min(F.col(c).cast("long")).alias(f"{c}_lo"))
         aggs.append(F.max(F.col(c).cast("long")).alias(f"{c}_hi"))
     return assigned.groupBy(F.col(file_col)).agg(*aggs)
+
+
+def with_hilbert(df: DataFrame, x_col: str, y_col: str, out_col: str = "hval") -> DataFrame:
+    """Hilbert-curve index of 16-bit (x, y) — the locality-preserving
+    alternative to :func:`morton2`: the Z-curve makes long diagonal
+    jumps between quadrants, while the Hilbert curve visits adjacent
+    cells consecutively, so equal-width file cuts along the curve get
+    tighter 2-D zone maps (measured by q248).
+
+    Statically unrolled form of the classic xy2d walk (16 levels): at
+    each scale s the quadrant bits (rx, ry) contribute s²·((3rx)⊕ry)
+    to the index and the frame reflects/swaps for the next level. Each
+    level is ONE projection materializing the state (x, y, d) as named
+    columns — without that, the when() chains would double the
+    expression tree per level (2¹⁶ nodes by the last). Pure integer
+    bit-ops, whole-stage codegen, no shuffle."""
+    n1 = F.lit((1 << ZBITS) - 1).cast("long")
+    passthrough = [c for c in df.columns]
+    out = df.withColumn("_hx", F.col(x_col).cast("long")).withColumn(
+        "_hy", F.col(y_col).cast("long")
+    ).withColumn("_hd", F.lit(0).cast("long"))
+    for lvl in range(ZBITS - 1, -1, -1):
+        s2 = F.lit(1 << (2 * lvl)).cast("long")  # s*s
+        cx, cy = F.col("_hx"), F.col("_hy")
+        rx = F.shiftright(cx, lvl).bitwiseAND(F.lit(1))
+        ry = F.shiftright(cy, lvl).bitwiseAND(F.lit(1))
+        swap0 = (ry == 0) & (rx == 0)
+        swap1 = (ry == 0) & (rx == 1)
+        out = out.select(
+            *passthrough,
+            F.when(swap1, n1 - cy).when(swap0, cy).otherwise(cx).alias("_hx"),
+            F.when(swap1, n1 - cx).when(swap0, cx).otherwise(cy).alias("_hy"),
+            (F.col("_hd") + s2 * (rx * 3).bitwiseXOR(ry)).alias("_hd"),
+        )
+    return out.select(*passthrough, F.col("_hd").alias(out_col))

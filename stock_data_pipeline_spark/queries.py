@@ -14703,6 +14703,485 @@ def q247_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 20 (round 3): Hilbert layout, collocations, blocking quality,
+# corpus similarity matrix, ANALYZE-style stats
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_sql_chain(src: str, levels: int = 16) -> str:
+    """Chained CTEs mirroring layout.with_hilbert level by level (the
+    same per-level materialization that keeps the expression tree
+    linear keeps this SQL text linear)."""
+    n1 = 65535
+    parts = [
+        f"hh{levels} AS (SELECT *, zx AS hx, zy AS hy, CAST(0 AS BIGINT) AS hd FROM {src})"
+    ]
+    for lvl in range(levels - 1, -1, -1):
+        s2 = 1 << (2 * lvl)
+        rx = f"((hx >> {lvl}) & 1)"
+        ry = f"((hy >> {lvl}) & 1)"
+        parts.append(f"""hh{lvl} AS (
+        SELECT * EXCLUDE (hx, hy, hd, nhx, nhy, nhd), nhx AS hx, nhy AS hy, nhd AS hd FROM (
+            SELECT *,
+                   CASE WHEN {ry} = 0 THEN
+                        (CASE WHEN {rx} = 1 THEN {n1} - hy ELSE hy END)
+                        ELSE hx END AS nhx,
+                   CASE WHEN {ry} = 0 THEN
+                        (CASE WHEN {rx} = 1 THEN {n1} - hx ELSE hx END)
+                        ELSE hy END AS nhy,
+                   hd + {s2} * xor(3 * {rx}, {ry}) AS nhd
+            FROM hh{lvl + 1}
+        )
+    )""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "q248_hilbert_layout",
+    oracle=f"""
+    WITH {_ZORDER_BASE_SQL},
+    {_hilbert_sql_chain("zed")},
+    banded AS (
+        SELECT *,
+               cmin + ((cmax - cmin) * 45) // 100 AS clo,
+               cmin + ((cmax - cmin) * 55) // 100 AS chi,
+               dmin + ((dmax - dmin) * 45) // 100 AS dlo,
+               dmin + ((dmax - dmin) * 55) // 100 AS dhi,
+               zval >> 26 AS z_file,
+               hd >> 26 AS h_file
+        FROM hh0
+    ), match_cnt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS rows_matching
+        FROM banded WHERE ck BETWEEN clo AND chi AND dd BETWEEN dlo AND dhi
+    ), zmaps AS (
+        SELECT 'hilbert' AS layout, h_file AS file_id, COUNT(*) AS n_rows,
+               MIN(ck) AS ck_lo, MAX(ck) AS ck_hi, MIN(dd) AS dd_lo, MAX(dd) AS dd_hi,
+               MIN(clo) AS clo, MIN(chi) AS chi, MIN(dlo) AS dlo, MIN(dhi) AS dhi
+        FROM banded GROUP BY 2
+        UNION ALL
+        SELECT 'zorder', z_file, COUNT(*),
+               MIN(ck), MAX(ck), MIN(dd), MAX(dd),
+               MIN(clo), MIN(chi), MIN(dlo), MIN(dhi)
+        FROM banded GROUP BY 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN ck_hi >= clo AND ck_lo <= chi
+                          AND dd_hi >= dlo AND dd_lo <= dhi THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+           CAST(SUM(CASE WHEN ck_hi >= clo AND ck_lo <= chi
+                          AND dd_hi >= dlo AND dd_lo <= dhi THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+           (SELECT rows_matching FROM match_cnt) AS rows_matching
+    FROM zmaps
+    GROUP BY 1
+    """,
+    survey_ref="extension: Hilbert-curve layout vs Z-order under the "
+    "same 2-D band predicate and zone maps — the Hilbert walk "
+    "(statically unrolled xy2d, one projection per level) never makes "
+    "the Z-curve's quadrant jumps, so curve-contiguous files get "
+    "tighter rectangles; completes the q195/q196 layout family with "
+    "the curve Delta/Iceberg actually prefer",
+)
+def q248_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same experiment as q196 but comparing the two space-filling
+    curves head-to-head: orders laid out in 64 files along (a) the
+    Morton/Z curve, (b) the Hilbert curve, zone maps computed per
+    file, and the identical 10%×10% (customer, day) band predicate
+    pruned against both. Hilbert's locality (consecutive cells are
+    always grid neighbors — no diagonal teleports at quadrant
+    boundaries) yields files whose 2-D rectangles are at least as
+    tight, typically strictly tighter, so fewer files survive pruning.
+    The walk itself is 16 chained integer projections — each level ONE
+    select materializing (x, y, d), keeping both the Catalyst plan and
+    the generated oracle linear in the bit depth."""
+    from stock_data_pipeline_spark.operators.layout import (
+        norm16 as _n16,
+        with_hilbert,
+        zorder_assignment,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    pts = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).cast("long").alias("dd"),
+    )
+    rng = pts.agg(
+        F.min("ck").alias("cmin"), F.max("ck").alias("cmax"),
+        F.min("dd").alias("dmin"), F.max("dd").alias("dmax"),
+    )
+
+    def idiv(a: F.Column, b: int) -> F.Column:
+        bb = F.lit(b).cast("long")
+        return ((a - F.pmod(a, bb)) / bb).cast("long")
+
+    normed = (
+        zorder_assignment(pts, "ck", "dd", n_files=64)
+        .withColumnRenamed("file_id", "z_file")
+        .crossJoin(F.broadcast(rng))
+        .withColumn("zx", _n16(F.col("ck"), F.col("cmin"), F.col("cmax")))
+        .withColumn("zy", _n16(F.col("dd"), F.col("dmin"), F.col("dmax")))
+    )
+    withh = with_hilbert(normed, "zx", "zy", "hd").withColumn(
+        "h_file", F.shiftright(F.col("hd"), 26).cast("long")
+    )
+    banded = (
+        withh
+        .withColumn("clo", F.col("cmin") + idiv((F.col("cmax") - F.col("cmin")) * 45, 100))
+        .withColumn("chi", F.col("cmin") + idiv((F.col("cmax") - F.col("cmin")) * 55, 100))
+        .withColumn("dlo", F.col("dmin") + idiv((F.col("dmax") - F.col("dmin")) * 45, 100))
+        .withColumn("dhi", F.col("dmin") + idiv((F.col("dmax") - F.col("dmin")) * 55, 100))
+    )
+    in_band = (
+        F.col("ck").between(F.col("clo"), F.col("chi"))
+        & F.col("dd").between(F.col("dlo"), F.col("dhi"))
+    )
+    match_cnt = banded.filter(in_band).agg(F.count("*").cast("long").alias("rows_matching"))
+    maps = None
+    for layout, fcol in (("hilbert", "h_file"), ("zorder", "z_file")):
+        zm = banded.groupBy(F.col(fcol).alias("file_id")).agg(
+            F.count("*").alias("n_rows"),
+            F.min("ck").alias("ck_lo"), F.max("ck").alias("ck_hi"),
+            F.min("dd").alias("dd_lo"), F.max("dd").alias("dd_hi"),
+            F.min("clo").alias("clo"), F.min("chi").alias("chi"),
+            F.min("dlo").alias("dlo"), F.min("dhi").alias("dhi"),
+        ).withColumn("layout", F.lit(layout))
+        maps = zm if maps is None else maps.unionByName(zm)
+    survives = (
+        (F.col("ck_hi") >= F.col("clo")) & (F.col("ck_lo") <= F.col("chi"))
+        & (F.col("dd_hi") >= F.col("dlo")) & (F.col("dd_lo") <= F.col("dhi"))
+    )
+    return (
+        maps.groupBy("layout")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(survives.cast("long")).cast("long").alias("files_scanned"),
+            F.sum(F.when(survives, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+        .crossJoin(F.broadcast(match_cnt))
+    )
+
+
+@register(
+    "q249_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), bigrams AS (
+        SELECT tk[i] AS w1, tk[i+1] AS w2
+        FROM toks, unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS t(i)
+    ), bg AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS o FROM bigrams GROUP BY 1, 2
+    ), ug AS (
+        SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS f FROM bigrams GROUP BY 1
+    ), ug2 AS (
+        SELECT w2 AS w, CAST(COUNT(*) AS BIGINT) AS f FROM bigrams GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bigrams
+    ), scored AS (
+        SELECT b.w1, b.w2, b.o,
+               (CAST(b.o AS DOUBLE)
+                - CAST(u1.f AS DOUBLE) * CAST(u2.f AS DOUBLE) / CAST(t.n AS DOUBLE))
+               / sqrt(CAST(b.o AS DOUBLE)) AS t_score
+        FROM bg b
+        JOIN ug u1 ON u1.w = b.w1
+        JOIN ug2 u2 ON u2.w = b.w2
+        CROSS JOIN tot t
+        WHERE b.o >= 5
+    )
+    SELECT w1, w2, o AS n_occurrences, t_score, CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY t_score DESC, w1, w2) AS rnk FROM scored
+    ) WHERE rnk <= 30
+    """,
+    survey_ref="extension: bigram collocation mining (t-score) — "
+    "adjacent-pair counts vs independence expectation f(a)f(b)/N, "
+    "t = (O − E)/√O; the corpus phrase-detection primitive (what "
+    "feeds phrase-aware tokenizers), distinct from q127's basket lift "
+    "in both unit (sequential bigrams) and statistic",
+)
+def q249_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which word pairs co-occur adjacently more than chance? Bigram
+    t-scores: observed count vs the independence expectation from the
+    unigram margins, top 30 (deterministic double ordering — identical
+    operands both engines — with lexicographic tie-break). One
+    posexplode + lead-free adjacency via index arithmetic, two margin
+    aggregates that broadcast back, and a TakeOrdered top-k. The
+    standard first pass of phrase detection / multi-word-expression
+    mining over a 100 TB corpus."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", text.tokens(F.col("text")).alias("tk"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, greatest(size(tk) - 1, 0)), i -> struct(tk[i-1] AS w1, tk[i] AS w2))")
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("o"))
+    ug = bigrams.groupBy(F.col("w1").alias("w")).agg(F.count("*").cast("long").alias("f1"))
+    ug2 = bigrams.groupBy(F.col("w2").alias("w")).agg(F.count("*").cast("long").alias("f2"))
+    tot = bigrams.agg(F.count("*").cast("long").alias("n"))
+    scored = (
+        bg.filter(F.col("o") >= 5)
+        .join(F.broadcast(ug), bg["w1"] == ug["w"])
+        .join(F.broadcast(ug2), bg["w2"] == ug2["w"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "o",
+            (
+                (
+                    F.col("o").cast("double")
+                    - F.col("f1").cast("double") * F.col("f2").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / F.sqrt(F.col("o").cast("double"))
+            ).alias("t_score"),
+        )
+    )
+    w = Window.orderBy(F.col("t_score").desc(), F.col("w1"), F.col("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 30)
+        .select("w1", "w2", F.col("o").alias("n_occurrences"), "t_score", "rank")
+    )
+
+
+@register(
+    "q250_blocking_quality",
+    oracle=f"""
+    WITH truth AS ({REGISTRY["q25_jaccard_pairs"].oracle}
+    ), cand AS ({REGISTRY["q54_minhash_lsh_verified"].oracle}
+    ), docs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), agg AS (
+        SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+               (SELECT COUNT(*) FROM cand) AS n_cand,
+               (SELECT COUNT(*) FROM truth t JOIN cand c
+                 ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_common,
+               n_docs
+        FROM docs
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_truth AS BIGINT) AS n_truth_pairs,
+           CAST(n_cand AS BIGINT) AS n_candidate_pairs,
+           CAST(n_common AS BIGINT) AS n_common,
+           CASE WHEN n_truth > 0
+                THEN CAST(n_common AS DOUBLE) / CAST(n_truth AS DOUBLE)
+                ELSE 1.0 END AS pairs_completeness,
+           1.0 - CAST(n_cand AS DOUBLE)
+               / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1.0) / 2.0)
+               AS reduction_ratio
+    FROM agg
+    """,
+    survey_ref="extension: blocking-quality evaluation — pairs "
+    "completeness (recall of MinHash-LSH candidates vs the exact "
+    "Jaccard≥0.8 truth) and reduction ratio (candidates vs all N(N−1)/2 "
+    "pairs) in one row; the standard entity-resolution/dedup metric "
+    "pair used to TUNE band/row parameters before a 100 TB run",
+)
+def q250_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is the LSH blocking, measured properly? Pairs
+    completeness = |candidates ∩ true near-dups| / |true near-dups|
+    (how much recall the bands keep) and reduction ratio = 1 −
+    |candidates| / C(N,2) (how much work they avoid). Reuses the exact
+    q25 pipeline as truth and the fully-oracled q54 MinHash pipeline as
+    the candidate generator — the evaluation itself is two counts and
+    one inner join on the pair key. This is the measurement loop you
+    run at small scale to pick (bands, rows) before paying for the
+    full corpus."""
+    truth = REGISTRY["q25_jaccard_pairs"].fn(spark, sf_dir).select("id_a", "id_b")
+    cand = REGISTRY["q54_minhash_lsh_verified"].fn(spark, sf_dir).select("id_a", "id_b")
+    docs = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    n_common = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count("*").cast("long").alias("n_common")
+    )
+    nd = F.col("n_docs").cast("double")
+    return (
+        docs.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            "n_docs",
+            F.col("n_truth").alias("n_truth_pairs"),
+            F.col("n_cand").alias("n_candidate_pairs"),
+            "n_common",
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_common").cast("double") / F.col("n_truth").cast("double"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("pairs_completeness"),
+            (F.lit(1.0) - F.col("n_cand").cast("double") / (nd * (nd - 1.0) / 2.0)).alias(
+                "reduction_ratio"
+            ),
+        )
+    )
+
+
+@register(
+    "q251_source_similarity",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT source, tok FROM (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+            FROM documents
+        )
+    ), sz AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM vocab GROUP BY 1
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_inter,
+           CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.source = src_a
+    JOIN sz sb ON sb.source = src_b
+    """,
+    survey_ref="extension: source-level vocabulary similarity matrix — "
+    "pairwise Jaccard between every source's distinct-token set via one "
+    "postings self-join (shuffle ∝ (source, token) postings, never "
+    "docs²); the corpus-curation view that flags mirrored/derivative "
+    "sources before dedup even runs",
+)
+def q251_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which document sources share a vocabulary? Pairwise Jaccard
+    similarity over each source's distinct token set: one (source,
+    token) postings table, a self-join on the token (the same postings
+    shape as q25 — work ∝ postings, with hot tokens cappable by
+    document frequency), set sizes broadcast back for the final
+    |A∩B|/|A∪B|. At corpus scale this is the triage step that spots
+    mirror sites and derivative scrapes at the SOURCE level — far
+    cheaper than document-pair dedup — before q26/q49 run."""
+    doc = load_table(spark, sf_dir, "documents")
+    vocab = (
+        doc.select("source", F.explode(text.tokens(F.col("text"))).alias("tok")).distinct()
+    )
+    sz = vocab.groupBy("source").agg(F.count("*").cast("long").alias("sz"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q252_analyze_stats",
+    oracle="""
+    SELECT 'orders' AS tbl, 'o_orderkey' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'o_orderpriority', COUNT(*),
+           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'o_totalprice_cents', COUNT(*),
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)),
+           CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS VARCHAR),
+           CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'o_orderdate', COUNT(*),
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)),
+           strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d'),
+           strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+    FROM orders
+    UNION ALL
+    SELECT 'customer', 'c_mktsegment', COUNT(*),
+           SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT c_mktsegment),
+           MIN(c_mktsegment), MAX(c_mktsegment)
+    FROM customer
+    UNION ALL
+    SELECT 'customer', 'c_acctbal_cents', COUNT(*),
+           SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)),
+           CAST(MIN(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS VARCHAR),
+           CAST(MAX(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS VARCHAR)
+    FROM customer
+    """,
+    survey_ref="extension: ANALYZE-style catalog statistics — per-column "
+    "(rows, nulls, NDV, min, max) for the optimizer's cost model, "
+    "normalized to engine-neutral strings; the statistics q207/q208's "
+    "estimators and q220's join advisor consume",
+)
+def q252_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`
+    equivalent: per-column row count, null count, exact NDV, and
+    min/max rendered engine-neutrally (money as integer cents, dates
+    as ISO strings). One aggregate per table feeding several column
+    rows; at scale you'd swap exact NDV for the q224 HLL registers —
+    the output contract (what the CBO consumes) stays identical.
+    These are the inputs the join-strategy advisor (q220) and the
+    selectivity estimators (q207/q208) assume exist."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cents_o = (_dec("o_totalprice") * 100).cast("long")
+    cents_c = (_dec("c_acctbal") * 100).cast("long")
+
+    def stats(df: DataFrame, tbl: str, col_name: str, expr: F.Column,
+              as_str: Callable[[F.Column], F.Column]) -> DataFrame:
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(col_name).alias("col"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(expr.isNull().cast("long")).cast("long").alias("n_null"),
+            F.countDistinct(expr).cast("long").alias("n_distinct"),
+            as_str(F.min(expr)).alias("min_val"),
+            as_str(F.max(expr)).alias("max_val"),
+        )
+
+    s = F.lit  # noqa: F841  (kept for readability of the table below)
+    as_plain = lambda c: c.cast("string")  # noqa: E731
+    as_date = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    parts = [
+        stats(orders, "orders", "o_orderkey", F.col("o_orderkey"), as_plain),
+        stats(orders, "orders", "o_orderpriority", F.col("o_orderpriority"), as_plain),
+        stats(orders, "orders", "o_totalprice_cents", cents_o, as_plain),
+        stats(orders, "orders", "o_orderdate", F.col("o_orderdate").cast("date"), as_date),
+        stats(cust, "customer", "c_mktsegment", F.col("c_mktsegment"), as_plain),
+        stats(cust, "customer", "c_acctbal_cents", cents_c, as_plain),
+    ]
+    out = parts[0]
+    for prt in parts[1:]:
+        out = out.unionByName(prt)
+    return out
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -1012,3 +1012,108 @@ def test_srm_balanced_assignment(spark):
     assert r.chi2_num == (r.n_control - r.n_treatment) ** 2
     # the mixer is uniform: a true 50/50 hash split must not trip SRM
     assert r.srm_flag == 0
+
+
+# --- batch 20 -------------------------------------------------------------
+
+
+def test_hilbert_matches_reference_walk(spark):
+    from pyspark.sql import functions as F
+    from stock_data_pipeline_spark.operators.layout import with_hilbert
+
+    pts = [(x, y) for x in range(0, 65536, 4099) for y in range(0, 65536, 5101)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r.x, r.y): r.hval for r in with_hilbert(df, "x", "y").collect()}
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = n - 1 - x
+                    y = n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    assert got == {(x, y): xy2d(65536, x, y) for x, y in pts}
+
+
+def test_hilbert_prunes_at_least_as_well_as_zorder(spark):
+    rows = {r.layout: r for r in REGISTRY["q248_hilbert_layout"].fn(spark, SF).collect()}
+    h, z = rows["hilbert"], rows["zorder"]
+    assert h.n_files == z.n_files == 64
+    assert h.rows_scanned >= h.rows_matching  # soundness
+    assert z.rows_scanned >= z.rows_matching
+    assert h.files_scanned <= z.files_scanned  # locality pays
+    plan = _plan(REGISTRY["q248_hilbert_layout"].fn(spark, SF))
+    assert "Python" not in plan
+
+
+def test_collocations_tscore_positive_and_ranked(spark):
+    rows = REGISTRY["q249_collocations"].fn(spark, SF).collect()
+    assert len(rows) == 30
+    rows.sort(key=lambda r: r.rank)
+    scores = [r.t_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.n_occurrences >= 5 for r in rows)
+
+
+def test_blocking_quality_recall_floor(spark):
+    r = REGISTRY["q250_blocking_quality"].fn(spark, SF).collect()[0]
+    assert r.n_common <= min(r.n_truth_pairs, r.n_candidate_pairs)
+    assert r.pairs_completeness >= 0.6  # the q74-style recall floor
+    assert r.reduction_ratio > 0.9  # blocking must actually block
+
+
+def test_source_similarity_matrix_shape(spark):
+    rows = REGISTRY["q251_source_similarity"].fn(spark, SF).collect()
+    assert len(rows) == 190  # C(20, 2)
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_inter >= 1 or r.jaccard == 0.0
+
+
+def test_analyze_stats_sanity(spark):
+    rows = {(r.tbl, r.col): r for r in REGISTRY["q252_analyze_stats"].fn(spark, SF).collect()}
+    ok_row = rows[("orders", "o_orderkey")]
+    assert ok_row.n_null == 0
+    assert ok_row.n_distinct == ok_row.n_rows  # PK
+    assert int(ok_row.min_val) <= int(ok_row.max_val)
+    seg = rows[("customer", "c_mktsegment")]
+    assert seg.n_distinct == 5
+
+
+def test_holt_linear_100k_single_key(spark):
+    """The q238 recurrence must stay linear on a hot key: 100k rows in
+    ONE key, checked bit-exact against the driver loop (the same
+    guard the round-2 verdict demanded for EMA)."""
+    import pandas as pd
+
+    from stock_data_pipeline_spark.operators.indicators import holt_linear
+
+    n = 100_000
+    prices = [float((i * 2654435761) % 100_000) / 100.0 + 1.0 for i in range(n)]
+    pdf = pd.DataFrame({"k": [1] * n, "t": list(range(n)), "p": prices})
+    df = spark.createDataFrame(pdf)
+    out = (
+        holt_linear(df, ["k"], ["t"], "p")
+        .orderBy("t")
+        .select("level", "trend")
+        .collect()
+    )
+    l = b = None
+    for i, y in enumerate(prices):
+        if l is None:
+            l, b = y, 0.0
+        else:
+            l_new = 0.5 * y + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        if i % 9973 == 0 or i == n - 1:
+            assert out[i].level == l and out[i].trend == b
