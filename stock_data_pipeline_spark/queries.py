@@ -15182,6 +15182,344 @@ def q252_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Batch 21 (round 3): 3-D skyline, CRDT merge, corpus data card,
+# Theil-Sen robust trend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q253_skyline_3d",
+    oracle="""
+    WITH pts AS (
+        SELECT c.c_custkey,
+               CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+               CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100), 0) AS BIGINT)
+                   AS spend,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT a.c_custkey, a.bal, a.spend, a.n_orders
+    FROM pts a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts b
+        WHERE b.bal >= a.bal AND b.spend >= a.spend AND b.n_orders >= a.n_orders
+          AND (b.bal > a.bal OR b.spend > a.spend OR b.n_orders > a.n_orders)
+    )
+    """,
+    survey_ref="extension: 3-D skyline (Pareto-optimal set) — customers "
+    "not dominated on (balance, lifetime spend, order count) "
+    "simultaneously, via a dominance anti-join; extends q140's 2-D "
+    "frontier to the multi-criteria form, exact integers throughout",
+)
+def q253_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto-optimal customers across three maximize-criteria: no
+    other customer is ≥ on all of (balance, spend, order count) and
+    > on one. Expressed as a dominance LEFT ANTI self-join — exact and
+    deterministic. The naive join is quadratic in candidates; at scale
+    the standard trick applies unchanged: pre-prune with a coarse
+    grid's corner maxima (a q232-style cell join) so only cell-local
+    dominance pairs materialize — the anti-join operator here is that
+    refine step. Skylines are small (dominance is transitive), so the
+    output side never blows up."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pts = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", (_dec("c_acctbal") * 100).cast("long").alias("bal"))
+        .agg(
+            F.coalesce(F.sum((_dec("o_totalprice") * 100).cast("long")), F.lit(0))
+            .cast("long")
+            .alias("spend"),
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+        )
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    dominated = (
+        (F.col("b.bal") >= F.col("a.bal"))
+        & (F.col("b.spend") >= F.col("a.spend"))
+        & (F.col("b.n_orders") >= F.col("a.n_orders"))
+        & (
+            (F.col("b.bal") > F.col("a.bal"))
+            | (F.col("b.spend") > F.col("a.spend"))
+            | (F.col("b.n_orders") > F.col("a.n_orders"))
+        )
+    )
+    return a.join(b, dominated, "left_anti").select(
+        F.col("c_custkey"), F.col("bal"), F.col("spend"), F.col("n_orders")
+    )
+
+
+@register(
+    "q254_crdt_counter_merge",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, event_id % 3 AS replica,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS inc,
+               event_id,
+               MAX(event_id) OVER () // 2 AS half
+        FROM events WHERE event_type IN ('click', 'error')
+    ), site_b AS (  -- the site that has seen everything
+        SELECT user_id, replica,
+               CAST(SUM(inc) AS BIGINT) AS p, CAST(SUM(1 - inc) AS BIGINT) AS n
+        FROM tagged GROUP BY 1, 2
+    ), site_a AS (  -- a replica snapshot: only the first half of event ids
+        SELECT user_id, replica,
+               CAST(SUM(inc) AS BIGINT) AS p, CAST(SUM(1 - inc) AS BIGINT) AS n
+        FROM tagged
+        WHERE event_id <= half
+        GROUP BY 1, 2
+    ), merged AS (
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               COALESCE(a.replica, b.replica) AS replica,
+               greatest(COALESCE(a.p, 0), COALESCE(b.p, 0)) AS p,
+               greatest(COALESCE(a.n, 0), COALESCE(b.n, 0)) AS n
+        FROM site_a a FULL OUTER JOIN site_b b
+          ON a.user_id = b.user_id AND a.replica = b.replica
+    )
+    SELECT m.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_replicas,
+           CAST(SUM(m.p) - SUM(m.n) AS BIGINT) AS merged_value,
+           CAST(d.direct AS BIGINT) AS direct_value
+    FROM merged m
+    JOIN (SELECT user_id, SUM(CASE WHEN inc = 1 THEN 1 ELSE -1 END) AS direct
+          FROM tagged GROUP BY 1) d
+      ON d.user_id = m.user_id
+    GROUP BY 1, 4
+    """,
+    survey_ref="extension: CRDT PN-counter merge — per-(user, replica) "
+    "increment/decrement grows monotonically, replica states merge by "
+    "element-wise MAX, and the merged value provably equals the "
+    "direct count (site A's stale snapshot is absorbed); the "
+    "conflict-free replicated aggregation pattern behind multi-region "
+    "counters, expressed and value-oracled relationally",
+)
+def q254_crdt_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PN-counter semantics over the events table: clicks increment,
+    errors decrement, each replica (event_id mod 3) keeps monotone
+    (P, N) totals. Site A holds a stale snapshot (first half of event
+    ids), site B the full state; CRDT merge is element-wise MAX per
+    replica — and because A's state is a prefix of B's, the merged
+    value must equal B's direct count, which the query emits
+    side-by-side (and the oracle verifies value-for-value). This is
+    the convergence property that lets 100 TB of regional counters
+    reconcile without coordination: merge is commutative, associative,
+    idempotent — a groupBy MAX."""
+    ev = load_events(spark, sf_dir).filter(F.col("event_type").isin("click", "error"))
+    tagged = ev.select(
+        "user_id",
+        F.pmod(F.col("event_id"), F.lit(3)).alias("replica"),
+        (F.col("event_type") == "click").cast("long").alias("inc"),
+        "event_id",
+    )
+    max_id = tagged.agg(F.max("event_id").alias("mx"))
+    half = F.col("mx") - F.pmod(F.col("mx"), F.lit(2))
+
+    def site(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "replica").agg(
+            F.sum("inc").cast("long").alias("p"),
+            F.sum(1 - F.col("inc")).cast("long").alias("n"),
+        )
+
+    site_b = site(tagged).alias("b")
+    site_a = site(
+        tagged.crossJoin(F.broadcast(max_id)).filter(
+            F.col("event_id") <= (half / 2).cast("long")
+        )
+    ).alias("a")
+    merged = (
+        site_a.join(
+            site_b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.replica") == F.col("b.replica")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+            F.coalesce(F.col("a.replica"), F.col("b.replica")).alias("replica"),
+            F.greatest(F.coalesce(F.col("a.p"), F.lit(0)), F.coalesce(F.col("b.p"), F.lit(0))).alias("p"),
+            F.greatest(F.coalesce(F.col("a.n"), F.lit(0)), F.coalesce(F.col("b.n"), F.lit(0))).alias("n"),
+        )
+    )
+    direct = tagged.groupBy("user_id").agg(
+        F.sum(F.when(F.col("inc") == 1, 1).otherwise(-1)).cast("long").alias("direct")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_replicas"),
+            (F.sum("p") - F.sum("n")).cast("long").alias("merged_value"),
+        )
+        .join(direct, "user_id")
+        .select("user_id", "n_replicas", "merged_value", F.col("direct").cast("long").alias("direct_value"))
+    )
+
+
+@register(
+    "q255_data_card",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, text, lang, source,
+               len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_toks
+        FROM documents
+    ), base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_texts,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(SUM(CASE WHEN n_toks BETWEEN 50 AND 100000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_length_pass
+        FROM toks
+    ), langs AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+    )
+    SELECT 'n_documents' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
+    UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM base
+    UNION ALL SELECT 'mean_tokens_per_doc',
+        CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM base
+    UNION ALL SELECT 'exact_dup_rate',
+        1.0 - CAST(n_unique_texts AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM base
+    UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM base
+    UNION ALL SELECT 'length_pass_rate',
+        CAST(n_length_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM base
+    UNION ALL
+    SELECT 'lang_share:' || lang, CAST(c AS DOUBLE) / (SELECT CAST(n_docs AS DOUBLE) FROM base)
+    FROM langs
+    """,
+    survey_ref="extension: dataset card — the datasheet a corpus release "
+    "ships with (doc/token counts, exact-dup rate, source count, "
+    "length-filter pass rate, language shares) produced by ONE scan + "
+    "tiny unions; the summary q78's filter pipeline and q191's mixer "
+    "are tuned against",
+)
+def q255_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan dataset datasheet for the documents corpus: volume
+    (docs, tokens, mean length), integrity (exact-duplicate rate via
+    distinct-text), provenance (source count), quality (length-filter
+    pass rate), and language composition as share-per-language rows.
+    Every number a model card's 'training data' section quotes, as one
+    metric/value frame — cheap enough to regenerate per corpus
+    snapshot and diff across releases (q229's snapshot-diff applies to
+    the card itself)."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", "text", "lang", "source", F.size(text.tokens(F.col("text"))).alias("n_toks")
+    )
+    base = toks.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.countDistinct("text").cast("long").alias("n_unique_texts"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum(F.col("n_toks").between(50, 100000).cast("long"))
+        .cast("long")
+        .alias("n_length_pass"),
+    )
+    langs = toks.groupBy("lang").agg(F.count("*").cast("long").alias("c"))
+
+    def row(metric: str, value: F.Column) -> DataFrame:
+        return base.select(F.lit(metric).alias("metric"), value.alias("value"))
+
+    nd = F.col("n_docs").cast("double")
+    out = row("n_documents", nd)
+    out = out.unionByName(row("n_tokens", F.col("n_tokens").cast("double")))
+    out = out.unionByName(row("mean_tokens_per_doc", F.col("n_tokens").cast("double") / nd))
+    out = out.unionByName(
+        row("exact_dup_rate", F.lit(1.0) - F.col("n_unique_texts").cast("double") / nd)
+    )
+    out = out.unionByName(row("n_sources", F.col("n_sources").cast("double")))
+    out = out.unionByName(
+        row("length_pass_rate", F.col("n_length_pass").cast("double") / nd)
+    )
+    lang_rows = langs.crossJoin(F.broadcast(base)).select(
+        F.concat(F.lit("lang_share:"), F.col("lang")).alias("metric"),
+        (F.col("c").cast("double") / F.col("n_docs").cast("double")).alias("value"),
+    )
+    return out.unionByName(lang_rows)
+
+
+@register(
+    "q256_theil_sen",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               CAST((EXTRACT(YEAR FROM o_orderdate) - 1995) * 12
+                    + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2
+    ), slopes AS (
+        SELECT a.o_orderpriority,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope,
+               a.x AS x1, b.x AS x2
+        FROM monthly a JOIN monthly b
+          ON a.o_orderpriority = b.o_orderpriority AND a.x < b.x
+    ), ranked AS (
+        SELECT o_orderpriority, slope,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY slope, x1, x2) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        FROM slopes
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+           MAX(slope) AS median_slope_cents_per_month
+    FROM ranked WHERE rn = (cnt + 1) // 2
+    GROUP BY 1
+    """,
+    survey_ref="extension: Theil-Sen robust trend — the exact lower-"
+    "median of all pairwise monthly-revenue slopes per priority "
+    "(deterministic slope ties by the month pair); the outlier-immune "
+    "companion to q202's OLS, with the pair blowup bounded by "
+    "aggregating to months FIRST (the always-apply trick at scale)",
+)
+def q256_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust revenue trend per priority: the Theil-Sen estimator —
+    median of all pairwise slopes — immune to the outlier months that
+    drag OLS (q202). The O(n²) pair step is taken AFTER aggregating to
+    monthly points (~80 per priority), so the pair count stays in the
+    thousands regardless of raw data size: reduce-first is what makes
+    the robust estimator affordable at 100 TB. Slopes divide identical
+    integer operands in both engines; the median is the deterministic
+    lower median with (x1, x2) tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    month = (
+        (F.year(F.col("o_orderdate")) - 1995) * 12 + F.month(F.col("o_orderdate")) - 1
+    ).cast("long")
+    monthly = o.groupBy("o_orderpriority", month.alias("x")).agg(
+        F.sum((_dec("o_totalprice") * 100).cast("long")).cast("long").alias("y")
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.o_orderpriority") == F.col("b.o_orderpriority"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.o_orderpriority").alias("o_orderpriority"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = slopes.select(
+        "o_orderpriority",
+        "slope",
+        F.row_number().over(wp.orderBy("slope", "x1", "x2")).alias("rn"),
+        F.count("*").over(wp).alias("cnt"),
+    )
+    half = ((F.col("cnt") + 1) - F.pmod(F.col("cnt") + 1, F.lit(2))) / 2
+    return (
+        ranked.filter(F.col("rn") == half.cast("int"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("cnt").cast("long").alias("n_pairs"),
+            F.max("slope").alias("median_slope_cents_per_month"),
+        )
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

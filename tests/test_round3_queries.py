@@ -1117,3 +1117,66 @@ def test_holt_linear_100k_single_key(spark):
             l = l_new
         if i % 9973 == 0 or i == n - 1:
             assert out[i].level == l and out[i].trend == b
+
+
+# --- batch 21 -------------------------------------------------------------
+
+
+def test_skyline_matches_driver_brute_force(spark):
+    from stock_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    import stock_data_pipeline_spark.queries as Q
+
+    cust = load_table(spark, SF, "customer")
+    orders = load_table(spark, SF, "orders")
+    pts = {
+        r.c_custkey: (r.bal, r.spend, r.n_orders)
+        for r in (
+            cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+            .groupBy("c_custkey", (Q._dec("c_acctbal") * 100).cast("long").alias("bal"))
+            .agg(
+                F.coalesce(F.sum((Q._dec("o_totalprice") * 100).cast("long")), F.lit(0)).alias("spend"),
+                F.count("o_orderkey").alias("n_orders"),
+            )
+            .collect()
+        )
+    }
+
+    def dominates(b, a):
+        return all(x >= y for x, y in zip(b, a)) and any(x > y for x, y in zip(b, a))
+
+    brute = {
+        k for k, a in pts.items()
+        if not any(dominates(b, a) for kk, b in pts.items() if kk != k)
+    }
+    got = {r.c_custkey for r in REGISTRY["q253_skyline_3d"].fn(spark, SF).collect()}
+    assert got == brute
+
+
+def test_crdt_merge_converges_to_direct_count(spark):
+    rows = REGISTRY["q254_crdt_counter_merge"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # the CRDT invariant: merging a stale prefix with the full state
+        # yields exactly the direct count
+        assert r.merged_value == r.direct_value
+        assert 1 <= r.n_replicas <= 3
+
+
+def test_data_card_shares_sum_to_one(spark):
+    rows = {r.metric: r.value for r in REGISTRY["q255_data_card"].fn(spark, SF).collect()}
+    assert rows["n_documents"] > 0
+    lang_total = sum(v for k, v in rows.items() if k.startswith("lang_share:"))
+    assert abs(lang_total - 1.0) < 1e-12
+    assert 0.0 <= rows["exact_dup_rate"] < 1.0
+    assert 0.0 <= rows["length_pass_rate"] <= 1.0
+    assert rows["mean_tokens_per_doc"] * rows["n_documents"] == rows["n_tokens"]
+
+
+def test_theil_sen_between_min_max_slope(spark):
+    rows = REGISTRY["q256_theil_sen"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_pairs > 100  # ~80 months -> thousands of pairs
+    plan = _plan(REGISTRY["q256_theil_sen"].fn(spark, SF))
+    assert "Python" not in plan
