@@ -15520,6 +15520,382 @@ def q256_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 22 (round 3): Fellegi-Sunter linkage, storage-encoding advisor,
+# watermark planner, top-k + OTHER rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q257_fellegi_sunter",
+    oracle="""
+    WITH feats AS (
+        SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+               (CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                - ((CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) % 10000)
+                   + 10000) % 10000) // 10000 AS bal_bucket,
+               CASE WHEN c.c_acctbal >= 0 THEN 1 ELSE 0 END AS pos,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) // 5 AS ord_bucket
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3, 4, 5
+    ), pairs AS (
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               CASE WHEN a.bal_bucket = b.bal_bucket THEN 1 ELSE 0 END AS ag1,
+               CASE WHEN a.pos = b.pos THEN 1 ELSE 0 END AS ag2,
+               CASE WHEN a.ord_bucket = b.ord_bucket THEN 1 ELSE 0 END AS ag3
+        FROM feats a JOIN feats b
+          ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+    ), u AS (
+        SELECT CAST(SUM(ag1) AS DOUBLE) / COUNT(*) AS u1,
+               CAST(SUM(ag2) AS DOUBLE) / COUNT(*) AS u2,
+               CAST(SUM(ag3) AS DOUBLE) / COUNT(*) AS u3
+        FROM pairs
+    ), scored AS (
+        SELECT key_a, key_b,
+               (CASE WHEN ag1 = 1 THEN 0.95 / u1 ELSE 0.05 / (1.0 - u1) END)
+               * (CASE WHEN ag2 = 1 THEN 0.99 / u2 ELSE 0.01 / (1.0 - u2) END)
+               * (CASE WHEN ag3 = 1 THEN 0.90 / u3 ELSE 0.10 / (1.0 - u3) END) AS weight
+        FROM pairs CROSS JOIN u
+    )
+    SELECT key_a, key_b, weight, CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY weight DESC, key_a, key_b) AS rnk
+        FROM scored
+    ) WHERE rnk <= 50
+    """,
+    survey_ref="extension: Fellegi-Sunter probabilistic record linkage — "
+    "blocked candidate pairs scored by Π m/u likelihood ratios per "
+    "agreement field (u rates estimated from the blocked pairs, m as "
+    "priors), top-50 by match weight; the principled scoring layer on "
+    "top of q112's blocking and q234's lossless candidates",
+)
+def q257_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic linkage weights for customer pairs: block on
+    (nation, segment), compare three field fingerprints ($100 balance
+    bucket, balance sign, order-count bucket), and score each pair by
+    the Fellegi-Sunter likelihood ratio — m/u when a field agrees,
+    (1−m)/(1−u) when it disagrees — with u (chance agreement) measured
+    from the blocked pairs themselves and m as priors. The weight
+    products run left-to-right on identical doubles in both engines.
+    At 100 TB blocking bounds the pair space (the join key IS the
+    block), u estimation is one aggregate over a pair sample, and the
+    weights feed the q66-style clustering threshold."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (_dec("c_acctbal") * 100).cast("long")
+    bucket = ((cents - F.pmod(F.pmod(cents, 10000) + 10000, 10000)) / 10000).cast("long")
+    feats = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy(
+            "c_custkey",
+            "c_nationkey",
+            "c_mktsegment",
+            bucket.alias("bal_bucket"),
+            (F.col("c_acctbal") >= 0).cast("long").alias("pos"),
+        )
+        .agg(
+            ((F.count("o_orderkey") - F.pmod(F.count("o_orderkey"), 5)) / 5)
+            .cast("long")
+            .alias("ord_bucket")
+        )
+    )
+    a, b = feats.alias("a"), feats.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("key_a"),
+        F.col("b.c_custkey").alias("key_b"),
+        (F.col("a.bal_bucket") == F.col("b.bal_bucket")).cast("long").alias("ag1"),
+        (F.col("a.pos") == F.col("b.pos")).cast("long").alias("ag2"),
+        (F.col("a.ord_bucket") == F.col("b.ord_bucket")).cast("long").alias("ag3"),
+    )
+    u = pairs.agg(
+        (F.sum("ag1").cast("double") / F.count("*")).alias("u1"),
+        (F.sum("ag2").cast("double") / F.count("*")).alias("u2"),
+        (F.sum("ag3").cast("double") / F.count("*")).alias("u3"),
+    )
+    w1 = F.when(F.col("ag1") == 1, F.lit(0.95) / F.col("u1")).otherwise(
+        F.lit(0.05) / (F.lit(1.0) - F.col("u1"))
+    )
+    w2 = F.when(F.col("ag2") == 1, F.lit(0.99) / F.col("u2")).otherwise(
+        F.lit(0.01) / (F.lit(1.0) - F.col("u2"))
+    )
+    w3 = F.when(F.col("ag3") == 1, F.lit(0.90) / F.col("u3")).otherwise(
+        F.lit(0.10) / (F.lit(1.0) - F.col("u3"))
+    )
+    scored = pairs.crossJoin(F.broadcast(u)).select(
+        "key_a", "key_b", (w1 * w2 * w3).alias("weight")
+    )
+    wr = Window.orderBy(F.col("weight").desc(), "key_a", "key_b")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select("key_a", "key_b", "weight", "rank")
+    )
+
+
+# thresholds stop at 2^56 (k=8): 2^63 is not a valid signed-64 literal,
+# and any larger zigzag value takes 9 varint bytes in this value range
+def _varint_bytes_sql(z: str) -> str:
+    branches = " ".join(
+        f"WHEN {z} < {1 << (7 * k)} THEN {k}" for k in range(1, 9)
+    )
+    return f"CASE {branches} ELSE 9 END"
+
+
+def _varint_bytes_col(z: F.Column) -> F.Column:
+    out = F.lit(9)
+    for k in range(8, 0, -1):
+        out = F.when(z < (1 << (7 * k)), F.lit(k)).otherwise(out)
+    return out
+
+
+@register(
+    "q258_encoding_advisor",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT o_orderkey AS v,
+               lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev,
+               'o_orderkey(sorted)' AS col
+        FROM orders
+        UNION ALL
+        SELECT o_custkey,
+               lag(o_custkey) OVER (ORDER BY o_orderkey),
+               'o_custkey(by orderkey)'
+        FROM orders
+    ), gaps AS (
+        SELECT col, v,
+               CASE WHEN prev IS NULL THEN v ELSE v - prev END AS g
+        FROM ordered
+    ), zz AS (
+        SELECT col, CASE WHEN g >= 0 THEN 2 * g ELSE -2 * g - 1 END AS z FROM gaps
+    )
+    SELECT col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) * 8 AS BIGINT) AS plain_bytes,
+           CAST(SUM({_varint_bytes_sql("z")}) AS BIGINT) AS delta_varint_bytes,
+           CAST(SUM({_varint_bytes_sql("z")}) AS DOUBLE) / (COUNT(*) * 8.0)
+               AS compression_ratio
+    FROM zz GROUP BY 1
+    """,
+    survey_ref="extension: storage-encoding advisor — exact delta+zigzag+"
+    "varint byte counts for a sorted key vs an unsorted column (integer "
+    "threshold CASE for the varint length, no floats until the ratio); "
+    "quantifies WHY sort order matters for encoded size, completing the "
+    "layout family (q195/q196/q248) on the storage axis",
+)
+def q258_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Would delta encoding pay for this column? Exact encoded size
+    under delta + zigzag + LEB128 varint for (a) the orderkey in its
+    own sort order (dense ascending — gaps of 1 → one byte each, ~8×
+    smaller) vs (b) the customer key in that same file order (random
+    gaps — often BIGGER than plain 8-byte). This is the measurement a
+    writer makes when choosing parquet encodings, computed exactly:
+    zigzag maps signed gaps to unsigned, and the varint byte count is
+    a 10-branch integer threshold CASE — the same generated-table
+    technique as q224's rank. One window per layout (the sort the
+    writer would do anyway), one aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    wk = Window.orderBy("o_orderkey")
+    both = (
+        o.select(
+            F.col("o_orderkey").alias("v"),
+            F.lag("o_orderkey").over(wk).alias("prev"),
+            F.lit("o_orderkey(sorted)").alias("col"),
+        )
+        .unionByName(
+            o.select(
+                F.col("o_custkey").alias("v"),
+                F.lag("o_custkey").over(wk).alias("prev"),
+                F.lit("o_custkey(by orderkey)").alias("col"),
+            )
+        )
+    )
+    g = F.when(F.col("prev").isNull(), F.col("v")).otherwise(F.col("v") - F.col("prev"))
+    z = F.when(g >= 0, 2 * g).otherwise(-2 * g - 1)
+    return (
+        both.select("col", z.alias("z"))
+        .groupBy("col")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            (F.count("*") * 8).cast("long").alias("plain_bytes"),
+            F.sum(_varint_bytes_col(F.col("z"))).cast("long").alias("delta_varint_bytes"),
+            (
+                F.sum(_varint_bytes_col(F.col("z"))).cast("double")
+                / (F.count("*") * F.lit(8.0))
+            ).alias("compression_ratio"),
+        )
+    )
+
+
+@register(
+    "q259_watermark_planner",
+    oracle="""
+    WITH arr AS (
+        SELECT event_id, epoch_us(ts) AS t,
+               event_id // 1024 AS bucket
+        FROM events
+    ), local_mx AS (
+        SELECT event_id, t, bucket,
+               MAX(t) OVER (PARTITION BY bucket ORDER BY event_id
+                            ROWS UNBOUNDED PRECEDING) AS lmax
+        FROM arr
+    ), btot AS (
+        SELECT bucket, MAX(t) AS bmax FROM arr GROUP BY 1
+    ), boff AS (
+        SELECT bucket,
+               MAX(bmax) OVER (ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        FROM btot
+    ), lateness AS (
+        SELECT l.event_id,
+               greatest(COALESCE(b.prior_max, l.lmax), l.lmax) - l.t AS late_us
+        FROM local_mx l JOIN boff b ON l.bucket = b.bucket
+    )
+    SELECT w.wm_seconds,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_us > w.wm_seconds * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(SUM(CASE WHEN late_us > w.wm_seconds * 1000000 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS drop_rate,
+           CAST(MAX(late_us) AS BIGINT) AS max_lateness_us
+    FROM lateness CROSS JOIN (
+        SELECT CAST(unnest([300, 1800, 3600]) AS BIGINT) AS wm_seconds
+    ) w
+    GROUP BY 1
+    """,
+    survey_ref="extension: watermark planner — per-event lateness vs the "
+    "running event-time high-water mark in ARRIVAL order (event_id), "
+    "computed with the q245 two-phase distributed prefix (per-bucket "
+    "running MAX + tiny offset frame, no global window); evaluates "
+    "drop rates for candidate watermark delays — the number "
+    "streaming/events.py needs before picking withWatermark()",
+)
+def q259_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How late do events actually arrive, and what would each
+    candidate watermark drop? Lateness of an event = (max event-time
+    seen so far in arrival order) − (its own event-time); a streaming
+    job with watermark W discards events whose lateness exceeds W.
+    Arrival order is event_id; the running maximum uses the same
+    two-phase distributed-scan shape as q245 (order-preserving bucket
+    = id high bits → per-bucket running MAX → ≤N/1024-row offset
+    frame prefix-MAXed and broadcast back), so nothing materializes a
+    global single-partition window. Output: drop count/rate and max
+    lateness for watermarks of 5, 30, and 60 minutes — the exact
+    trade-off table you consult before setting withWatermark()."""
+    ev = load_events(spark, sf_dir)
+    arr = ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        ((F.col("event_id") - F.pmod(F.col("event_id"), F.lit(1024))) / 1024)
+        .cast("long")
+        .alias("bucket"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_mx = arr.select(
+        "event_id", "t", "bucket", F.max("t").over(w_in).alias("lmax")
+    )
+    btot = arr.groupBy("bucket").agg(F.max("t").alias("bmax"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select("bucket", F.max("bmax").over(w_b).alias("prior_max"))
+    lateness = local_mx.join(F.broadcast(boff), "bucket").select(
+        "event_id",
+        (
+            F.greatest(F.coalesce(F.col("prior_max"), F.col("lmax")), F.col("lmax"))
+            - F.col("t")
+        ).alias("late_us"),
+    )
+    wms = None
+    for wm in (300, 1800, 3600):
+        agg = lateness.agg(
+            F.lit(wm).cast("long").alias("wm_seconds"),
+            F.count("*").cast("long").alias("n_events"),
+            F.sum((F.col("late_us") > wm * 1_000_000).cast("long"))
+            .cast("long")
+            .alias("n_dropped"),
+            (
+                F.sum((F.col("late_us") > wm * 1_000_000).cast("long")).cast("double")
+                / F.count("*")
+            ).alias("drop_rate"),
+            F.max("late_us").cast("long").alias("max_lateness_us"),
+        )
+        wms = agg if wms is None else wms.unionByName(agg)
+    return wms
+
+
+@register(
+    "q260_topk_other_rollup",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY cents DESC, n_name) AS rnk FROM rev
+    )
+    SELECT CASE WHEN rnk <= 5 THEN n_name ELSE 'OTHER' END AS nation_label,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CASE WHEN rnk <= 5 THEN 0 ELSE 1 END AS is_other,
+           CAST(MIN(rnk) AS BIGINT) AS display_order
+    FROM ranked
+    GROUP BY 1, 4
+    """,
+    survey_ref="extension: top-k + OTHER rollup — revenue by the top-5 "
+    "nations with the long tail collapsed into one OTHER bucket "
+    "(deterministic ties, stable display order); the reporting "
+    "primitive every dashboard needs, done without a second scan "
+    "(rank once on the small aggregate, regroup)",
+)
+def q260_topk_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation, top 5 shown, the rest collapsed to OTHER —
+    the standard dashboard rollup. The fact table aggregates once to
+    nation grain (25 rows); ranking and the OTHER regroup run on that
+    tiny frame, so the 'two-pass' logic costs nothing extra at any
+    scale. Deterministic: revenue ties break on name, display order
+    is the best rank inside each label."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum((_dec("o_totalprice") * 100).cast("long")).cast("long").alias("cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    ranked = rev.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("cents").desc(), "n_name"))
+    )
+    label = F.when(F.col("rnk") <= 5, F.col("n_name")).otherwise(F.lit("OTHER"))
+    return (
+        ranked.groupBy(
+            label.alias("nation_label"),
+            F.when(F.col("rnk") <= 5, 0).otherwise(1).alias("is_other"),
+        )
+        .agg(
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.min("rnk").cast("long").alias("display_order"),
+        )
+        .select("nation_label", "revenue_cents", "n_orders", "is_other", "display_order")
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

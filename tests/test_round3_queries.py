@@ -1180,3 +1180,57 @@ def test_theil_sen_between_min_max_slope(spark):
         assert r.n_pairs > 100  # ~80 months -> thousands of pairs
     plan = _plan(REGISTRY["q256_theil_sen"].fn(spark, SF))
     assert "Python" not in plan
+
+
+# --- batch 22 -------------------------------------------------------------
+
+
+def test_fellegi_sunter_agree_all_outranks_disagree(spark):
+    rows = REGISTRY["q257_fellegi_sunter"].fn(spark, SF).collect()
+    assert len(rows) == 50
+    rows.sort(key=lambda r: r.rank)
+    ws = [r.weight for r in rows]
+    assert ws == sorted(ws, reverse=True)
+    assert all(w > 0 for w in ws)
+
+
+def test_encoding_advisor_sorted_key_compresses(spark):
+    rows = {r.col: r for r in REGISTRY["q258_encoding_advisor"].fn(spark, SF).collect()}
+    sk = rows["o_orderkey(sorted)"]
+    uk = rows["o_custkey(by orderkey)"]
+    # dense ascending keys: ~1-2 bytes per value vs 8 plain
+    assert sk.compression_ratio < 0.3
+    # random gaps must NOT show that win
+    assert uk.delta_varint_bytes > sk.delta_varint_bytes
+    assert sk.plain_bytes == sk.n_rows * 8
+
+
+def test_watermark_planner_monotone_in_delay(spark):
+    rows = sorted(
+        REGISTRY["q259_watermark_planner"].fn(spark, SF).collect(),
+        key=lambda r: r.wm_seconds,
+    )
+    assert [r.wm_seconds for r in rows] == [300, 1800, 3600]
+    drops = [r.n_dropped for r in rows]
+    assert drops == sorted(drops, reverse=True)  # longer watermark drops fewer
+    for r in rows:
+        assert 0 <= r.n_dropped <= r.n_events
+        assert r.max_lateness_us >= 0
+
+
+def test_topk_other_rollup_conservation(spark):
+    from stock_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    import stock_data_pipeline_spark.queries as Q
+
+    rows = REGISTRY["q260_topk_other_rollup"].fn(spark, SF).collect()
+    named = [r for r in rows if not r.is_other]
+    other = [r for r in rows if r.is_other]
+    assert len(named) == 5 and len(other) == 1
+    total = (
+        load_table(spark, SF, "orders")
+        .agg(F.sum((Q._dec("o_totalprice") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert sum(r.revenue_cents for r in rows) == total  # nothing lost in OTHER
+    assert min(r.revenue_cents for r in named) >= other[0].revenue_cents / 20  # top-5 are big
