@@ -12943,6 +12943,7 @@ def _mix31_col(u: F.Column) -> F.Column:
 
 @register(
     "q229_merkle_snapshot_diff",
+    headline=True,
     oracle=f"""
     WITH a AS (
         SELECT o_orderkey AS k,
@@ -14411,6 +14412,7 @@ def q244_grouped_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q245_ks_test",
+    headline=True,
     oracle="""
     WITH tagged AS (
         SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
