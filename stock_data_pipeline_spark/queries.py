@@ -12389,8 +12389,11 @@ def _hll_lc_sql(v: str) -> str:
     corrected estimate stays bit-identical cross-engine."""
     import math
 
+    # CAST('<repr>' AS DOUBLE): string→double is correctly-rounded
+    # strtod in DuckDB, while a bare 17-digit literal parses as DECIMAL
+    # and its decimal→double conversion can be off by an ulp
     branches = " ".join(
-        f"WHEN {v} = {k} THEN {repr(_HLL_M * math.log(_HLL_M / k))}"
+        f"WHEN {v} = {k} THEN CAST('{repr(_HLL_M * math.log(_HLL_M / k))}' AS DOUBLE)"
         for k in range(1, _HLL_M)
     )
     return f"CASE {branches} END"
@@ -12456,7 +12459,7 @@ def _hll_term_col(m: F.Column) -> F.Column:
         SELECT CAST({_HLL_M} AS BIGINT) AS m,
                CAST({_HLL_M} - n_hit AS BIGINT) AS n_empty,
                z_present + ({_HLL_M} - n_hit) * {1 << _HLL_WBITS} AS z_scaled,
-               {_HLL_A} / CAST(z_present + ({_HLL_M} - n_hit) * {1 << _HLL_WBITS} AS DOUBLE)
+               CAST('{_HLL_A}' AS DOUBLE) / CAST(z_present + ({_HLL_M} - n_hit) * {1 << _HLL_WBITS} AS DOUBLE)
                    AS raw_estimate,
                true_distinct
         FROM sketch CROSS JOIN truth
@@ -14334,7 +14337,7 @@ def q243_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), est AS (
         SELECT s.grp, {_HLL_M} - s.n_hit AS n_empty,
                s.z_present + ({_HLL_M} - s.n_hit) * {1 << _HLL_WBITS} AS z_scaled,
-               {_HLL_A} / CAST(s.z_present + ({_HLL_M} - s.n_hit) * {1 << _HLL_WBITS} AS DOUBLE)
+               CAST('{_HLL_A}' AS DOUBLE) / CAST(s.z_present + ({_HLL_M} - s.n_hit) * {1 << _HLL_WBITS} AS DOUBLE)
                    AS raw_estimate,
                t.true_distinct
         FROM sketch s JOIN truth t ON s.grp = t.grp
@@ -15895,6 +15898,358 @@ def q260_topk_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("rnk").cast("long").alias("display_order"),
         )
         .select("nation_label", "revenue_cents", "n_orders", "is_other", "display_order")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 23 (round 3): BM25 retrieval, Wilson intervals, embedding drift,
+# position-bias normalization
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("data", "join", "spark")
+
+
+@register(
+    "q261_bm25_retrieval",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+    ), corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE tok IN ('data', 'join', 'spark')
+        GROUP BY 1, 2
+    ), df AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), term_scores AS (
+        SELECT t.doc_id, t.tok,
+               ((CAST(c.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                / (CAST(d.df AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) * CAST(c.n_docs AS DOUBLE)
+                                  / CAST(c.total_tokens AS DOUBLE))) AS score
+        FROM tf t
+        JOIN df d ON d.tok = t.tok
+        JOIN dl l ON l.doc_id = t.doc_id
+        CROSS JOIN corpus c
+    ), summed AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(score ORDER BY tok)),
+                           (a, b) -> a + b) AS bm25
+        FROM term_scores GROUP BY 1
+    )
+    SELECT doc_id, bm25, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM summed)
+    WHERE rnk <= 10
+    """,
+    survey_ref="extension: BM25 lexical retrieval (rational-idf variant "
+    "(N−df+0.5)/(df+0.5) — log-free, same df ordering, engine-exact) "
+    "over the q189 inverted-index statistics; per-doc term scores fold "
+    "in sorted-term order so the float sum is deterministic; the "
+    "lexical half of the q227 hybrid-retrieval stack",
+)
+def q261_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the query {data, join, spark} under BM25
+    (k1=1.2, b=0.75) with the RSJ idf kept as the raw odds ratio
+    (N−df+0.5)/(df+0.5) instead of its log — monotone in df, so
+    single-term rankings are identical and the engine never calls a
+    transcendental (the cross-engine determinism rule this repo runs
+    on). Shapes that matter at scale: tf/df/dl are the q189 postings
+    statistics (one token shuffle), the corpus row broadcasts, and
+    per-doc scores fold over term-sorted lists so float addition order
+    is pinned. Swap in a log-idf and only the literal changes."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    idf = (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5) / (
+        F.col("df").cast("double") + 0.5
+    )
+    denom = F.col("tf").cast("double") + 1.2 * (
+        0.25
+        + 0.75
+        * F.col("dl").cast("double")
+        * F.col("n_docs").cast("double")
+        / F.col("total_tokens").cast("double")
+    )
+    term_scores = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id", "tok",
+            (idf * (F.col("tf").cast("double") * 2.2) / denom).alias("score"),
+        )
+    )
+    summed = term_scores.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tok", "score"))),
+            F.lit(0.0),
+            lambda a, x: a + x["score"],
+        ).alias("bm25")
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        summed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "bm25", "rank")
+    )
+
+
+@register(
+    "q262_wilson_ci",
+    oracle="""
+    WITH seg AS (
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS k
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    )
+    SELECT c_mktsegment, n, k,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+           ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+            + 3.8414588206941245e0 / (2.0 * CAST(n AS DOUBLE))
+            - 1.959963984540054e0
+              * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                     + 3.8414588206941245e0
+                       / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           / (1.0 + 3.8414588206941245e0 / CAST(n AS DOUBLE)) AS ci_lo,
+           ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+            + 3.8414588206941245e0 / (2.0 * CAST(n AS DOUBLE))
+            + 1.959963984540054e0
+              * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                     + 3.8414588206941245e0
+                       / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           / (1.0 + 3.8414588206941245e0 / CAST(n AS DOUBLE)) AS ci_hi
+    FROM seg
+    """,
+    survey_ref="extension: Wilson score interval per segment — the "
+    "proportion CI that stays inside [0,1] at small n (unlike the Wald "
+    "interval q141-style readouts would naively use); z and z² as host "
+    "literals, one sqrt on identical operands",
+)
+def q262_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval for the urgent-order rate per market
+    segment. The interval every experiment/monitoring readout should
+    quote for proportions: never escapes [0,1], behaves at small n and
+    extreme rates. Exact integer (n, k) per segment; the closed form
+    runs once per group on identical doubles — z = 1.96 and z² enter
+    as the same host literals in both engines, so the bounds are
+    bit-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long"))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    z = 1.959963984540054
+    z2 = 3.8414588206941245
+    center = p + z2 / (2.0 * nd)
+    spread = z * F.sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+    denom = 1.0 + z2 / nd
+    return seg.select(
+        "c_mktsegment", "n", "k",
+        p.alias("p_hat"),
+        ((center - spread) / denom).alias("ci_lo"),
+        ((center + spread) / denom).alias("ci_hi"),
+    )
+
+
+@register(
+    "q263_embedding_drift",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, vec_id % 2 AS half,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS v
+        FROM embeddings
+    ), dims AS (
+        SELECT label, half, i AS dim, CAST(SUM(v[i]) AS BIGINT) AS s
+        FROM q, unnest(generate_series(1, 64)) AS t(i)
+        GROUP BY 1, 2, 3
+    ), cnts AS (
+        SELECT label, half, CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY 1, 2
+    ), joined AS (
+        SELECT a.label, a.dim, a.s AS sa, b.s AS sb, ca.c AS ca, cb.c AS cb
+        FROM dims a
+        JOIN dims b ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1
+        JOIN cnts ca ON ca.label = a.label AND ca.half = 0
+        JOIN cnts cb ON cb.label = a.label AND cb.half = 1
+    )
+    SELECT label,
+           CAST(MAX(ca) AS BIGINT) AS n_old,
+           CAST(MAX(cb) AS BIGINT) AS n_new,
+           CAST(SUM((sa * cb - sb * ca) * (sa * cb - sb * ca)) AS BIGINT) AS drift_num,
+           sqrt(CAST(SUM((sa * cb - sb * ca) * (sa * cb - sb * ca)) AS DOUBLE))
+               / (CAST(MAX(ca) AS DOUBLE) * CAST(MAX(cb) AS DOUBLE)) AS centroid_l2_drift
+    FROM joined GROUP BY 1
+    """,
+    survey_ref="extension: embedding drift monitor — per-label centroid "
+    "shift between the even/odd vec_id snapshots, ‖μ_old − μ_new‖ "
+    "carried as the EXACT integer Σ(sa·cb − sb·ca)² (cross-multiplied "
+    "means, no division until the end); the model/data drift alarm an "
+    "embedding pipeline runs per refresh",
+)
+def q263_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the embedding distribution move between snapshots? Per
+    label, compare the centroid of the 'old' half (even ids) against
+    the 'new' half (odd ids): the L2 distance between mean vectors is
+    kept exact by cross-multiplying the per-dimension sums with the
+    opposite counts — Σ(sa·cb − sb·ca)² is an integer; one sqrt and
+    one division at the end. The shape is two map-side-combinable
+    aggregates (per-dim sums posexploded, per-half counts) joined on
+    the 64×labels frame — at 100 TB the data is touched once and the
+    drift math runs on kilobytes. This is the check that catches a
+    silently-retrained encoder or a population shift before ANN recall
+    degrades (q219/q250 quantify the damage after)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from stock_data_pipeline_spark.llm.clustering import _quantize
+
+    q = emb.select(
+        "vec_id", "label",
+        F.pmod(F.col("vec_id"), F.lit(2)).alias("half"),
+        _quantize(F.col("embedding"), 10).alias("v"),
+    )
+    dims = (
+        q.select("label", "half", F.posexplode("v").alias("dim0", "val"))
+        .groupBy("label", "half", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.sum("val").cast("long").alias("s"))
+    )
+    cnts = q.groupBy("label", "half").agg(F.count("*").cast("long").alias("c"))
+    a = dims.filter(F.col("half") == 0).select("label", "dim", F.col("s").alias("sa"))
+    b = dims.filter(F.col("half") == 1).select("label", "dim", F.col("s").alias("sb"))
+    ca = cnts.filter(F.col("half") == 0).select("label", F.col("c").alias("ca"))
+    cb = cnts.filter(F.col("half") == 1).select("label", F.col("c").alias("cb"))
+    joined = (
+        a.join(b, ["label", "dim"])
+        .join(F.broadcast(ca), "label")
+        .join(F.broadcast(cb), "label")
+    )
+    term = (F.col("sa") * F.col("cb") - F.col("sb") * F.col("ca"))
+    return joined.groupBy("label").agg(
+        F.max("ca").cast("long").alias("n_old"),
+        F.max("cb").cast("long").alias("n_new"),
+        F.sum(term * term).cast("long").alias("drift_num"),
+        (
+            F.sqrt(F.sum(term * term).cast("double"))
+            / (F.max("ca").cast("double") * F.max("cb").cast("double"))
+        ).alias("centroid_l2_drift"),
+    )
+
+
+@register(
+    "q264_position_bias_coec",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS pos
+        FROM events WHERE event_type IN ('click', 'view')
+    ), pos_ctr AS (
+        SELECT pos,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS ctr
+        FROM ev GROUP BY 1
+    ), per_user_pos AS (
+        SELECT user_id, pos, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clicks
+        FROM ev GROUP BY 1, 2
+    ), fused AS (
+        SELECT u.user_id,
+               CAST(SUM(u.n_clicks) AS BIGINT) AS n_clicks,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(CAST(u.n_events AS DOUBLE) * p.ctr ORDER BY u.pos)),
+                   (a, b) -> a + b) AS expected_clicks
+        FROM per_user_pos u JOIN pos_ctr p ON p.pos = u.pos
+        GROUP BY 1
+    )
+    SELECT user_id, n_clicks, expected_clicks,
+           CAST(n_clicks AS DOUBLE) / expected_clicks AS coec
+    FROM fused
+    """,
+    survey_ref="extension: position-bias normalization (clicks over "
+    "expected clicks) — per-position CTR baseline from one aggregate, "
+    "each user's expectation folded in position order so the float sum "
+    "is deterministic; the COEC metric that separates genuinely "
+    "engaging users/items from well-placed ones in ranking logs",
+)
+def q264_position_bias_coec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks-over-expected-clicks per user, using the JSON prop k
+    (mod 10) as the display position: the expected count is Σ over a
+    user's (position, events) of the GLOBAL position CTR — so a user
+    who only ever saw slot 0 isn't credited for slot 0's inherent
+    clickiness. The 10-row CTR baseline broadcasts; per-user
+    expectations fold position-sorted (pinned float order). COEC > 1
+    means more engagement than placement predicts — the standard
+    de-biasing denominator for ranking-log metrics."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id", "event_type",
+            F.pmod(
+                F.get_json_object("props", "$.k").cast("long"), F.lit(10).cast("long")
+            ).alias("pos"),
+        )
+    )
+    pos_ctr = ev.groupBy("pos").agg(
+        (
+            F.sum((F.col("event_type") == "click").cast("long")).cast("double")
+            / F.count("*")
+        ).alias("ctr")
+    )
+    per_user_pos = ev.groupBy("user_id", "pos").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum((F.col("event_type") == "click").cast("long")).cast("long").alias("n_clicks"),
+    )
+    fused = (
+        per_user_pos.join(F.broadcast(pos_ctr), "pos")
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_clicks").cast("long").alias("n_clicks"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            (F.col("n_events").cast("double") * F.col("ctr")).alias("e"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["e"],
+            ).alias("expected_clicks"),
+        )
+    )
+    return fused.select(
+        "user_id", "n_clicks", "expected_clicks",
+        (F.col("n_clicks").cast("double") / F.col("expected_clicks")).alias("coec"),
     )
 
 

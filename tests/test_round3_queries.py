@@ -1234,3 +1234,47 @@ def test_topk_other_rollup_conservation(spark):
     )
     assert sum(r.revenue_cents for r in rows) == total  # nothing lost in OTHER
     assert min(r.revenue_cents for r in named) >= other[0].revenue_cents / 20  # top-5 are big
+
+
+# --- batch 23 -------------------------------------------------------------
+
+
+def test_bm25_favors_term_dense_docs(spark):
+    rows = REGISTRY["q261_bm25_retrieval"].fn(spark, SF).collect()
+    assert len(rows) == 10
+    rows.sort(key=lambda r: r.rank)
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_wilson_ci_brackets_p_hat_and_stays_in_unit(spark):
+    rows = REGISTRY["q262_wilson_ci"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.ci_lo <= r.p_hat <= r.ci_hi <= 1.0
+        assert r.k <= r.n
+
+
+def test_embedding_drift_zero_for_identical_halves(spark):
+    # real halves differ, but the metric must be finite, nonneg, and
+    # the exact integer numerator must reproduce the double
+    rows = REGISTRY["q263_embedding_drift"].fn(spark, SF).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert r.drift_num >= 0
+        expected = math.sqrt(float(r.drift_num)) / (r.n_old * r.n_new)
+        assert r.centroid_l2_drift == expected
+
+
+def test_coec_mass_balances(spark):
+    rows = REGISTRY["q264_position_bias_coec"].fn(spark, SF).collect()
+    assert rows
+    total_clicks = sum(r.n_clicks for r in rows)
+    total_expected = sum(r.expected_clicks for r in rows)
+    # expectations are calibrated to the global CTRs, so totals agree
+    assert abs(total_expected - total_clicks) / total_clicks < 1e-9
+    for r in rows:
+        assert r.expected_clicks > 0
