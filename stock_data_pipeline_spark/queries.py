@@ -16253,6 +16253,288 @@ def q264_position_bias_coec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 24 (round 3): density clustering, learned indexes, forecast
+# backtesting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q265_grid_dbscan",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+        SELECT c_custkey AS k,
+               ({_mix31_sql("c_custkey")}) % 4096 AS x,
+               ({_mix31_sql("c_custkey + 1000003")}) % 4096 AS y
+        FROM customer
+    ), cells AS (
+        SELECT k, x, y, x // 64 AS cx, y // 64 AS cy FROM pts
+    ), probe AS (
+        SELECT c.k, c.x, c.y, c.cx + dx.d AS ncx, c.cy + dy.d AS ncy
+        FROM cells c
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    ), pairs AS (
+        SELECT a.k AS u, b.k AS v
+        FROM probe a JOIN cells b ON a.ncx = b.cx AND a.ncy = b.cy
+        WHERE a.k < b.k AND abs(a.x - b.x) <= 64 AND abs(a.y - b.y) <= 64
+    ), edges AS (
+        SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ), reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), labels AS (
+        SELECT u AS k, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM labels GROUP BY 1 HAVING COUNT(*) >= 3
+    """,
+    survey_ref="extension: grid-based density clustering (DBSCAN-style) "
+    "— q232's cell-bucketed radius join generates the neighborhood "
+    "edges, connected components (q66's checkpointed propagate+jump "
+    "driver) labels the density-connected groups, clusters under "
+    "minPts=3 drop as noise; spatial clustering as a composition of "
+    "two already-proven distributed primitives",
+)
+def q265_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clusters in the synthetic customer plane: points within
+    Chebyshev distance 64 are neighbors (the q232 cell join — shuffle
+    ∝ 9N, never N²), neighborhoods chain into clusters via connected
+    components (pointer-jumping with disk checkpoints — the q66
+    driver), and groups smaller than minPts=3 are discarded as noise.
+    This IS simplified DBSCAN (ε-ball graph + connectivity), and at
+    100 TB each half scales independently: the edge generator by cell
+    partitioning, the labeling by O(log diameter) rounds."""
+    from stock_data_pipeline_spark.llm.dedup import connected_components
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.pmod(_mix31_col(F.col("c_custkey")), F.lit(4096).cast("long")).alias("x"),
+        F.pmod(_mix31_col(F.col("c_custkey") + 1000003), F.lit(4096).cast("long")).alias("y"),
+    )
+    cells = pts.select(
+        "k", "x", "y",
+        ((F.col("x") - F.pmod(F.col("x"), F.lit(64))) / 64).cast("long").alias("cx"),
+        ((F.col("y") - F.pmod(F.col("y"), F.lit(64))) / 64).cast("long").alias("cy"),
+    )
+    offsets = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    probe = cells.select("k", "x", "y", "cx", "cy", F.explode(offsets).alias("o")).select(
+        "k", "x", "y",
+        (F.col("cx") + F.col("o.dx")).alias("ncx"),
+        (F.col("cy") + F.col("o.dy")).alias("ncy"),
+    ).alias("a")
+    b = cells.alias("b")
+    pairs = (
+        probe.join(b, (F.col("a.ncx") == F.col("b.cx")) & (F.col("a.ncy") == F.col("b.cy")))
+        .filter(
+            (F.col("a.k") < F.col("b.k"))
+            & (F.abs(F.col("a.x") - F.col("b.x")) <= 64)
+            & (F.abs(F.col("a.y") - F.col("b.y")) <= 64)
+        )
+        .select(F.col("a.k").alias("id_a"), F.col("b.k").alias("id_b"))
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_points"))
+        .filter(F.col("n_points") >= 3)
+    )
+
+
+@register(
+    "q266_learned_index",
+    oracle="""
+    WITH pos AS (
+        SELECT o_orderkey AS k,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+        FROM orders
+    ), moms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS sx,
+               CAST(SUM(pos) AS BIGINT) AS sy,
+               CAST(SUM(CAST(k * pos AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(k * k AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+        FROM pos
+    ), fit AS (
+        SELECT n,
+               (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                   AS slope,
+               sx, sy
+        FROM moms
+    ), fit2 AS (
+        SELECT n, slope,
+               (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                - slope * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / CAST(n AS DOUBLE)
+                   AS intercept
+        FROM fit
+    )
+    SELECT f.n, f.slope, f.intercept,
+           MAX(CAST(p.pos AS DOUBLE) - (f.slope * CAST(p.k AS DOUBLE) + f.intercept))
+               AS max_err_above,
+           MIN(CAST(p.pos AS DOUBLE) - (f.slope * CAST(p.k AS DOUBLE) + f.intercept))
+               AS max_err_below
+    FROM pos p CROSS JOIN fit2 f
+    GROUP BY 1, 2, 3
+    """,
+    survey_ref="extension: learned-index error bounds — OLS fit of "
+    "position~key from exact decimal moments (q202's machinery), then "
+    "the signed max prediction errors that define the RMI search "
+    "window; the measurement behind learned range indexes "
+    "(position rank via the q245 two-phase scan at scale)",
+)
+def q266_learned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the key→position line a learned index would use and report
+    its error envelope: slope/intercept from exact integer/decimal
+    moments, and the (max above, max below) signed residuals over all
+    keys — the window a lookup must binary-search after the model
+    predicts. Order-free: moments are commutative sums, residual
+    extremes are MIN/MAX. The global rank uses one sort here; at scale
+    it becomes the q245 bucketed two-phase rank, and the envelope
+    answers directly whether a 2-parameter model can replace a B-tree
+    level (small max_err) or the key space needs segmentation."""
+    o = load_table(spark, sf_dir, "orders")
+    # position via the order-preserving bucket two-phase rank (q245):
+    # local row_number per key-range bucket + broadcast bucket offsets
+    bucket = ((F.col("o_orderkey") - F.pmod(F.col("o_orderkey"), F.lit(4096))) / 4096).cast(
+        "long"
+    )
+    keyed = o.select(F.col("o_orderkey").alias("k"), bucket.alias("bucket"))
+    w_in = Window.partitionBy("bucket").orderBy("k")
+    local = keyed.select("k", "bucket", (F.row_number().over(w_in) - 1).alias("lpos"))
+    btot = keyed.groupBy("bucket").agg(F.count("*").alias("bn"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "bucket", F.coalesce(F.sum("bn").over(w_b), F.lit(0)).alias("off")
+    )
+    pos = local.join(F.broadcast(boff), "bucket").select(
+        "k", (F.col("off") + F.col("lpos")).alias("pos")
+    )
+    moms = pos.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sx"),
+        F.sum("pos").cast("long").alias("sy"),
+        F.sum((F.col("k") * F.col("pos")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum((F.col("k") * F.col("k")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    fit = moms.select(
+        "n",
+        slope.alias("slope"),
+        "sx",
+        "sy",
+    )
+    fit2 = fit.select(
+        "n",
+        "slope",
+        (
+            (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+    )
+    resid = F.col("pos").cast("double") - (
+        F.col("slope") * F.col("k").cast("double") + F.col("intercept")
+    )
+    return (
+        pos.crossJoin(F.broadcast(fit2))
+        .groupBy("n", "slope", "intercept")
+        .agg(
+            F.max(resid).alias("max_err_above"),
+            F.min(resid).alias("max_err_below"),
+        )
+    )
+
+
+@register(
+    "q267_forecast_backtest",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT o_custkey, o_orderkey, o_orderpriority,
+               CAST(o_totalprice AS DOUBLE) AS p,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ), rec AS (
+        SELECT o_custkey, o_orderkey, o_orderpriority, rn, cents,
+               p AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.o_custkey, s.o_orderkey, s.o_orderpriority, s.rn, s.cents,
+               0.5 * s.p + 0.5 * (r.l + r.b),
+               0.5 * ((0.5 * s.p + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+        FROM rec r JOIN seq s ON s.o_custkey = r.o_custkey AND s.rn = r.rn + 1
+    ), evals AS (
+        SELECT o_orderpriority,
+               cents,
+               lag(cents) OVER w AS naive_cents,
+               CAST(round(lag(l + b) OVER w * 100.0) AS BIGINT) AS holt_cents
+        FROM rec
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY rn)
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_evaluated,
+           CAST(SUM(abs(holt_cents - cents)) AS BIGINT) AS holt_abs_err_cents,
+           CAST(SUM(abs(naive_cents - cents)) AS BIGINT) AS naive_abs_err_cents,
+           CAST(SUM(abs(holt_cents - cents)) AS DOUBLE)
+               / CAST(SUM(abs(naive_cents - cents)) AS DOUBLE) AS mase
+    FROM evals WHERE naive_cents IS NOT NULL AND holt_cents IS NOT NULL
+    GROUP BY 1
+    """,
+    survey_ref="extension: forecast backtest (MASE) — Holt one-step "
+    "forecasts (q238's recurrence) vs the naive last-value baseline, "
+    "errors rounded to integer cents so the absolute-error sums are "
+    "exact and order-free; the accuracy gate that decides whether the "
+    "fancier model earns its keep",
+)
+def q267_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the Holt trend model (q238) actually better than 'predict
+    yesterday'? One-step-ahead backtest per order priority: each
+    order's forecast is the PREVIOUS row's level+trend (no leakage),
+    the baseline is the previous actual, and MASE = Σ|holt err| /
+    Σ|naive err| with both error sums in exact integer cents (the
+    double forecast rounds to cents once, then everything is
+    order-independent integer arithmetic — a float error sum would
+    depend on partition order). MASE < 1 ⟹ the model beats naive."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority",
+        _d("o_orderdate").alias("order_date"), "o_totalprice",
+        (_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    holt = indicators.holt_linear(
+        o, ["o_custkey"], ["order_date", "o_orderkey"], "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("order_date", "o_orderkey")
+    evals = holt.select(
+        "o_orderpriority",
+        "cents",
+        F.lag("cents").over(w).alias("naive_cents"),
+        F.round(F.lag(F.col("level") + F.col("trend")).over(w) * 100.0)
+        .cast("long")
+        .alias("holt_cents"),
+    ).filter(F.col("naive_cents").isNotNull() & F.col("holt_cents").isNotNull())
+    return evals.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_evaluated"),
+        F.sum(F.abs(F.col("holt_cents") - F.col("cents"))).cast("long").alias("holt_abs_err_cents"),
+        F.sum(F.abs(F.col("naive_cents") - F.col("cents"))).cast("long").alias("naive_abs_err_cents"),
+        (
+            F.sum(F.abs(F.col("holt_cents") - F.col("cents"))).cast("double")
+            / F.sum(F.abs(F.col("naive_cents") - F.col("cents"))).cast("double")
+        ).alias("mase"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -1278,3 +1278,67 @@ def test_coec_mass_balances(spark):
     assert abs(total_expected - total_clicks) / total_clicks < 1e-9
     for r in rows:
         assert r.expected_clicks > 0
+
+
+# --- batch 24 -------------------------------------------------------------
+
+
+def test_grid_dbscan_matches_driver_union_find(spark):
+    from collections import defaultdict
+
+    from stock_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    from stock_data_pipeline_spark.queries import _mix31_col
+
+    pts = {
+        r.k: (r.x, r.y)
+        for r in load_table(spark, SF, "customer")
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.pmod(_mix31_col(F.col("c_custkey")), F.lit(4096).cast("long")).alias("x"),
+            F.pmod(_mix31_col(F.col("c_custkey") + 1000003), F.lit(4096).cast("long")).alias("y"),
+        )
+        .collect()
+    }
+    parent = {k: k for k in pts}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    keys = sorted(pts)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            if max(abs(pts[a][0] - pts[b][0]), abs(pts[a][1] - pts[b][1])) <= 64:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    clusters = defaultdict(int)
+    for k in keys:
+        clusters[find(k)] += 1
+    # singletons have no edges, so they never appear in the CC output;
+    # the query keeps components of size >= 3
+    expect = {cid: n for cid, n in clusters.items() if n >= 3}
+    got = {r.cluster_id: r.n_points for r in REGISTRY["q265_grid_dbscan"].fn(spark, SF).collect()}
+    assert got == expect
+
+
+def test_learned_index_envelope_bounds_all_keys(spark):
+    r = REGISTRY["q266_learned_index"].fn(spark, SF).collect()[0]
+    assert r.n > 0
+    assert r.slope > 0  # positions increase with key
+    assert r.max_err_above >= 0 >= r.max_err_below
+    # OLS residuals sum to ~0, so the envelope straddles zero and is
+    # far narrower than the table (else the model is useless)
+    assert (r.max_err_above - r.max_err_below) < r.n / 2
+
+
+def test_forecast_backtest_fields_consistent(spark):
+    rows = REGISTRY["q267_forecast_backtest"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_evaluated > 0
+        assert r.holt_abs_err_cents >= 0 and r.naive_abs_err_cents > 0
+        assert abs(r.mase - r.holt_abs_err_cents / r.naive_abs_err_cents) < 1e-12
