@@ -15221,13 +15221,22 @@ def q252_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q253_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Pareto-optimal customers across three maximize-criteria: no
     other customer is ≥ on all of (balance, spend, order count) and
-    > on one. Expressed as a dominance LEFT ANTI self-join — exact and
-    deterministic. The naive join is quadratic in candidates; at scale
-    the standard trick applies unchanged: pre-prune with a coarse
-    grid's corner maxima (a q232-style cell join) so only cell-local
-    dominance pairs materialize — the anti-join operator here is that
-    refine step. Skylines are small (dominance is transitive), so the
-    output side never blows up."""
+    > on one. Computed with the EXACT two-phase divide-and-conquer:
+
+    1. partition points into coarse (bal, spend) grid cells and take
+       each cell's LOCAL skyline (dominance anti-join within the cell —
+       quadratic only in the cell's population);
+    2. take the skyline of the union of local skylines.
+
+    Correct because dominance is transitive: any globally dominated
+    point is dominated by some globally non-dominated point, and every
+    globally non-dominated point survives its cell's local pass — so
+    phase 2's candidate set contains the answer and comparing
+    candidates against candidates suffices. At 100 TB phase 1 is
+    cell-partitioned (embarrassingly parallel, the q232 bucketing),
+    and phase 2 runs on the tiny candidate union — the full table
+    never self-joins. Same output as the naive N² anti-join (the
+    oracle computes exactly that, so the match proves equivalence)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     pts = (
@@ -15240,19 +15249,31 @@ def q253_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").cast("long").alias("n_orders"),
         )
     )
-    a, b = pts.alias("a"), pts.alias("b")
-    dominated = (
-        (F.col("b.bal") >= F.col("a.bal"))
-        & (F.col("b.spend") >= F.col("a.spend"))
-        & (F.col("b.n_orders") >= F.col("a.n_orders"))
-        & (
-            (F.col("b.bal") > F.col("a.bal"))
-            | (F.col("b.spend") > F.col("a.spend"))
-            | (F.col("b.n_orders") > F.col("a.n_orders"))
-        )
+    cell = (
+        ((F.col("bal") - F.pmod(F.col("bal"), F.lit(100000))) / 100000).cast("long") * 1000
+        + ((F.col("spend") - F.pmod(F.col("spend"), F.lit(10000000))) / 10000000).cast("long")
     )
-    return a.join(b, dominated, "left_anti").select(
-        F.col("c_custkey"), F.col("bal"), F.col("spend"), F.col("n_orders")
+    celled = pts.withColumn("cell", cell)
+
+    def dominated(a: str, b: str) -> F.Column:
+        return (
+            (F.col(f"{b}.bal") >= F.col(f"{a}.bal"))
+            & (F.col(f"{b}.spend") >= F.col(f"{a}.spend"))
+            & (F.col(f"{b}.n_orders") >= F.col(f"{a}.n_orders"))
+            & (
+                (F.col(f"{b}.bal") > F.col(f"{a}.bal"))
+                | (F.col(f"{b}.spend") > F.col(f"{a}.spend"))
+                | (F.col(f"{b}.n_orders") > F.col(f"{a}.n_orders"))
+            )
+        )
+
+    la, lb = celled.alias("a"), celled.alias("b")
+    local_sky = la.join(
+        lb, (F.col("a.cell") == F.col("b.cell")) & dominated("a", "b"), "left_anti"
+    ).select("c_custkey", "bal", "spend", "n_orders")
+    ca, cb = local_sky.alias("a"), local_sky.alias("b")
+    return ca.join(cb, dominated("a", "b"), "left_anti").select(
+        "c_custkey", "bal", "spend", "n_orders"
     )
 
 
@@ -16532,6 +16553,172 @@ def q267_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs(F.col("holt_cents") - F.col("cents"))).cast("double")
             / F.sum(F.abs(F.col("naive_cents") - F.col("cents"))).cast("double")
         ).alias("mase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 25 (round 3): split-leakage audit, late-interaction retrieval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q268_split_leakage",
+    oracle=f"""
+    WITH truth AS ({REGISTRY["q25_jaccard_pairs"].oracle}
+    ), splits AS (
+        SELECT doc_id,
+               CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), labeled AS (
+        SELECT t.id_a, t.id_b, sa.split AS split_a, sb.split AS split_b
+        FROM truth t
+        JOIN splits sa ON sa.doc_id = t.id_a
+        JOIN splits sb ON sb.doc_id = t.id_b
+    )
+    SELECT CASE WHEN split_a <= split_b THEN split_a ELSE split_b END AS split_lo,
+           CASE WHEN split_a <= split_b THEN split_b ELSE split_a END AS split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CASE WHEN split_a = split_b THEN 0 ELSE 1 END AS is_leak
+    FROM labeled
+    GROUP BY 1, 2, 4
+    """,
+    survey_ref="extension: train/eval split-leakage audit — q25's exact "
+    "near-dup pairs joined against q139's hash-stable split assignment; "
+    "any pair straddling train and val/test is evaluation contamination "
+    "(the held-out doc has a near-copy in training); the hygiene gate "
+    "run BEFORE publishing benchmark numbers",
+)
+def q268_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the 80/10/10 split leak near-duplicates across the
+    train/eval boundary? Every exact near-dup pair (q25, Jaccard ≥0.8)
+    is labeled with its endpoints' splits; cross-split pairs are
+    leaks — a held-out document whose near-copy was trained on
+    inflates eval scores. Output: pair counts per (split, split) cell
+    with the leak flag. The near-dup sets come from the postings
+    pipeline (shuffle ∝ postings); the split label is a row-local
+    hash, so the audit adds two broadcast-ish joins on the small pair
+    set. Dedup-before-split (q49) is the fix this query verifies."""
+    truth = REGISTRY["q25_jaccard_pairs"].fn(spark, sf_dir).select("id_a", "id_b")
+    doc = load_table(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    splits = doc.select(
+        "doc_id",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
+    )
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    labeled = truth.join(sa, "id_a").join(sb, "id_b")
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (
+        labeled.groupBy(
+            lo.alias("split_lo"),
+            hi.alias("split_hi"),
+            F.when(F.col("split_a") == F.col("split_b"), 0).otherwise(1).alias("is_leak"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select("split_lo", "split_hi", "n_pairs", "is_leak")
+    )
+
+
+@register(
+    "q269_maxsim_late_interaction",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS v
+        FROM embeddings
+    ), toks AS (
+        SELECT vec_id, s AS tok_idx, v[(s * 16 + 1):(s * 16 + 16)] AS tv
+        FROM vecs, unnest([0, 1, 2, 3]) AS t(s)
+    ), q AS (
+        SELECT vec_id AS query_id, tok_idx AS q_tok, tv AS qv
+        FROM toks WHERE vec_id % 97 = 0
+    ), c AS (
+        SELECT vec_id, tok_idx AS c_tok, tv AS cv
+        FROM toks WHERE vec_id % 97 <> 0
+    ), dots AS (
+        SELECT q.query_id, c.vec_id, q.q_tok,
+               MAX(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, 16), i -> qv[i] * cv[i])),
+                   (a, b) -> a + b)) AS max_dot
+        FROM q CROSS JOIN c
+        GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT query_id, vec_id, CAST(SUM(max_dot) AS BIGINT) AS maxsim
+        FROM dots GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, maxsim, CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY maxsim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """,
+    survey_ref="extension: late-interaction (ColBERT-style MaxSim) "
+    "retrieval — each vector treated as 4 16-dim token vectors; score = "
+    "Σ over query tokens of MAX over doc tokens of the exact integer "
+    "dot product; the multi-vector scoring family next to q28's "
+    "single-vector cosine and q261's lexical BM25",
+)
+def q269_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late interaction over multi-vector documents: the
+    64-dim embedding is treated as 4 token vectors of 16 dims; a
+    query-document score sums, over the query's tokens, the best
+    (MAX) integer dot product against any document token. MaxSim
+    keeps per-token granularity that single-vector pooling (q28)
+    destroys — a document matching all four query aspects beats one
+    that nails a single aspect. Everything is exact integer
+    arithmetic with deterministic ties. Scale shape: the token
+    expansion is a constant 4× explode; scoring shares q28's
+    broadcast-queries × never-shuffled-corpus form, and the per-
+    (query, doc, q_tok) MAX then per-(query, doc) SUM partial-
+    aggregate map-side before any exchange. The production path puts
+    an ANN first stage (q53/q198) in front and MaxSim re-scores the
+    shortlist."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from stock_data_pipeline_spark.llm.clustering import _quantize
+
+    vecs = emb.select("vec_id", _quantize(F.col("embedding"), 10).alias("v"))
+    toks = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("tok_idx"),
+                    F.slice("v", s * 16 + 1, 16).alias("tv"),
+                )
+                for s in range(4)
+            ])
+        ).alias("t"),
+    ).select("vec_id", "t.tok_idx", "t.tv")
+    q = toks.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("tok_idx").alias("q_tok"), F.col("tv").alias("qv")
+    )
+    c = toks.filter(F.col("vec_id") % 97 != 0).select(
+        "vec_id", F.col("tok_idx").alias("c_tok"), F.col("tv").alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    dots = (
+        q.crossJoin(c)
+        .select("query_id", "vec_id", "q_tok", dot.alias("d"))
+        .groupBy("query_id", "vec_id", "q_tok")
+        .agg(F.max("d").alias("max_dot"))
+    )
+    scored = dots.groupBy("query_id", "vec_id").agg(
+        F.sum("max_dot").cast("long").alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("maxsim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "maxsim", "rank")
     )
 
 

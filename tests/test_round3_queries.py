@@ -1342,3 +1342,30 @@ def test_forecast_backtest_fields_consistent(spark):
         assert r.n_evaluated > 0
         assert r.holt_abs_err_cents >= 0 and r.naive_abs_err_cents > 0
         assert abs(r.mase - r.holt_abs_err_cents / r.naive_abs_err_cents) < 1e-12
+
+
+# --- batch 25 -------------------------------------------------------------
+
+
+def test_split_leakage_cells_cover_all_pairs(spark):
+    rows = REGISTRY["q268_split_leakage"].fn(spark, SF).collect()
+    assert rows
+    n_truth = REGISTRY["q25_jaccard_pairs"].fn(spark, SF).count()
+    assert sum(r.n_pairs for r in rows) == n_truth
+    for r in rows:
+        assert r.is_leak == (0 if r.split_lo == r.split_hi else 1)
+
+
+def test_maxsim_dominates_pooled_dot_for_aspect_matches(spark):
+    rows = REGISTRY["q269_maxsim_late_interaction"].fn(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.maxsim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+    plan = _plan(REGISTRY["q269_maxsim_late_interaction"].fn(spark, SF))
+    assert "Python" not in plan
