@@ -16722,6 +16722,254 @@ def q269_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 26 (round 3): graph statistics, streaming-state sizing, temporal
+# dimension audits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q270_degree_assortativity",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), deg AS (
+        SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1
+    ), pairs AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ), moms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        FROM pairs
+    )
+    SELECT n, sx, sy,
+           (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+               AS assortativity
+    FROM moms
+    """,
+    survey_ref="extension: degree assortativity — Pearson correlation of "
+    "endpoint degrees over the directed co-purchase edge set, exact "
+    "integer/decimal moments with two sqrts at the end; the hub-mixing "
+    "statistic that tells whether q197-style skew compounds (hubs "
+    "linking to hubs) or dissipates across a join of the graph",
+)
+def q270_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do high-degree parts co-purchase with other high-degree parts?
+    Degree assortativity = Pearson r over (deg(u), deg(v)) for every
+    directed edge. Positive: hubs cluster (a skew-compounding topology
+    — a q197 salting plan should expect hot×hot joins); negative:
+    hubs connect to the periphery. One degree aggregate joined back to
+    both endpoints, then the q202/q266 exact-moment machinery — five
+    commutative sums and a closed form on identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").cast("long").alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
+    pairs = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v").select("x", "y")
+    moms = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(
+        nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return moms.select("n", "sx", "sy", (num / den).alias("assortativity"))
+
+
+@register(
+    "q271_streaming_state_estimator",
+    oracle="""
+    WITH bounds AS (
+        SELECT MAX(epoch_us(ts)) AS mx FROM events
+    ), cfg AS (
+        SELECT * FROM (VALUES
+            ('tumbling_1h_wm10m', 4200000000),
+            ('session_30m_wm10m', 2400000000),
+            ('dedup_ttl_1h_wm10m', 4200000000)
+        ) v(operator, horizon_us)
+    )
+    SELECT c.operator,
+           CAST(COUNT(*) AS BIGINT) AS state_rows,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS state_keys,
+           CAST(COUNT(*) * 48 AS BIGINT) AS est_state_bytes
+    FROM cfg c
+    CROSS JOIN bounds b
+    JOIN events e ON epoch_us(e.ts) > b.mx - c.horizon_us
+    GROUP BY 1
+    """,
+    survey_ref="extension: streaming state sizing — rows/keys a "
+    "streaming job would hold live under each operator's window + "
+    "watermark horizon (tumbling, session, dedup-TTL); the capacity "
+    "number that sizes executor memory and RocksDB state stores, "
+    "computed from the same batch data the q259 watermark planner "
+    "reads",
+)
+def q271_streaming_state_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much state would each streaming operator hold right now?
+    An operator retains events newer than (max event time − window −
+    watermark): tumbling 1 h + 10 min watermark keeps a 70-minute
+    horizon, the 30-minute sessionizer keeps 40, a 1 h dedup TTL keeps
+    70. One max-timestamp row broadcasts; each config is a filtered
+    count — rows, distinct keys, and a width-estimate in bytes. This
+    is the planning companion to q259: that query picks the watermark,
+    this one prices it in executor memory."""
+    ev = load_events(spark, sf_dir)
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(F.max(t).alias("mx"))
+    out = None
+    for op, horizon in (
+        ("tumbling_1h_wm10m", 4_200_000_000),
+        ("session_30m_wm10m", 2_400_000_000),
+        ("dedup_ttl_1h_wm10m", 4_200_000_000),
+    ):
+        agg = (
+            ev.crossJoin(F.broadcast(bounds))
+            .filter(t > F.col("mx") - F.lit(horizon))
+            .agg(
+                F.lit(op).alias("operator"),
+                F.count("*").cast("long").alias("state_rows"),
+                F.countDistinct("user_id").cast("long").alias("state_keys"),
+                (F.count("*") * 48).cast("long").alias("est_state_bytes"),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+@register(
+    "q272_scd2_interval_audit",
+    oracle="""
+    WITH feed AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ), scd AS (
+        SELECT o_custkey,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_n,
+               CAST(o_orderdate AS DATE) AS valid_from,
+               CAST(LEAD(o_orderdate) OVER w AS DATE) AS valid_to
+        FROM (SELECT * FROM feed WHERE prev IS NULL OR prev <> o_orderpriority)
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), variants AS (
+        SELECT 'clean' AS variant, o_custkey, version_n, valid_from, valid_to FROM scd
+        UNION ALL
+        SELECT 'corrupted', o_custkey, version_n,
+               valid_from,
+               CASE WHEN version_n % 11 = 3 THEN NULL
+                    WHEN version_n % 5 = 0 AND valid_to IS NOT NULL
+                    THEN valid_to + 5 ELSE valid_to END
+        FROM scd WHERE version_n % 7 <> 0
+    ), seq AS (
+        SELECT variant, o_custkey, version_n, valid_from, valid_to,
+               LEAD(valid_from) OVER (PARTITION BY variant, o_custkey
+                                      ORDER BY valid_from, version_n) AS next_from
+        FROM variants
+    )
+    SELECT variant,
+           CAST(SUM(CASE WHEN next_from IS NOT NULL AND valid_to IS NOT NULL
+                          AND valid_to > next_from THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlaps,
+           CAST(SUM(CASE WHEN next_from IS NOT NULL AND valid_to IS NOT NULL
+                          AND valid_to < next_from THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gaps,
+           CAST(SUM(CASE WHEN next_from IS NOT NULL AND valid_to IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_open_noncurrent,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM seq GROUP BY 1
+    """,
+    survey_ref="extension: SCD2 interval-integrity audit — overlaps, "
+    "gaps, and open-but-not-current versions detected with one lead() "
+    "window per key; run against the clean q88 build (all zeros) AND a "
+    "deterministically corrupted variant (dropped + extended versions) "
+    "proving every violation class fires; the temporal-dimension "
+    "data-quality gate q149's as-of lookups silently depend on",
+)
+def q272_scd2_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the SCD2 dimension temporally sound? For each key's version
+    chain (ordered by valid_from): valid_to > next valid_from is an
+    OVERLAP (two truths at once — as-of lookups become ambiguous),
+    valid_to < next valid_from is a GAP (no truth — lookups silently
+    miss), and a NULL valid_to before another version is an
+    open-but-superseded record. The clean q88 build must audit to all
+    zeros; a deterministically corrupted variant (every 7th version
+    dropped, every 5th close date pushed 5 days, every 11th≡3 close
+    date nulled) must light up all
+    counters — both variants share one window pass per key."""
+    o = load_table(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    feed = o.select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey",
+        F.lag("o_orderpriority").over(wc).alias("prev"),
+    )
+    changes = feed.filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+    scd = changes.select(
+        "o_custkey",
+        F.row_number().over(wc).cast("long").alias("version_n"),
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.lead(F.col("o_orderdate").cast("date")).over(wc).alias("valid_to"),
+    )
+    clean = scd.withColumn("variant", F.lit("clean"))
+    corrupted = (
+        scd.filter(F.pmod(F.col("version_n"), F.lit(7)) != 0)
+        .withColumn(
+            "valid_to",
+            F.when(F.pmod(F.col("version_n"), F.lit(11)) == 3, F.lit(None).cast("date"))
+            .when(
+                (F.pmod(F.col("version_n"), F.lit(5)) == 0) & F.col("valid_to").isNotNull(),
+                F.date_add(F.col("valid_to"), 5),
+            )
+            .otherwise(F.col("valid_to")),
+        )
+        .withColumn("variant", F.lit("corrupted"))
+    )
+    variants = clean.unionByName(corrupted)
+    wv = Window.partitionBy("variant", "o_custkey").orderBy("valid_from", "version_n")
+    seq = variants.withColumn("next_from", F.lead("valid_from").over(wv))
+    has_next = F.col("next_from").isNotNull()
+    closed = F.col("valid_to").isNotNull()
+    return seq.groupBy("variant").agg(
+        F.sum((has_next & closed & (F.col("valid_to") > F.col("next_from"))).cast("long"))
+        .cast("long")
+        .alias("n_overlaps"),
+        F.sum((has_next & closed & (F.col("valid_to") < F.col("next_from"))).cast("long"))
+        .cast("long")
+        .alias("n_gaps"),
+        F.sum((has_next & ~closed).cast("long")).cast("long").alias("n_open_noncurrent"),
+        F.count("*").cast("long").alias("n_intervals"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -1369,3 +1369,36 @@ def test_maxsim_dominates_pooled_dot_for_aspect_matches(spark):
         assert sims == sorted(sims, reverse=True)
     plan = _plan(REGISTRY["q269_maxsim_late_interaction"].fn(spark, SF))
     assert "Python" not in plan
+
+
+# --- batch 26 -------------------------------------------------------------
+
+
+def test_assortativity_in_valid_range(spark):
+    r = REGISTRY["q270_degree_assortativity"].fn(spark, SF).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.n > 0
+    # directed symmetric edge set: Sx == Sy by construction
+    assert r.sx == r.sy
+
+
+def test_streaming_state_horizons_nest(spark):
+    rows = {r.operator: r for r in REGISTRY["q271_streaming_state_estimator"].fn(spark, SF).collect()}
+    assert set(rows) == {"tumbling_1h_wm10m", "session_30m_wm10m", "dedup_ttl_1h_wm10m"}
+    # shorter horizon holds no more state
+    assert rows["session_30m_wm10m"].state_rows <= rows["tumbling_1h_wm10m"].state_rows
+    # identical horizons -> identical state
+    assert rows["dedup_ttl_1h_wm10m"].state_rows == rows["tumbling_1h_wm10m"].state_rows
+    for r in rows.values():
+        assert r.state_keys <= r.state_rows
+        assert r.est_state_bytes == r.state_rows * 48
+
+
+def test_scd2_audit_clean_is_clean_corrupted_fires(spark):
+    rows = {r.variant: r for r in REGISTRY["q272_scd2_interval_audit"].fn(spark, SF).collect()}
+    clean, corr = rows["clean"], rows["corrupted"]
+    assert clean.n_overlaps == clean.n_gaps == clean.n_open_noncurrent == 0
+    assert corr.n_overlaps > 0
+    assert corr.n_gaps > 0
+    assert corr.n_open_noncurrent > 0
+    assert corr.n_intervals < clean.n_intervals  # versions were dropped
