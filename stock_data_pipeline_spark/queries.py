@@ -16970,6 +16970,249 @@ def q272_scd2_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 27 (round 3): postings compression, greedy scheduling, optimal
+# transport distance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q273_postings_compression",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+        FROM documents
+    ), postings AS (
+        SELECT DISTINCT tok, doc_id FROM toks
+    ), gaps AS (
+        SELECT tok, doc_id,
+               doc_id - LAG(doc_id) OVER (PARTITION BY tok ORDER BY doc_id) AS g
+        FROM postings
+    ), zz AS (
+        SELECT tok, CASE WHEN g IS NULL THEN 2 * doc_id ELSE 2 * g END AS z FROM gaps
+    ), per_tok AS (
+        SELECT tok,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(COUNT(*) * 8 AS BIGINT) AS plain_bytes,
+               CAST(SUM({_varint_bytes_sql("z")}) AS BIGINT) AS varint_bytes
+        FROM zz GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(df) AS BIGINT) AS n_postings,
+           CAST(SUM(plain_bytes) AS BIGINT) AS plain_bytes,
+           CAST(SUM(varint_bytes) AS BIGINT) AS varint_bytes,
+           CAST(SUM(varint_bytes) AS DOUBLE) / CAST(SUM(plain_bytes) AS DOUBLE)
+               AS compression_ratio,
+           CAST(MAX(df) AS BIGINT) AS max_df
+    FROM per_tok
+    """,
+    survey_ref="extension: inverted-index postings compression audit — "
+    "doc-id gap + varint byte counts per term (the q258 encoding "
+    "machinery applied to the q189 index); quantifies the 4-8× "
+    "postings-size win that makes web-scale inverted indexes fit in "
+    "memory, exactly",
+)
+def q273_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How small would the q189 inverted index be with standard
+    delta-gap varint compression? Per term: sorted doc-id gaps, zigzag
+    varint byte count (the generated threshold table from q258),
+    summed corpus-wide against the 8-byte-per-posting baseline.
+    High-df terms (dense postings → gaps of 1 → one byte each)
+    compress hardest — exactly why impact-ordered/compressed postings
+    are feasible at web scale. One postings shuffle (the index build
+    itself), one window per term, one aggregate."""
+    doc = load_table(spark, sf_dir, "documents")
+    postings = doc.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    wt = Window.partitionBy("tok").orderBy("doc_id")
+    gaps = postings.select(
+        "tok", "doc_id", (F.col("doc_id") - F.lag("doc_id").over(wt)).alias("g")
+    )
+    z = F.when(F.col("g").isNull(), 2 * F.col("doc_id")).otherwise(2 * F.col("g"))
+    per_tok = (
+        gaps.select("tok", z.alias("z"))
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            (F.count("*") * 8).cast("long").alias("plain_bytes"),
+            F.sum(_varint_bytes_col(F.col("z"))).cast("long").alias("varint_bytes"),
+        )
+    )
+    return per_tok.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum("plain_bytes").cast("long").alias("plain_bytes"),
+        F.sum("varint_bytes").cast("long").alias("varint_bytes"),
+        (
+            F.sum("varint_bytes").cast("double") / F.sum("plain_bytes").cast("double")
+        ).alias("compression_ratio"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+
+
+@register(
+    "q274_lpt_scheduler",
+    oracle="""
+    WITH shards AS (
+        SELECT (o_orderkey * 40692) % 2147483647 % 64 AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY 1
+    ), ordered AS (
+        SELECT list(n_rows ORDER BY n_rows DESC, shard) AS sizes FROM shards
+    ), packed AS (
+        SELECT list_reduce(
+                   list_prepend([CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0, 0],
+                                list_transform(sizes, s -> [s, 0, 0, 0, 0, 0, 0, 0])),
+                   (acc, x) -> list_sort(list_append(acc[2:8], acc[1] + x[1]))
+               ) AS loads,
+               sizes
+        FROM ordered
+    )
+    SELECT CAST(len(sizes) AS BIGINT) AS n_shards,
+           CAST(loads[8] AS BIGINT) AS makespan,
+           CAST(loads[1] AS BIGINT) AS min_load,
+           CAST(list_reduce(loads, (a, b) -> a + b) AS BIGINT) AS total_rows,
+           CAST(loads[8] AS DOUBLE)
+               / (CAST(list_reduce(loads, (a, b) -> a + b) AS DOUBLE) / 8.0)
+               AS imbalance
+    FROM packed
+    """,
+    survey_ref="extension: LPT greedy shard-to-node assignment — 64 "
+    "hash-shard sizes folded size-descending into an 8-slot load "
+    "vector (assign to min-loaded = keep the vector sorted, add to "
+    "the head, re-sort); the classic 4/3-approx makespan scheduler as "
+    "an ARRAY-STATE aggregate both engines run identically — how an "
+    "executor-assignment planner prices a proposed partitioning",
+)
+def q274_lpt_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign 64 hash shards to 8 workers with the Longest-Processing-
+    Time greedy and report the makespan: shards sort size-descending,
+    each folds into the currently least-loaded worker. The fold's
+    state is the SORTED 8-element load vector — 'assign to min' is
+    'add to element 1, re-sort' — expressed as one F.aggregate over a
+    64-element array, identical semantics in DuckDB's list_reduce.
+    The sequential fold is safe because its input is the provably tiny
+    shard-size frame (the q197 count-of-counts rule: never fold data,
+    fold aggregates). LPT is within 4/3 of optimal; the imbalance
+    column compares the makespan to the perfect-split lower bound."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.lit(_M31).cast("long")
+    shard = F.pmod(F.pmod(F.col("o_orderkey") * 40692, p), F.lit(64).cast("long"))
+    shards = o.groupBy(shard.alias("shard")).agg(F.count("*").cast("long").alias("n_rows"))
+    ordered = shards.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("n_rows")).alias("neg"), F.col("shard")))
+        ).alias("pairs")
+    ).select(F.transform(F.col("pairs"), lambda s: -s["neg"]).alias("sizes"))
+    zero8 = F.array(*[F.lit(0).cast("long") for _ in range(8)])
+    loads = F.aggregate(
+        F.col("sizes"),
+        zero8,
+        lambda acc, x: F.array_sort(
+            F.concat(F.slice(acc, 2, 7), F.array(F.element_at(acc, 1) + x))
+        ),
+    )
+    packed = ordered.select("sizes", loads.alias("loads"))
+    total = F.aggregate(
+        F.col("loads"), F.lit(0).cast("long"), lambda a, b: a + b
+    )
+    return packed.select(
+        F.size("sizes").cast("long").alias("n_shards"),
+        F.element_at("loads", 8).cast("long").alias("makespan"),
+        F.element_at("loads", 1).cast("long").alias("min_load"),
+        total.alias("total_rows"),
+        (
+            F.element_at("loads", 8).cast("double") / (total.cast("double") / 8.0)
+        ).alias("imbalance"),
+    )
+
+
+@register(
+    "q275_wasserstein",
+    oracle="""
+    WITH tagged AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_r
+        FROM lineitem
+    ), vals AS (
+        SELECT v, CAST(SUM(is_r) AS BIGINT) AS ca, CAST(SUM(1 - is_r) AS BIGINT) AS cb
+        FROM tagged GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM vals
+    ), cum AS (
+        SELECT v,
+               SUM(ca) OVER (ORDER BY v) AS cum_a,
+               SUM(cb) OVER (ORDER BY v) AS cum_b,
+               LEAD(v) OVER (ORDER BY v) AS next_v
+        FROM vals
+    )
+    SELECT na AS n_returned, nb AS n_kept,
+           CAST(SUM(CAST(abs(cum_a * nb - cum_b * na) AS DECIMAL(38,0))
+                    * (next_v - v)) AS DECIMAL(38,0)) AS emd_scaled,
+           CAST(CAST(SUM(CAST(abs(cum_a * nb - cum_b * na) AS DECIMAL(38,0))
+                    * (next_v - v)) AS VARCHAR) AS DOUBLE)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 100.0 AS emd_dollars
+    FROM cum CROSS JOIN tot
+    WHERE next_v IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    survey_ref="extension: exact 1-Wasserstein (earth mover's) distance "
+    "— ∫|F_A − F_B| as the exact integer Σ|cumA·nB − cumB·nA|·Δv over "
+    "the pooled support, completing the distribution-comparison trio "
+    "(χ² binned q205, KS sup-norm q245, EMD integral); same two-phase "
+    "prefix machinery, magnitude-aware where KS is not",
+)
+def q275_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far apart are the returned/kept price distributions in
+    DOLLAR terms? The 1-Wasserstein distance integrates |F_A − F_B|
+    over the price axis — unlike KS (q245) it weights by how far mass
+    must move, not just the worst CDF gap. Scaled by n_A·n_B the
+    integrand is an exact integer and the trapezoid-free step
+    integral Σ|cumA·nB − cumB·nA|·Δv stays exact in DECIMAL(38,0);
+    one division converts to average-dollars-moved. Same distributed
+    prefix-sum shape as q245 (here the plain window keeps the plan
+    comparable to the oracle; the bucketed two-phase form drops in
+    unchanged)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tagged = li.select(
+        (_dec("l_extendedprice") * 100).cast("long").alias("v"),
+        (F.col("l_returnflag") == "R").cast("long").alias("is_r"),
+    )
+    vals = tagged.groupBy("v").agg(
+        F.sum("is_r").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_r")).cast("long").alias("cb"),
+    )
+    tot = vals.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    wv = Window.orderBy("v")
+    cum = vals.select(
+        "v",
+        F.sum("ca").over(wv.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_a"),
+        F.sum("cb").over(wv.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_b"),
+        F.lead("v").over(wv).alias("next_v"),
+    )
+    term = (
+        F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+        .cast("decimal(38,0)")
+        * (F.col("next_v") - F.col("v"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("next_v").isNotNull())
+        .groupBy(F.col("na").alias("n_returned"), F.col("nb").alias("n_kept"))
+        .agg(
+            F.sum(term).cast("decimal(38,0)").alias("emd_scaled"),
+            (
+                F.sum(term).cast("decimal(38,0)").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+                / 100.0
+            ).alias("emd_dollars"),
+        )
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -1402,3 +1402,50 @@ def test_scd2_audit_clean_is_clean_corrupted_fires(spark):
     assert corr.n_gaps > 0
     assert corr.n_open_noncurrent > 0
     assert corr.n_intervals < clean.n_intervals  # versions were dropped
+
+
+# --- batch 27 -------------------------------------------------------------
+
+
+def test_postings_compression_wins_on_dense_lists(spark):
+    r = REGISTRY["q273_postings_compression"].fn(spark, SF).collect()[0]
+    assert r.n_terms > 0 and r.n_postings >= r.n_terms
+    assert r.varint_bytes < r.plain_bytes  # gaps must compress
+    assert r.compression_ratio < 0.5  # tiny vocab -> dense lists -> big win
+    assert r.max_df <= 1500
+
+
+def test_lpt_matches_driver_greedy_and_beats_worst_case(spark):
+    from stock_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF, "orders")
+    p = 2147483647
+    sizes = sorted(
+        (
+            r.n
+            for r in o.groupBy(
+                F.pmod(F.pmod(F.col("o_orderkey") * 40692, F.lit(p)), F.lit(64)).alias("s")
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    loads = [0] * 8
+    for s in sizes:
+        loads.sort()
+        loads[0] += s
+    got = REGISTRY["q274_lpt_scheduler"].fn(spark, SF).collect()[0]
+    assert got.makespan == max(loads)
+    assert got.min_load == min(loads)
+    assert got.total_rows == sum(sizes)
+    assert 1.0 <= got.imbalance < 4.0 / 3.0 + 1e-9  # the LPT guarantee
+
+
+def test_wasserstein_positive_and_consistent_with_ks(spark):
+    emd = REGISTRY["q275_wasserstein"].fn(spark, SF).collect()[0]
+    ks = REGISTRY["q245_ks_test"].fn(spark, SF).collect()[0]
+    assert emd.n_returned == ks.n_returned and emd.n_kept == ks.n_kept
+    assert emd.emd_dollars > 0
+    assert int(emd.emd_scaled) > 0
