@@ -17213,6 +17213,137 @@ def q275_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 28 (round 3): recommender evaluation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q276_item_cf_holdout",
+    oracle="""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p,
+               MAX(CAST(o.o_orderdate AS DATE)) AS last_date
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), sized AS (
+        SELECT c, COUNT(*) AS n_parts FROM cp GROUP BY 1
+    ), holdout AS (
+        SELECT c, p AS held FROM (
+            SELECT cp.c, cp.p,
+                   ROW_NUMBER() OVER (PARTITION BY cp.c
+                       ORDER BY cp.last_date DESC, cp.p DESC) AS rn
+            FROM cp JOIN sized s ON s.c = cp.c
+            WHERE s.n_parts >= 2 AND cp.c % 10 = 0
+        ) WHERE rn = 1
+    ), train AS (
+        SELECT cp.c, cp.p
+        FROM cp JOIN holdout h ON h.c = cp.c
+        WHERE cp.p <> h.held
+    ), train_all AS (  -- co-counts from all baskets minus held-out links
+        SELECT cp.c, cp.p FROM cp
+        LEFT JOIN holdout h ON h.c = cp.c AND h.held = cp.p
+        WHERE h.c IS NULL
+    ), cooc AS (
+        SELECT a.p AS p, b.p AS q, CAST(COUNT(*) AS BIGINT) AS w
+        FROM train_all a JOIN train_all b ON a.c = b.c AND a.p <> b.p
+        GROUP BY 1, 2
+    ), scores AS (
+        SELECT t.c, co.q, CAST(SUM(co.w) AS BIGINT) AS score
+        FROM train t JOIN cooc co ON co.p = t.p
+        WHERE co.q NOT IN (SELECT p FROM train t2 WHERE t2.c = t.c)
+        GROUP BY 1, 2
+    ), topk AS (
+        SELECT c, q FROM (
+            SELECT c, q, ROW_NUMBER() OVER (PARTITION BY c
+                           ORDER BY score DESC, q ASC) AS rn
+            FROM scores
+        ) WHERE rn <= 10
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN t.q IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN t.q IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS hit_rate_at_10
+    FROM holdout h LEFT JOIN topk t ON t.c = h.c AND t.q = h.held
+    """,
+    survey_ref="extension: item-CF recommender evaluation — leave-last-"
+    "item-out holdout (the held-out (customer, part) link is REMOVED "
+    "from the co-occurrence counts — no self-leakage), score candidates "
+    "by summed co-purchase weights over the customer's training items, "
+    "hit-rate@10; the offline recsys eval loop, on the q154 co-purchase "
+    "statistics",
+)
+def q276_item_cf_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Can co-purchase statistics recover a customer's held-out item?
+    Leave-last-out protocol on a 10% customer sample: the most recent
+    distinct part is hidden, the co-occurrence matrix is built WITHOUT
+    any held-out link (the leakage mistake q268 hunts in corpora,
+    avoided here by construction), each customer's candidates score
+    Σ co-counts against their remaining items, and a hit is the held
+    item ranking in the top 10. Scale shape: (customer, part) pairs →
+    one self-join per customer basket (bounded by basket size, the
+    q154 wedge bound), candidate scoring joins the sampled customers'
+    training items only, and the final rank is per-customer top-k.
+    One summary row: evaluated customers, hits, hit-rate@10."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .agg(F.max(F.col("o_orderdate").cast("date")).alias("last_date"))
+    )
+    sized = cp.groupBy("c").agg(F.count("*").alias("n_parts"))
+    wcust = Window.partitionBy("c").orderBy(F.col("last_date").desc(), F.col("p").desc())
+    holdout = (
+        cp.join(sized, "c")
+        .filter((F.col("n_parts") >= 2) & (F.pmod(F.col("c"), F.lit(10)) == 0))
+        .withColumn("rn", F.row_number().over(wcust))
+        .filter(F.col("rn") == 1)
+        .select("c", F.col("p").alias("held"))
+    )
+    train = (
+        cp.join(holdout, "c")
+        .filter(F.col("p") != F.col("held"))
+        .select("c", "p")
+    )
+    train_all = cp.join(
+        holdout.select("c", F.col("held").alias("p")), ["c", "p"], "left_anti"
+    ).select("c", "p")
+    ta, tb = train_all.alias("a"), train_all.alias("b")
+    cooc = (
+        ta.join(tb, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") != F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p"), F.col("b.p").alias("q"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    train2 = train.select(F.col("c").alias("c2"), F.col("p").alias("q2"))
+    scored = (
+        train.join(cooc, "p")
+        .join(
+            train2,
+            (F.col("c") == F.col("c2")) & (F.col("q") == F.col("q2")),
+            "left_anti",
+        )
+        .groupBy("c", "q")
+        .agg(F.sum("w").cast("long").alias("score"))
+    )
+    wq = Window.partitionBy("c").orderBy(F.col("score").desc(), F.col("q").asc())
+    topk = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 10)
+        .select("c", "q")
+    )
+    hit = holdout.join(
+        topk, (holdout["c"] == topk["c"]) & (holdout["held"] == topk["q"]), "left"
+    )
+    return hit.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(topk["q"].isNotNull().cast("long")).cast("long").alias("n_hits"),
+        (F.sum(topk["q"].isNotNull().cast("long")).cast("double") / F.count("*")).alias(
+            "hit_rate_at_10"
+        ),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

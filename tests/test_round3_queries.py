@@ -1449,3 +1449,56 @@ def test_wasserstein_positive_and_consistent_with_ks(spark):
     assert emd.n_returned == ks.n_returned and emd.n_kept == ks.n_kept
     assert emd.emd_dollars > 0
     assert int(emd.emd_scaled) > 0
+
+
+# --- batch 28 -------------------------------------------------------------
+
+
+def test_item_cf_holdout_matches_driver_reference(spark):
+    """The synthetic baskets are uniform-random, so hit-rate carries no
+    signal to assert on; instead replay the whole protocol in plain
+    Python and require exact agreement (holdout choice, leakage-free
+    co-counts, scoring, top-10, hits)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    rows = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .agg(F.max(F.col("o_orderdate").cast("date")).alias("d"))
+        .collect()
+    )
+    baskets = defaultdict(dict)
+    for r in rows:
+        baskets[r.c][r.p] = r.d
+    holdout = {}
+    for c, parts in baskets.items():
+        if len(parts) >= 2 and c % 10 == 0:
+            held = max(parts, key=lambda p: (parts[p], p))
+            holdout[c] = held
+    cooc = defaultdict(int)
+    for c, parts in baskets.items():
+        ps = [p for p in parts if holdout.get(c) != p]
+        for a in ps:
+            for b in ps:
+                if a != b:
+                    cooc[(a, b)] += 1
+    hits = 0
+    for c, held in holdout.items():
+        train = [p for p in baskets[c] if p != held]
+        scores = defaultdict(int)
+        for (a, b), w in cooc.items():
+            if a in train and b not in train:
+                scores[b] += w
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        if held in {q for q, _ in top}:
+            hits += 1
+    got = REGISTRY["q276_item_cf_holdout"].fn(spark, SF).collect()[0]
+    assert got.n_customers == len(holdout)
+    assert got.n_hits == hits
+    assert abs(got.hit_rate_at_10 - (hits / len(holdout))) < 1e-15
