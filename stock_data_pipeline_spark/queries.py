@@ -17344,6 +17344,240 @@ def q276_item_cf_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 29 (round 3): distributed uncertainty quantification, population
+# estimation, unseen-mass estimation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q277_jackknife_variance",
+    oracle="""
+    WITH b AS (
+        SELECT (o_orderkey * 48271) % 2147483647 % 32 AS bucket,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), per_bucket AS (
+        SELECT bucket, CAST(SUM(cents) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(COUNT(*) AS BIGINT) AS g
+        FROM per_bucket
+    ), loo AS (
+        SELECT p.bucket,
+               CAST(t.st - p.s AS DOUBLE) / CAST(t.nt - p.n AS DOUBLE) AS loo_mean,
+               t.st, t.nt, t.g
+        FROM per_bucket p CROSS JOIN tot t
+    ), folded AS (
+        SELECT st, nt, g,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(loo_mean ORDER BY bucket)), (a, x) -> a + x) AS sum_loo,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(loo_mean * loo_mean ORDER BY bucket)), (a, x) -> a + x) AS sum_loo2
+        FROM loo GROUP BY 1, 2, 3
+    )
+    SELECT g AS n_buckets, nt AS n_rows,
+           CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS mean_cents,
+           sqrt((CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)
+                * (sum_loo2 - sum_loo * sum_loo / CAST(g AS DOUBLE)))
+               AS jackknife_se_cents
+    FROM folded
+    """,
+    survey_ref="extension: delete-a-group jackknife — 32 hash buckets, "
+    "leave-one-bucket-out means from exact integer bucket sums, "
+    "SE via the grouped-jackknife formula with bucket-ordered float "
+    "folds; the distributed uncertainty quantification that needs no "
+    "resampling pass (one scan, 32-row state)",
+)
+def q277_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A standard error for the mean order value WITHOUT bootstrap
+    resampling: the delete-a-group jackknife. Rows hash into 32
+    buckets (deterministic — re-runs reproduce the same SE); each
+    leave-one-bucket-out mean comes from exact integer (sum, count)
+    differences; SE = √((g−1)/g · Σ(θ̂ᵢ − θ̄)²). One scan produces the
+    32 bucket sums; everything after runs on a 32-row frame with
+    bucket-ordered float folds (pinned summation order). This is how
+    you attach honest error bars to any 100 TB aggregate at the cost
+    of one extra tiny groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.lit(_M31).cast("long")
+    bucket = F.pmod(F.pmod(F.col("o_orderkey") * 48271, p), F.lit(32).cast("long"))
+    per_bucket = (
+        o.select(bucket.alias("bucket"), (_dec("o_totalprice") * 100).cast("long").alias("cents"))
+        .groupBy("bucket")
+        .agg(F.sum("cents").cast("long").alias("s"), F.count("*").cast("long").alias("n"))
+    )
+    tot = per_bucket.agg(
+        F.sum("s").cast("long").alias("st"),
+        F.sum("n").cast("long").alias("nt"),
+        F.count("*").cast("long").alias("g"),
+    )
+    loo = per_bucket.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            (F.col("st") - F.col("s")).cast("double")
+            / (F.col("nt") - F.col("n")).cast("double")
+        ).alias("loo_mean"),
+        "st", "nt", "g",
+    )
+    folded = loo.groupBy("st", "nt", "g").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "loo_mean"))),
+            F.lit(0.0),
+            lambda a, x: a + x["loo_mean"],
+        ).alias("sum_loo"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "loo_mean"))),
+            F.lit(0.0),
+            lambda a, x: a + x["loo_mean"] * x["loo_mean"],
+        ).alias("sum_loo2"),
+    )
+    gd = F.col("g").cast("double")
+    return folded.select(
+        F.col("g").alias("n_buckets"),
+        F.col("nt").alias("n_rows"),
+        (F.col("st").cast("double") / F.col("nt").cast("double")).alias("mean_cents"),
+        F.sqrt(
+            (gd - 1.0) / gd
+            * (F.col("sum_loo2") - F.col("sum_loo") * F.col("sum_loo") / gd)
+        ).alias("jackknife_se_cents"),
+    )
+
+
+@register(
+    "q278_capture_recapture",
+    oracle="""
+    WITH s1 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    ), s2 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+    ), counts AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s1 JOIN s2 USING (o_custkey)) AS m,
+               (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders) AS true_total
+    )
+    SELECT n1, n2, m, true_total,
+           -- Chapman's bias-corrected Lincoln-Petersen estimator
+           CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0
+               AS chapman_estimate
+    FROM counts
+    """,
+    survey_ref="extension: capture-recapture population estimation "
+    "(Chapman's Lincoln-Petersen) — two observation windows as the two "
+    "'captures', overlap as the recapture, exact integer counts and "
+    "one closed form; estimates the total population you could ever "
+    "see from two partial views — the technique behind estimating "
+    "total distinct entities a crawler/logger hasn't fully observed",
+)
+def q278_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers exist in total, estimated ONLY from who was
+    seen in 1996 and who was seen in 1997? Chapman's bias-corrected
+    Lincoln-Petersen: N̂ = (n₁+1)(n₂+1)/(m+1) − 1 where m is the
+    overlap. The query also emits the true distinct total so the
+    estimate is auditable. Each 'capture' is one distinct scan; the
+    overlap is a key join of two distinct sets — all exact integers.
+    The same three counts estimate coverage of any partially-observed
+    population: crawled hosts, deduped entities, active devices."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    s1 = (
+        o.filter(d.between(F.lit("1996-01-01").cast("date"), F.lit("1996-12-31").cast("date")))
+        .select("o_custkey")
+        .distinct()
+    )
+    s2 = (
+        o.filter(d.between(F.lit("1997-01-01").cast("date"), F.lit("1997-12-31").cast("date")))
+        .select("o_custkey")
+        .distinct()
+    )
+    n1 = s1.agg(F.count("*").cast("long").alias("n1"))
+    n2 = s2.agg(F.count("*").cast("long").alias("n2"))
+    m = s1.join(s2, "o_custkey").agg(F.count("*").cast("long").alias("m"))
+    true_total = o.agg(F.countDistinct("o_custkey").cast("long").alias("true_total"))
+    counts = (
+        n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m)).crossJoin(F.broadcast(true_total))
+    )
+    return counts.select(
+        "n1", "n2", "m", "true_total",
+        (
+            ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+            / (F.col("m") + 1).cast("double")
+            - 1.0
+        ).alias("chapman_estimate"),
+    )
+
+
+@register(
+    "q279_good_turing",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+        FROM documents
+    ), freqs AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS r FROM toks GROUP BY 1
+    ), foff AS (
+        SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM freqs GROUP BY 1
+    ), agg AS (
+        SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_r) AS BIGINT) AS vocab,
+               CAST(COALESCE(MAX(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT) AS n1,
+               CAST(COALESCE(MAX(CASE WHEN r = 2 THEN n_r END), 0) AS BIGINT) AS n2
+        FROM foff
+    )
+    SELECT n_tokens, vocab, n1, n2,
+           CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS p_unseen,
+           CASE WHEN n1 > 0
+                THEN 2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                ELSE 0.0 END AS r_star_1
+    FROM agg
+    """,
+    survey_ref="extension: Good-Turing unseen-mass estimation — the "
+    "frequency-of-frequencies table (q197's count-of-counts trick on "
+    "tokens) yields P(next token is novel) = N₁/N and the smoothed "
+    "count for singletons r*₁ = 2N₂/N₁; the corpus-coverage question "
+    "('how much vocabulary haven't we crawled yet') answered from one "
+    "aggregate of an aggregate",
+)
+def q279_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of the NEXT crawl will be vocabulary we've never
+    seen? Good-Turing: the probability mass of unseen types equals
+    N₁/N (singleton count over token count), and the smoothed count
+    for once-seen types is r*₁ = 2N₂/N₁. Both come off the
+    frequency-of-frequencies histogram — token counts collapse to the
+    distinct count VALUES (tiny at any scale), so after one token
+    shuffle the estimator runs on kilobytes. This is the stopping-rule
+    statistic for corpus collection: when N₁/N flattens near zero,
+    more crawling buys no new vocabulary (complements q131's growth
+    curve and q255's data card)."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    freqs = toks.groupBy("tok").agg(F.count("*").cast("long").alias("r"))
+    foff = freqs.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    agg = foff.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum("n_r").cast("long").alias("vocab"),
+        F.coalesce(F.max(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0))
+        .cast("long")
+        .alias("n1"),
+        F.coalesce(F.max(F.when(F.col("r") == 2, F.col("n_r"))), F.lit(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    return agg.select(
+        "n_tokens", "vocab", "n1", "n2",
+        (F.col("n1").cast("double") / F.col("n_tokens").cast("double")).alias("p_unseen"),
+        F.when(
+            F.col("n1") > 0, 2.0 * F.col("n2").cast("double") / F.col("n1").cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("r_star_1"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -1502,3 +1502,46 @@ def test_item_cf_holdout_matches_driver_reference(spark):
     assert got.n_customers == len(holdout)
     assert got.n_hits == hits
     assert abs(got.hit_rate_at_10 - (hits / len(holdout))) < 1e-15
+
+
+# --- batch 29 -------------------------------------------------------------
+
+
+def test_jackknife_se_close_to_classic_se(spark):
+    import math
+
+    from stock_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    import stock_data_pipeline_spark.queries as Q
+
+    r = REGISTRY["q277_jackknife_variance"].fn(spark, SF).collect()[0]
+    assert r.n_buckets == 32
+    vals = [
+        row.c
+        for row in load_table(spark, SF, "orders")
+        .select((Q._dec("o_totalprice") * 100).cast("long").alias("c"))
+        .collect()
+    ]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    classic_se = math.sqrt(var / n)
+    assert abs(r.mean_cents - mean) < 1e-6
+    # grouped jackknife is consistent for the mean: within 25% of classic
+    assert abs(r.jackknife_se_cents - classic_se) / classic_se < 0.25
+
+
+def test_capture_recapture_estimates_population(spark):
+    r = REGISTRY["q278_capture_recapture"].fn(spark, SF).collect()[0]
+    assert 0 < r.m <= min(r.n1, r.n2)
+    # heavy overlap (everyone orders yearly) -> tight estimate
+    assert abs(r.chapman_estimate - r.true_total) / r.true_total < 0.10
+
+
+def test_good_turing_identities(spark):
+    r = REGISTRY["q279_good_turing"].fn(spark, SF).collect()[0]
+    assert r.vocab > 0 and r.n_tokens >= r.vocab
+    assert 0.0 <= r.p_unseen < 1.0
+    # with the tiny synthetic vocab every type is frequent: no singletons
+    if r.n1 == 0:
+        assert r.p_unseen == 0.0
