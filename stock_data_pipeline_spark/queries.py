@@ -17578,6 +17578,115 @@ def q279_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 30 (round 3): nonparametric trend testing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q280_mann_kendall",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               CAST((EXTRACT(YEAR FROM o_orderdate) - 1995) * 12
+                    + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2
+    ), s_stat AS (
+        SELECT a.o_orderpriority,
+               CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM monthly a JOIN monthly b
+          ON a.o_orderpriority = b.o_orderpriority AND a.x < b.x
+        GROUP BY 1
+    ), ties AS (
+        SELECT o_orderpriority,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT o_orderpriority, y, CAST(COUNT(*) AS BIGINT) AS t
+              FROM monthly GROUP BY 1, 2)
+        GROUP BY 1
+    ), sizes AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM monthly GROUP BY 1
+    )
+    SELECT z.o_orderpriority AS o_orderpriority,
+           n.n AS n_points, z.s AS s_stat,
+           n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS var_s_times_18,
+           CASE WHEN z.s > 0 THEN CAST(z.s - 1 AS DOUBLE)
+                WHEN z.s < 0 THEN CAST(z.s + 1 AS DOUBLE)
+                ELSE 0.0 END
+           / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS DOUBLE) / 18.0)
+               AS z_score
+    FROM s_stat z JOIN ties t ON t.o_orderpriority = z.o_orderpriority
+    JOIN sizes n ON n.o_orderpriority = z.o_orderpriority
+    """,
+    survey_ref="extension: Mann-Kendall trend test — S = Σ sign(yⱼ−yᵢ) "
+    "over month pairs (exact integer), tie-corrected variance kept as "
+    "the integer 18·Var(S), continuity-corrected z in one double "
+    "expression; the significance companion to q256's Theil-Sen slope "
+    "(monotone trend without distributional assumptions)",
+)
+def q280_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS the monthly revenue trend real? Mann-Kendall: count
+    concordant minus discordant month pairs (S), correct the variance
+    for ties, and z-score with continuity correction — all exact
+    integers until one division-and-sqrt. Nonparametric: no normality
+    or linearity assumed, robust to the same outlier months that
+    motivated Theil-Sen (q256) — together they give slope and
+    significance. The pair join runs on the ~80-point monthly
+    aggregate per group (reduce-first), so cost is independent of raw
+    row count."""
+    o = load_table(spark, sf_dir, "orders")
+    month = (
+        (F.year(F.col("o_orderdate")) - 1995) * 12 + F.month(F.col("o_orderdate")) - 1
+    ).cast("long")
+    monthly = o.groupBy("o_orderpriority", month.alias("x")).agg(
+        F.sum((_dec("o_totalprice") * 100).cast("long")).cast("long").alias("y")
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    s_stat = (
+        a.join(
+            b,
+            (F.col("a.o_orderpriority") == F.col("b.o_orderpriority"))
+            & (F.col("a.x") < F.col("b.x")),
+        )
+        .groupBy(F.col("a.o_orderpriority").alias("o_orderpriority"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.y") > F.col("a.y"), 1)
+                .when(F.col("b.y") < F.col("a.y"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ties = (
+        monthly.groupBy("o_orderpriority", "y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    sizes = monthly.groupBy("o_orderpriority").agg(F.count("*").cast("long").alias("n"))
+    joined = s_stat.join(ties, "o_orderpriority").join(sizes, "o_orderpriority")
+    var18 = F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    num = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double"))
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        "o_orderpriority",
+        F.col("n").alias("n_points"),
+        F.col("s").alias("s_stat"),
+        var18.alias("var_s_times_18"),
+        (num / F.sqrt(var18.cast("double") / 18.0)).alias("z_score"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -1545,3 +1545,39 @@ def test_good_turing_identities(spark):
     # with the tiny synthetic vocab every type is frequent: no singletons
     if r.n1 == 0:
         assert r.p_unseen == 0.0
+
+
+# --- batch 30 -------------------------------------------------------------
+
+
+def test_mann_kendall_matches_driver_reference(spark):
+    from collections import defaultdict
+
+    from stock_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    import stock_data_pipeline_spark.queries as Q
+
+    o = load_table(spark, SF, "orders")
+    month = ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).cast("long")
+    rows = (
+        o.groupBy("o_orderpriority", month.alias("x"))
+        .agg(F.sum((Q._dec("o_totalprice") * 100).cast("long")).alias("y"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in rows:
+        series[r.o_orderpriority].append((r.x, r.y))
+    got = {r.o_orderpriority: r for r in REGISTRY["q280_mann_kendall"].fn(spark, SF).collect()}
+    for prio, pts in series.items():
+        pts.sort()
+        ys = [y for _, y in pts]
+        n = len(ys)
+        s = sum(
+            (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        g = got[prio]
+        assert g.n_points == n
+        assert g.s_stat == s
+        assert -10 < g.z_score < 10
