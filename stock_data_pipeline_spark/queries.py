@@ -17687,6 +17687,342 @@ def q280_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 31 (round 3): variance-reduced experiments, seasonal decomposition,
+# incremental join maintenance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q281_cuped",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT c.c_custkey,
+               ({_mix31_sql("c.c_custkey")}) % 2 AS variant,
+               CAST(COALESCE(SUM(CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 1996
+                    THEN CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT) AS x,
+               CAST(COALESCE(SUM(CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 1997
+                    THEN CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT) AS y
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), moms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        FROM per_cust
+    ), theta AS (
+        SELECT n, sx, sy,
+               (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                   AS th,
+               1.0 - (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                      - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                     / ((CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                           - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+                   AS var_ratio
+        FROM moms
+    ), per_variant AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_v,
+               CAST(SUM(x) AS BIGINT) AS sxv, CAST(SUM(y) AS BIGINT) AS syv
+        FROM per_cust GROUP BY 1
+    )
+    SELECT v.variant, v.n_v,
+           CAST(v.syv AS DOUBLE) / CAST(v.n_v AS DOUBLE) AS mean_y,
+           CAST(v.syv AS DOUBLE) / CAST(v.n_v AS DOUBLE)
+           - t.th * (CAST(v.sxv AS DOUBLE) / CAST(v.n_v AS DOUBLE)
+                     - CAST(CAST(t.sx AS VARCHAR) AS DOUBLE) / CAST(t.n AS DOUBLE))
+               AS mean_y_cuped,
+           t.th AS theta,
+           t.var_ratio AS cuped_variance_ratio
+    FROM per_variant v CROSS JOIN theta t
+    """,
+    survey_ref="extension: CUPED variance reduction — pre-period spend "
+    "as the covariate, θ = cov/var and the variance ratio 1−ρ² derived "
+    "ALGEBRAICALLY from exact decimal moments (no per-row adjusted "
+    "float sums to order), adjusted means per hash variant; the "
+    "experiment-sensitivity technique that halves A/B runtimes",
+)
+def q281_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout: each customer's 1996 spend is
+    the pre-experiment covariate for their 1997 metric; the adjustment
+    y′ = y − θ(x − x̄) removes covariate-explained variance, and the
+    achieved reduction 1 − ρ² comes straight from the moment sums —
+    var(y′) = var(y) − cov²/var(x) — so NO per-row float accumulation
+    exists anywhere (the naive Σy′² would be partition-order
+    dependent; the algebraic identity sidesteps it). One scan builds
+    per-customer (x, y), two tiny aggregates do the rest. Pairs with
+    q247 (assignment health) and q262 (interval honesty)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (_dec("o_totalprice") * 100).cast("long")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", F.pmod(_mix31_col(F.col("c_custkey")), F.lit(2).cast("long")).alias("variant"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.year("o_orderdate") == 1996, cents)), F.lit(0)
+            ).cast("long").alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.year("o_orderdate") == 1997, cents)), F.lit(0)
+            ).cast("long").alias("y"),
+        )
+    )
+    moms = per_cust.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    varx_n = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vary_n = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    theta = moms.select(
+        "n", "sx", "sy",
+        (cov_n / varx_n).alias("th"),
+        (F.lit(1.0) - cov_n * cov_n / (varx_n * vary_n)).alias("var_ratio"),
+    )
+    per_variant = per_cust.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_v"),
+        F.sum("x").cast("long").alias("sxv"),
+        F.sum("y").cast("long").alias("syv"),
+    )
+    joined = per_variant.crossJoin(F.broadcast(theta))
+    mean_y = F.col("syv").cast("double") / F.col("n_v").cast("double")
+    mean_x = F.col("sxv").cast("double") / F.col("n_v").cast("double")
+    grand_x = F.col("sx").cast("double") / F.col("n").cast("double")
+    return joined.select(
+        "variant", "n_v",
+        mean_y.alias("mean_y"),
+        (mean_y - F.col("th") * (mean_x - grand_x)).alias("mean_y_cuped"),
+        F.col("th").alias("theta"),
+        F.col("var_ratio").alias("cuped_variance_ratio"),
+    )
+
+
+@register(
+    "q282_seasonal_index",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST((EXTRACT(YEAR FROM o_orderdate) - 1995) * 12
+                    + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS m,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS moy,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2
+    ), ma AS (
+        SELECT m, moy, y,
+               CAST(SUM(y) OVER w12 AS BIGINT) AS s12,
+               CAST(SUM(y) OVER w13 AS BIGINT) AS s13,
+               COUNT(*) OVER w12 AS c12, COUNT(*) OVER w13 AS c13
+        FROM monthly
+        WINDOW w12 AS (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING),
+               w13 AS (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    ), ratios AS (
+        SELECT moy, m,
+               CAST(y AS DOUBLE)
+               / ((CAST(s12 AS DOUBLE) / 12.0 + CAST(s13 AS DOUBLE) / 13.0) / 2.0) AS r
+        FROM ma WHERE c12 = 12 AND c13 = 13
+    ), idx AS (
+        SELECT moy,
+               CAST(COUNT(*) AS BIGINT) AS n_years,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(r ORDER BY m)),
+                           (a, b) -> a + b) / COUNT(*) AS raw_index
+        FROM ratios GROUP BY 1
+    ), norm AS (
+        SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(raw_index ORDER BY moy)), (a, b) -> a + b) / 12.0 AS grand
+        FROM idx
+    )
+    SELECT i.moy AS month_of_year, i.n_years, i.raw_index,
+           i.raw_index / n.grand AS seasonal_index
+    FROM idx i CROSS JOIN norm n
+    """,
+    survey_ref="extension: classical seasonal decomposition — "
+    "ratio-to-centered-moving-average monthly indexes (2×12 MA), "
+    "per-month-of-year means with year-ordered folds, normalized to "
+    "average 1; the seasonality profile that de-seasonalizes q256/"
+    "q280's trend analysis",
+)
+def q282_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which calendar months run hot? Classical multiplicative
+    decomposition: monthly revenue over its centered 2×12-term moving
+    average gives detrended ratios; averaging ratios per month-of-year
+    (folds pinned in year order) and normalizing to mean 1 yields the
+    seasonal index. All windows run on the ~80-row monthly aggregate —
+    the global frames are provably tiny (the reduce-first rule), so
+    the unpartitioned windows cost nothing at any raw data scale."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m"),
+        F.month("o_orderdate").cast("long").alias("moy"),
+    ).agg(F.sum((_dec("o_totalprice") * 100).cast("long")).cast("long").alias("y"))
+    w12 = Window.orderBy("m").rowsBetween(-6, 5)
+    w13 = Window.orderBy("m").rowsBetween(-6, 6)
+    ma = monthly.select(
+        "m", "moy", "y",
+        F.sum("y").over(w12).cast("long").alias("s12"),
+        F.sum("y").over(w13).cast("long").alias("s13"),
+        F.count("*").over(w12).alias("c12"),
+        F.count("*").over(w13).alias("c13"),
+    )
+    ratios = ma.filter((F.col("c12") == 12) & (F.col("c13") == 13)).select(
+        "moy", "m",
+        (
+            F.col("y").cast("double")
+            / ((F.col("s12").cast("double") / 12.0 + F.col("s13").cast("double") / 13.0) / 2.0)
+        ).alias("r"),
+    )
+    idx = ratios.groupBy("moy").agg(
+        F.count("*").cast("long").alias("n_years"),
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("m", "r"))),
+                F.lit(0.0),
+                lambda a, x: a + x["r"],
+            )
+            / F.count("*")
+        ).alias("raw_index"),
+    )
+    norm = idx.agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("moy", "raw_index"))),
+                F.lit(0.0),
+                lambda a, x: a + x["raw_index"],
+            )
+            / 12.0
+        ).alias("grand")
+    )
+    return idx.crossJoin(F.broadcast(norm)).select(
+        F.col("moy").alias("month_of_year"),
+        "n_years",
+        "raw_index",
+        (F.col("raw_index") / F.col("grand")).alias("seasonal_index"),
+    )
+
+
+@register(
+    "q283_incremental_join_delta",
+    oracle="""
+    WITH a_base AS (
+        SELECT o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+    ), a_delta AS (
+        SELECT o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+    ), b_base AS (
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 50 <> 0
+    ), b_delta AS (
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 50 = 0
+    ), base_r AS (
+        SELECT b.c_mktsegment, CAST(SUM(a.cents) AS BIGINT) AS cents
+        FROM a_base a JOIN b_base b ON a.o_custkey = b.c_custkey GROUP BY 1
+    ), delta_r AS (
+        SELECT c_mktsegment, CAST(SUM(cents) AS BIGINT) AS cents FROM (
+            SELECT b.c_mktsegment, a.cents
+            FROM a_delta a JOIN b_base b ON a.o_custkey = b.c_custkey
+            UNION ALL
+            SELECT b.c_mktsegment, a.cents
+            FROM a_base a JOIN b_delta b ON a.o_custkey = b.c_custkey
+            UNION ALL
+            SELECT b.c_mktsegment, a.cents
+            FROM a_delta a JOIN b_delta b ON a.o_custkey = b.c_custkey
+        ) GROUP BY 1
+    ), merged AS (
+        SELECT COALESCE(x.c_mktsegment, d.c_mktsegment) AS c_mktsegment,
+               COALESCE(x.cents, 0) + COALESCE(d.cents, 0) AS cents
+        FROM base_r x FULL OUTER JOIN delta_r d ON x.c_mktsegment = d.c_mktsegment
+    ), full_r AS (
+        SELECT c.c_mktsegment, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    )
+    SELECT m.c_mktsegment,
+           CAST(m.cents AS BIGINT) AS incremental_cents,
+           f.cents AS recomputed_cents,
+           CASE WHEN m.cents = f.cents THEN 1 ELSE 0 END AS consistent
+    FROM merged m JOIN full_r f ON f.c_mktsegment = m.c_mktsegment
+    """,
+    survey_ref="extension: incremental join-view maintenance — the "
+    "bilinear delta rule Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB applied to a "
+    "join-aggregate view, merged with the base result and proven equal "
+    "to the full recompute; the join companion of q129's aggregate "
+    "merge (why a 100 TB view refresh touches only delta-sized joins)",
+)
+def q283_incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain revenue-by-segment over orders⋈customer as both tables
+    grow, WITHOUT recomputing: with ΔA (new orders) and ΔB (new
+    customers), the view delta is exactly ΔA⋈B + A⋈ΔB + ΔA⋈ΔB —
+    bilinearity of the join. Each delta term joins a delta-sized side,
+    so the refresh cost scales with the change, not the table; the
+    query emits the incrementally-maintained totals NEXT TO the full
+    recompute with a consistency flag (all 1s — and the oracle
+    re-verifies both paths independently). Exact integer cents make
+    the merge associative and order-free."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = (_dec("o_totalprice") * 100).cast("long")
+    cutoff = F.lit("1999-01-01").cast("date")
+    a_base = o.filter(F.col("o_orderdate").cast("date") < cutoff).select(
+        "o_custkey", cents.alias("cents")
+    )
+    a_delta = o.filter(F.col("o_orderdate").cast("date") >= cutoff).select(
+        "o_custkey", cents.alias("cents")
+    )
+    b_base = c.filter(F.pmod(F.col("c_custkey"), F.lit(50)) != 0)
+    b_delta = c.filter(F.pmod(F.col("c_custkey"), F.lit(50)) == 0)
+
+    def seg_sum(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, a["o_custkey"] == b["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.sum("cents").cast("long").alias("cents"))
+        )
+
+    base_r = seg_sum(a_base, b_base)
+    delta_r = (
+        seg_sum(a_delta, b_base)
+        .unionByName(seg_sum(a_base, b_delta))
+        .unionByName(seg_sum(a_delta, b_delta))
+        .groupBy("c_mktsegment")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    br = base_r.alias("x")
+    dr = delta_r.alias("d")
+    merged = br.join(
+        dr, F.col("x.c_mktsegment") == F.col("d.c_mktsegment"), "full_outer"
+    ).select(
+        F.coalesce(F.col("x.c_mktsegment"), F.col("d.c_mktsegment")).alias("c_mktsegment"),
+        (
+            F.coalesce(F.col("x.cents"), F.lit(0)) + F.coalesce(F.col("d.cents"), F.lit(0))
+        ).alias("incremental_cents"),
+    )
+    full_r = seg_sum(o.select("o_custkey", cents.alias("cents")), c).withColumnRenamed(
+        "cents", "recomputed_cents"
+    )
+    return merged.join(full_r, "c_mktsegment").select(
+        "c_mktsegment",
+        F.col("incremental_cents").cast("long").alias("incremental_cents"),
+        "recomputed_cents",
+        F.when(F.col("incremental_cents") == F.col("recomputed_cents"), 1)
+        .otherwise(0)
+        .alias("consistent"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

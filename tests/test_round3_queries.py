@@ -1581,3 +1581,40 @@ def test_mann_kendall_matches_driver_reference(spark):
         assert g.n_points == n
         assert g.s_stat == s
         assert -10 < g.z_score < 10
+
+
+# --- batch 31 -------------------------------------------------------------
+
+
+def test_cuped_reduces_variance_and_preserves_grand_mean(spark):
+    rows = {r.variant: r for r in REGISTRY["q281_cuped"].fn(spark, SF).collect()}
+    assert set(rows) == {0, 1}
+    r0 = rows[0]
+    # pre-period spend predicts current spend -> real variance reduction
+    assert 0.0 < r0.cuped_variance_ratio < 1.0
+    assert r0.theta > 0
+    # CUPED is mean-preserving over the pooled population: the
+    # n-weighted adjusted means must average to the raw grand mean
+    n0, n1 = rows[0].n_v, rows[1].n_v
+    grand_raw = (rows[0].mean_y * n0 + rows[1].mean_y * n1) / (n0 + n1)
+    grand_adj = (rows[0].mean_y_cuped * n0 + rows[1].mean_y_cuped * n1) / (n0 + n1)
+    assert abs(grand_raw - grand_adj) / grand_raw < 1e-9
+
+
+def test_seasonal_indexes_average_to_one(spark):
+    rows = REGISTRY["q282_seasonal_index"].fn(spark, SF).collect()
+    assert len(rows) == 12
+    assert {r.month_of_year for r in rows} == set(range(1, 13))
+    mean_idx = sum(r.seasonal_index for r in rows) / 12.0
+    assert abs(mean_idx - 1.0) < 1e-12
+    for r in rows:
+        assert r.seasonal_index > 0
+        assert r.n_years >= 4
+
+
+def test_incremental_join_consistent_everywhere(spark):
+    rows = REGISTRY["q283_incremental_join_delta"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.consistent == 1
+        assert r.incremental_cents == r.recomputed_cents
