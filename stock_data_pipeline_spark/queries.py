@@ -18023,6 +18023,222 @@ def q283_incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 32 (round 3): link prediction, observability sampling, corpus
+# burstiness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q284_link_prediction",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), deg AS (
+        SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1
+    ), wedges AS (
+        SELECT e1.u AS u, e2.v AS v, CAST(COUNT(*) AS BIGINT) AS common
+        FROM e e1 JOIN e e2 ON e1.v = e2.u AND e1.u < e2.v
+        GROUP BY 1, 2
+    ), nonadj AS (
+        SELECT w.u, w.v, w.common
+        FROM wedges w
+        LEFT JOIN e ON e.u = w.u AND e.v = w.v
+        WHERE e.u IS NULL
+    )
+    SELECT u, v, common,
+           CAST(common AS DOUBLE)
+           / CAST(du.d + dv.d - common AS DOUBLE) AS neighbor_jaccard,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT n.*, du2.d AS dud, dv2.d AS dvd,
+               ROW_NUMBER() OVER (ORDER BY
+                   CAST(n.common AS DOUBLE) / CAST(du2.d + dv2.d - n.common AS DOUBLE) DESC,
+                   n.u, n.v) AS rnk
+        FROM nonadj n
+        JOIN deg du2 ON du2.node = n.u JOIN deg dv2 ON dv2.node = n.v
+    ) r
+    JOIN deg du ON du.node = r.u JOIN deg dv ON dv.node = r.v
+    WHERE rnk <= 20
+    """,
+    survey_ref="extension: link prediction by neighbor Jaccard — wedge "
+    "join counts common neighbors of NON-adjacent part pairs, degrees "
+    "broadcast back for |N(u)∪N(v)|, top-20 predicted links; the "
+    "graph-completion primitive (recommendation candidates, missing-"
+    "edge detection) on the q154/q155 wedge machinery",
+)
+def q284_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which part pairs SHOULD be co-purchased but aren't? Classic
+    neighborhood link prediction: common-neighbor counts come from one
+    wedge join (the q155 triangle shape — hub-degree bounded, salting
+    applies to hot hubs), existing edges anti-join away, and the
+    Jaccard |N∩|/|N∪| ranks candidates with deterministic ties. The
+    top of this list is simultaneously a recommendation candidate set
+    and a data-quality probe (a high-scoring missing edge is often a
+    catalog/keying error)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").cast("long").alias("d"))
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    wedges = (
+        e1.join(e2, (F.col("e1.v") == F.col("e2.u")) & (F.col("e1.u") < F.col("e2.v")))
+        .groupBy(F.col("e1.u").alias("u"), F.col("e2.v").alias("v"))
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    nonadj = wedges.join(e, ["u", "v"], "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dud"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dvd"))
+    scored = (
+        nonadj.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u", "v", "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("dud") + F.col("dvd") - F.col("common")).cast("double")
+            ).alias("neighbor_jaccard"),
+        )
+    )
+    w = Window.orderBy(F.col("neighbor_jaccard").desc(), "u", "v")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("u", "v", "common", "neighbor_jaccard", "rank")
+    )
+
+
+@register(
+    "q285_tail_sampling",
+    oracle=f"""
+    WITH policy AS (
+        SELECT event_type, value,
+               CASE WHEN event_type = 'error' THEN 1
+                    WHEN ({_mix31_sql("event_id")}) % 8 = 0 THEN 1
+                    ELSE 0 END AS kept,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 8 END AS inv_rate
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(kept * inv_rate) AS BIGINT) AS n_estimated,
+           CAST(SUM(CASE WHEN kept = 1
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * inv_rate
+                    ELSE 0 END) AS BIGINT) AS value_estimated_cents,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS value_true_cents
+    FROM policy GROUP BY 1
+    """,
+    survey_ref="extension: tail-based sampling policy — keep ALL error "
+    "events, hash-keep 1/8 of the rest, and report Horvitz-Thompson "
+    "scale-ups (counts and value) next to ground truth per type; the "
+    "observability/tracing retention pattern where rare-but-important "
+    "classes are never dropped and the rest stay statistically usable",
+)
+def q285_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trace-retention policy every telemetry pipeline runs: errors
+    are kept with probability 1, everything else is deterministically
+    hash-sampled at 1/8, and downstream aggregates multiply by the
+    inverse keep-rate (Horvitz-Thompson) — emitted here side-by-side
+    with the unsampled truth so the estimator's bias (zero) and noise
+    are auditable per event type. The keep decision is a pure row
+    expression (the q224 mixer), so the policy is reproducible and
+    join-stable across reprocessing — the property random sampling
+    lacks."""
+    ev = load_events(spark, sf_dir)
+    kept = F.when(F.col("event_type") == "error", 1).when(
+        F.pmod(_mix31_col(F.col("event_id")), F.lit(8).cast("long")) == 0, 1
+    ).otherwise(0)
+    inv_rate = F.when(F.col("event_type") == "error", 1).otherwise(8)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    policy = ev.select(
+        "event_type", kept.alias("kept"), inv_rate.alias("inv_rate"), cents.alias("cents")
+    )
+    return policy.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum(F.col("kept") * F.col("inv_rate")).cast("long").alias("n_estimated"),
+        F.sum(F.when(F.col("kept") == 1, F.col("cents") * F.col("inv_rate")).otherwise(0))
+        .cast("long")
+        .alias("value_estimated_cents"),
+        F.sum("cents").cast("long").alias("value_true_cents"),
+    )
+
+
+@register(
+    "q286_term_burstiness",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+        FROM documents
+    ), per_doc AS (
+        SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+    ), stats AS (
+        SELECT tok,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(c) AS BIGINT) AS total,
+               CAST(SUM(c * c) AS BIGINT) AS sum_c2
+        FROM per_doc GROUP BY 1
+    )
+    SELECT tok, df, total,
+           (CAST(df AS DOUBLE) * CAST(sum_c2 AS DOUBLE)
+            - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+           / (CAST(df AS DOUBLE) * CAST(total AS DOUBLE)) AS burstiness,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY total DESC, tok) AS rnk FROM stats
+    ) WHERE rnk <= 20
+    """,
+    survey_ref="extension: term burstiness (Fano factor of within-doc "
+    "counts) — var/mean per term from exact integer (df, Σc, Σc²), "
+    "top-20 by volume; bursty terms (VMR ≫ 1) are content-"
+    "bearing, uniform terms are function words — the corpus statistic "
+    "TF-IDF (q56) approximates and stopword heuristics (q31) assume",
+)
+def q286_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which terms clump? Burstiness = variance-to-mean ratio of a
+    term's per-document counts (over documents containing it): VMR ≈ 1
+    is Poisson scatter (function words), VMR ≫ 1 means the term
+    concentrates in few documents (content words, boilerplate runs).
+    Exact integers (df, Σc, Σc²) per term; one double expression.
+    This is the statistical backbone under TF-IDF's usefulness and a
+    cheap screen for template/boilerplate contamination (extremely
+    bursty high-volume terms)."""
+    doc = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        doc.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    stats = per_doc.groupBy("tok").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    burst = (
+        F.col("df").cast("double") * F.col("sum_c2").cast("double")
+        - F.col("total").cast("double") * F.col("total").cast("double")
+    ) / (F.col("df").cast("double") * F.col("total").cast("double"))
+    w = Window.orderBy(F.col("total").desc(), "tok")
+    return (
+        stats.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("tok", "df", "total", burst.alias("burstiness"), "rank")
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

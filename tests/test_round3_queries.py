@@ -1618,3 +1618,51 @@ def test_incremental_join_consistent_everywhere(spark):
     for r in rows:
         assert r.consistent == 1
         assert r.incremental_cents == r.recomputed_cents
+
+
+# --- batch 32 -------------------------------------------------------------
+
+
+def test_link_prediction_candidates_are_nonadjacent(spark):
+    from stock_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey").distinct().collect()
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        for u in parts:
+            for v in parts:
+                if u != v:
+                    edges.add((u, v))
+    rows = REGISTRY["q284_link_prediction"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r.u, r.v) not in edges  # predicted links must be missing
+        assert 0.0 < r.neighbor_jaccard <= 1.0
+        assert r.common >= 1
+
+
+def test_tail_sampling_errors_never_dropped(spark):
+    rows = {r.event_type: r for r in REGISTRY["q285_tail_sampling"].fn(spark, SF).collect()}
+    err = rows["error"]
+    assert err.n_kept == err.n_true  # errors keep everything
+    assert err.n_estimated == err.n_true
+    assert err.value_estimated_cents == err.value_true_cents
+    for t, r in rows.items():
+        if t != "error":
+            assert r.n_kept < r.n_true
+            # HT estimate within sampling noise (1/8 rate, ~2k rows)
+            assert abs(r.n_estimated - r.n_true) / r.n_true < 0.35
+
+
+def test_burstiness_of_uniform_synthetic_vocab_near_poisson(spark):
+    rows = REGISTRY["q286_term_burstiness"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.burstiness >= 0.0
+        assert r.df > 0 and r.total >= r.df
