@@ -18239,6 +18239,155 @@ def q286_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 33 (round 3): SRE alerting, causal inference
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q287_slo_burn_rate",
+    oracle="""
+    WITH hourly AS (
+        SELECT epoch_us(ts) // 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+        FROM events GROUP BY 1
+    ), windows AS (
+        SELECT h, n, errs,
+               CAST(SUM(n) OVER w6 AS BIGINT) AS n6,
+               CAST(SUM(errs) OVER w6 AS BIGINT) AS errs6
+        FROM hourly
+        WINDOW w6 AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT h AS hour_index, n, errs, n6, errs6,
+           CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) / 0.25 AS burn_1h,
+           CAST(errs6 AS DOUBLE) / CAST(n6 AS DOUBLE) / 0.25 AS burn_6h,
+           CASE WHEN CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) / 0.25 > 1.0
+                 AND CAST(errs6 AS DOUBLE) / CAST(n6 AS DOUBLE) / 0.25 > 1.0
+                THEN 1 ELSE 0 END AS page_alert
+    FROM windows
+    """,
+    survey_ref="extension: multiwindow SLO burn-rate alerting (the "
+    "Google-SRE pattern) — hourly error rate over a 25% error budget, "
+    "1h and 6h burn rates from exact integer counts (the 6h frame is a "
+    "RANGE window on the integer hour index, correct across gaps), "
+    "page only when BOTH windows burn >1×; the alert-fatigue-free "
+    "rule a streaming monitor would evaluate per micro-batch",
+)
+def q287_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """When should the error rate page a human? Multiwindow burn-rate:
+    the 1-hour rate catches fast burns, the 6-hour rate ignores
+    blips, and paging requires BOTH above the budget (error SLO 25%
+    here). Counts stay exact integers; the 6-hour frame is a RANGE
+    window over the integer hour index so missing hours don't shrink
+    the lookback (a ROWS frame silently would). The hourly aggregate
+    is the only data-sized shuffle; the windows run over the tiny
+    per-hour frame — and the same rule drops into
+    streaming/events.py's tumbling aggregate for live paging."""
+    ev = load_events(spark, sf_dir)
+    h = (
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.pmod(F.unix_micros(F.col("ts").cast("timestamp")), F.lit(3_600_000_000)))
+        / 3_600_000_000
+    ).cast("long")
+    hourly = ev.groupBy(h.alias("h")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).cast("long").alias("errs"),
+    )
+    w6 = Window.orderBy("h").rangeBetween(-5, 0)
+    windows = hourly.select(
+        "h", "n", "errs",
+        F.sum("n").over(w6).cast("long").alias("n6"),
+        F.sum("errs").over(w6).cast("long").alias("errs6"),
+    )
+    burn1 = F.col("errs").cast("double") / F.col("n").cast("double") / 0.25
+    burn6 = F.col("errs6").cast("double") / F.col("n6").cast("double") / 0.25
+    return windows.select(
+        F.col("h").alias("hour_index"), "n", "errs", "n6", "errs6",
+        burn1.alias("burn_1h"),
+        burn6.alias("burn_6h"),
+        F.when((burn1 > 1.0) & (burn6 > 1.0), 1).otherwise(0).alias("page_alert"),
+    )
+
+
+@register(
+    "q288_diff_in_diff",
+    oracle="""
+    WITH tagged AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treated,
+               CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 1997 THEN 1 ELSE 0 END AS post,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE EXTRACT(YEAR FROM o.o_orderdate) IN (1996, 1997)
+    ), cells AS (
+        SELECT treated, post, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+        FROM tagged GROUP BY 1, 2
+    ), means AS (
+        SELECT MAX(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS t_post,
+               MAX(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS t_pre,
+               MAX(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS c_post,
+               MAX(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS c_pre,
+               CAST(SUM(n) AS BIGINT) AS n_total
+        FROM cells
+    )
+    SELECT n_total, t_pre, t_post, c_pre, c_post,
+           (t_post - t_pre) - (c_post - c_pre) AS did_estimate_cents
+    FROM means
+    """,
+    survey_ref="extension: difference-in-differences — 2×2 "
+    "(treated/control × pre/post) cell means from exact integer sums, "
+    "the parallel-trends-adjusted effect in one closed form; the "
+    "quasi-experimental estimator for when hash randomization (q247/"
+    "q281) wasn't possible",
+)
+def q288_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What did 'treatment' (being a BUILDING-segment customer) do to
+    order values between 1996 and 1997, net of the market-wide shift?
+    Difference-in-differences: (treated post − pre) − (control post −
+    pre) cancels both time-invariant group differences and the common
+    trend. Four cells, each an exact integer (sum, count); four
+    divisions and three subtractions finish it. This is the estimator
+    for rollouts you could NOT randomize — geography launches, policy
+    changes — complementing the randomized toolkit (q141 lift, q247
+    SRM, q281 CUPED)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tagged = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            (F.col("c_mktsegment") == "BUILDING").cast("int").alias("treated"),
+            (F.year("o_orderdate") == 1997).cast("int").alias("post"),
+            (_dec("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    cells = tagged.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n"), F.sum("cents").cast("long").alias("s")
+    )
+
+    def cell_mean(tr: int, po: int) -> F.Column:
+        return F.max(
+            F.when(
+                (F.col("treated") == tr) & (F.col("post") == po),
+                F.col("s").cast("double") / F.col("n"),
+            )
+        )
+
+    means = cells.agg(
+        cell_mean(1, 1).alias("t_post"),
+        cell_mean(1, 0).alias("t_pre"),
+        cell_mean(0, 1).alias("c_post"),
+        cell_mean(0, 0).alias("c_pre"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return means.select(
+        "n_total", "t_pre", "t_post", "c_pre", "c_post",
+        (
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did_estimate_cents"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -1666,3 +1666,29 @@ def test_burstiness_of_uniform_synthetic_vocab_near_poisson(spark):
     for r in rows:
         assert r.burstiness >= 0.0
         assert r.df > 0 and r.total >= r.df
+
+
+# --- batch 33 -------------------------------------------------------------
+
+
+def test_burn_rate_alert_requires_both_windows(spark):
+    rows = REGISTRY["q287_slo_burn_rate"].fn(spark, SF).collect()
+    assert rows
+    n_alerts = 0
+    for r in rows:
+        assert r.n6 >= r.n  # 6h window contains the hour
+        assert r.errs6 >= r.errs
+        both = r.burn_1h > 1.0 and r.burn_6h > 1.0
+        assert r.page_alert == (1 if both else 0)
+        n_alerts += r.page_alert
+    # 20% base error rate vs 25% budget: alerts fire sometimes, not always
+    assert 0 < n_alerts < len(rows)
+
+
+def test_did_identity_from_cell_means(spark):
+    r = REGISTRY["q288_diff_in_diff"].fn(spark, SF).collect()[0]
+    assert r.n_total > 0
+    expected = (r.t_post - r.t_pre) - (r.c_post - r.c_pre)
+    assert r.did_estimate_cents == expected
+    for v in (r.t_pre, r.t_post, r.c_pre, r.c_post):
+        assert v > 0
