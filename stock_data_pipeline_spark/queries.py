@@ -18388,6 +18388,238 @@ def q288_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 34 (round 3): schema profiling — FD / IND / pattern discovery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q289_fd_discovery",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM customer
+    ), cands AS (
+        SELECT 'c_custkey->c_nationkey' AS fd,
+               (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM c) AS n_lhs,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT DISTINCT c_custkey, c_nationkey FROM c)) AS n_pair
+        UNION ALL
+        SELECT 'c_nationkey->c_mktsegment',
+               (SELECT COUNT(DISTINCT c_nationkey) FROM c),
+               (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM c))
+        UNION ALL
+        SELECT 'c_mktsegment->c_nationkey',
+               (SELECT COUNT(DISTINCT c_mktsegment) FROM c),
+               (SELECT COUNT(*) FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM c))
+        UNION ALL
+        SELECT 'cents->c_mktsegment',
+               (SELECT COUNT(DISTINCT cents) FROM c),
+               (SELECT COUNT(*) FROM (SELECT DISTINCT cents, c_mktsegment FROM c))
+    )
+    SELECT fd, n_lhs, n_pair,
+           CASE WHEN n_lhs = n_pair THEN 1 ELSE 0 END AS fd_holds,
+           n_pair - n_lhs AS n_violating_lhs_expansions
+    FROM cands
+    """,
+    survey_ref="extension: functional-dependency discovery — the "
+    "Metanome-style profiling test |π(LHS)| = |π(LHS,RHS)| for "
+    "candidate FDs (key→attr holds, low-card→low-card mostly doesn't); "
+    "discovers CANDIDATE constraints where q240 checks declared ones; "
+    "each test is two distinct-counts, shuffle ∝ distinct values",
+)
+def q289_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which functional dependencies actually hold in the data? An FD
+    LHS→RHS holds iff the distinct count of LHS equals the distinct
+    count of (LHS, RHS) — no LHS value maps to two RHS values. Four
+    candidates are profiled: the key-to-attribute FD (holds by
+    definition), two low-cardinality cross-FDs (fail — every nation
+    sees every segment), and a near-key (balance cents, which at this
+    density is almost unique, so it nearly determines anything). The
+    violation count n_pair − n_lhs says HOW broken a candidate is —
+    the signal schema-inference and normalization advisors rank by."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        (_dec("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+
+    def cand(name: str, lhs: list[str], rhs: str) -> DataFrame:
+        left = c.select(*lhs).distinct().agg(F.count("*").cast("long").alias("n_lhs"))
+        pair = (
+            c.select(*lhs, rhs).distinct().agg(F.count("*").cast("long").alias("n_pair"))
+        )
+        return (
+            left.crossJoin(F.broadcast(pair))
+            .select(
+                F.lit(name).alias("fd"),
+                "n_lhs",
+                "n_pair",
+                F.when(F.col("n_lhs") == F.col("n_pair"), 1).otherwise(0).alias("fd_holds"),
+                (F.col("n_pair") - F.col("n_lhs")).alias("n_violating_lhs_expansions"),
+            )
+        )
+
+    out = cand("c_custkey->c_nationkey", ["c_custkey"], "c_nationkey")
+    out = out.unionByName(cand("c_nationkey->c_mktsegment", ["c_nationkey"], "c_mktsegment"))
+    out = out.unionByName(cand("c_mktsegment->c_nationkey", ["c_mktsegment"], "c_nationkey"))
+    out = out.unionByName(cand("cents->c_mktsegment", ["cents"], "c_mktsegment"))
+    return out
+
+
+@register(
+    "q290_ind_discovery",
+    oracle="""
+    WITH cands AS (
+        SELECT 'lineitem.l_orderkey ⊆ orders.o_orderkey' AS ind,
+               (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS n_child,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                   SELECT DISTINCT l_orderkey FROM lineitem
+                   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))) AS n_outside
+        UNION ALL
+        SELECT 'orders.o_custkey ⊆ customer.c_custkey',
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+               (SELECT COUNT(*) FROM (
+                   SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+        UNION ALL
+        SELECT 'customer.c_custkey ⊆ orders.o_custkey',
+               (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+               (SELECT COUNT(*) FROM (
+                   SELECT DISTINCT c_custkey FROM customer
+                   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)))
+        UNION ALL
+        SELECT 'supplier.s_suppkey ⊆ lineitem.l_suppkey',
+               (SELECT COUNT(DISTINCT s_suppkey) FROM supplier),
+               (SELECT COUNT(*) FROM (
+                   SELECT DISTINCT s_suppkey FROM supplier
+                   WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem)))
+    )
+    SELECT ind, n_child, n_outside,
+           CASE WHEN n_outside = 0 THEN 1 ELSE 0 END AS ind_holds
+    FROM cands
+    """,
+    survey_ref="extension: inclusion-dependency discovery — candidate "
+    "value-set containments tested by distinct anti-join counts "
+    "(true FK directions hold; the reverse direction 'every customer "
+    "has ordered' is a DATA fact, not a constraint — profiling "
+    "distinguishes them); how FK candidates are MINED before q240 "
+    "can enforce them",
+)
+def q290_ind_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which column containments hold — i.e., where COULD foreign keys
+    exist? An inclusion dependency A ⊆ B holds iff no distinct A value
+    escapes B (one distinct + one anti-join per candidate). The four
+    probes include both true FK directions and the reverse containment
+    customer ⊆ orders-customers, which holds only if every customer
+    has ordered — a data coincidence profiling must surface as
+    'holds today' rather than 'constraint'. Distinct-value anti-joins
+    keep the cost ∝ distinct keys, not rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def cand(name: str, child: DataFrame, ccol: str, parent: DataFrame, pcol: str) -> DataFrame:
+        ch = child.select(F.col(ccol).alias("v")).distinct()
+        pa = parent.select(F.col(pcol).alias("v")).distinct()
+        n_child = ch.agg(F.count("*").cast("long").alias("n_child"))
+        n_out = ch.join(pa, "v", "left_anti").agg(
+            F.count("*").cast("long").alias("n_outside")
+        )
+        return n_child.crossJoin(F.broadcast(n_out)).select(
+            F.lit(name).alias("ind"),
+            "n_child",
+            "n_outside",
+            F.when(F.col("n_outside") == 0, 1).otherwise(0).alias("ind_holds"),
+        )
+
+    out = cand("lineitem.l_orderkey ⊆ orders.o_orderkey", li, "l_orderkey", o, "o_orderkey")
+    out = out.unionByName(
+        cand("orders.o_custkey ⊆ customer.c_custkey", o, "o_custkey", c, "c_custkey")
+    )
+    out = out.unionByName(
+        cand("customer.c_custkey ⊆ orders.o_custkey", c, "c_custkey", o, "o_custkey")
+    )
+    out = out.unionByName(
+        cand("supplier.s_suppkey ⊆ lineitem.l_suppkey", s, "s_suppkey", li, "l_suppkey")
+    )
+    return out
+
+
+@register(
+    "q291_pattern_profile",
+    oracle="""
+    WITH masked AS (
+        SELECT 'c_name' AS col,
+               regexp_replace(regexp_replace(regexp_replace(c_name,
+                   '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'), '[A-Z]', 'A', 'g') AS pattern
+        FROM customer
+        UNION ALL
+        SELECT 'o_orderpriority',
+               regexp_replace(regexp_replace(regexp_replace(o_orderpriority,
+                   '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'), '[A-Z]', 'A', 'g')
+        FROM orders
+        UNION ALL
+        SELECT 'p_name',
+               regexp_replace(regexp_replace(regexp_replace(p_name,
+                   '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'), '[A-Z]', 'A', 'g')
+        FROM part
+    )
+    SELECT col, pattern, CAST(cnt AS BIGINT) AS n_rows, CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT col, pattern, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY col ORDER BY COUNT(*) DESC, pattern) AS rnk
+        FROM masked GROUP BY 1, 2
+    )
+    WHERE rnk <= 5
+    """,
+    survey_ref="extension: value-pattern profiling — character-class "
+    "masks (digits→9, lower→a, upper→A) reveal each column's format "
+    "signature(s); one dominant pattern = well-formed, a long tail = "
+    "dirty data; the shape discovery that seeds validation regexes "
+    "(q98's expectations) and PII detectors (q65)",
+)
+def q291_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What formats live in each string column? Masking characters to
+    their classes (digits→9, lowercase→a, uppercase→A) collapses
+    values to shape signatures: 'Customer#000000042' →
+    'Aaaaaaaa#999999999'. One mask projection + one groupBy per
+    column; the top-5 patterns per column expose format uniformity or
+    dirt immediately. This is how profilers bootstrap validation
+    rules — the discovered dominant mask becomes the q98 expectation
+    regex."""
+
+    def mask(col: str) -> F.Column:
+        return F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(F.col(col), "[0-9]", "9"), "[a-z]", "a"),
+            "[A-Z]",
+            "A",
+        )
+
+    parts = [
+        load_table(spark, sf_dir, "customer").select(
+            F.lit("c_name").alias("col"), mask("c_name").alias("pattern")
+        ),
+        load_table(spark, sf_dir, "orders").select(
+            F.lit("o_orderpriority").alias("col"), mask("o_orderpriority").alias("pattern")
+        ),
+        load_table(spark, sf_dir, "part").select(
+            F.lit("p_name").alias("col"), mask("p_name").alias("pattern")
+        ),
+    ]
+    masked = parts[0]
+    for prt in parts[1:]:
+        masked = masked.unionByName(prt)
+    counts = masked.groupBy("col", "pattern").agg(F.count("*").cast("long").alias("n_rows"))
+    w = Window.partitionBy("col").orderBy(F.col("n_rows").desc(), "pattern")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("col", "pattern", "n_rows", "rank")
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -1692,3 +1692,35 @@ def test_did_identity_from_cell_means(spark):
     assert r.did_estimate_cents == expected
     for v in (r.t_pre, r.t_post, r.c_pre, r.c_post):
         assert v > 0
+
+
+# --- batch 34 -------------------------------------------------------------
+
+
+def test_fd_discovery_key_fd_holds_crossfd_fails(spark):
+    rows = {r.fd: r for r in REGISTRY["q289_fd_discovery"].fn(spark, SF).collect()}
+    assert rows["c_custkey->c_nationkey"].fd_holds == 1  # key determines all
+    assert rows["c_nationkey->c_mktsegment"].fd_holds == 0
+    for r in rows.values():
+        assert r.n_pair >= r.n_lhs
+        assert r.fd_holds == (1 if r.n_pair == r.n_lhs else 0)
+
+
+def test_ind_discovery_fk_directions_hold(spark):
+    rows = {r.ind: r for r in REGISTRY["q290_ind_discovery"].fn(spark, SF).collect()}
+    assert rows["lineitem.l_orderkey ⊆ orders.o_orderkey"].ind_holds == 1
+    assert rows["orders.o_custkey ⊆ customer.c_custkey"].ind_holds == 1
+    for r in rows.values():
+        assert r.n_outside >= 0
+        assert r.ind_holds == (1 if r.n_outside == 0 else 0)
+
+
+def test_pattern_profile_uniform_generated_columns(spark):
+    rows = REGISTRY["q291_pattern_profile"].fn(spark, SF).collect()
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r.col, []).append(r)
+    # generated data is perfectly uniform: ONE pattern per column
+    assert len(by_col["c_name"]) == 1
+    assert by_col["c_name"][0].pattern == "Aaaaaaaa#999999999"
+    assert len(by_col["o_orderpriority"]) <= 5
