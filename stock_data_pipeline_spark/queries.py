@@ -18620,6 +18620,195 @@ def q291_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 35 (round 3): financial controls, aggregation-reversal audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q292_duplicate_payments",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    )
+    SELECT a.o_custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           CAST(abs(a.cents - b.cents) AS BIGINT) AS cents_apart,
+           CAST(b.d - a.d AS BIGINT) AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND b.d - a.d BETWEEN -2 AND 2
+     AND abs(a.cents - b.cents) <= 5000000
+    """,
+    survey_ref="extension: duplicate-payment detection — same payer, "
+    "similar amount (±$50k band), within ±2 days, different document "
+    "key; the Spark plan equi-joins on (customer, amount bucket) with "
+    "a 3-bucket neighborhood explode (the q81/q232 banding trick in "
+    "1-D) so candidates never leave the block — the accounts-payable "
+    "control every audit runs",
+)
+def q292_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accounts-payable double-pay control: two different orders
+    from the same customer for a similar amount (within $50k) within
+    two days are flagged as suspected duplicates. The plan turns the
+    amount band into an equi-join: bucket = cents div bandwidth, one
+    side explodes to its {-1, 0, +1} neighbor buckets (constant 3×),
+    the join key is (customer, bucket), and exact predicates refine —
+    the 1-D version of the q232 spatial cell join, so candidate pairs
+    stay block-local instead of per-customer-quadratic. Exact cents
+    make the tolerance well-defined; the oracle brute-forces the same
+    answer with a plain theta-join, proving the banding lossless."""
+    band = 5_000_000
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        (_dec("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    bucket = ((F.col("cents") - F.pmod(F.col("cents"), F.lit(band))) / band).cast("long")
+    a = (
+        o.withColumn("bk", bucket)
+        .select(
+            "o_orderkey", "o_custkey", "cents", "d",
+            F.explode(
+                F.array(F.col("bk") - 1, F.col("bk"), F.col("bk") + 1)
+            ).alias("jb"),
+        )
+        .alias("a")
+    )
+    b = o.withColumn("jb", bucket).alias("b")
+    dd = F.datediff(F.col("b.d"), F.col("a.d"))
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.jb") == F.col("b.jb"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(
+            dd.between(-2, 2)
+            & (F.abs(F.col("a.cents") - F.col("b.cents")) <= band)
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderkey").alias("key_a"),
+            F.col("b.o_orderkey").alias("key_b"),
+            F.abs(F.col("a.cents") - F.col("b.cents")).cast("long").alias("cents_apart"),
+            dd.cast("long").alias("days_apart"),
+        )
+    )
+
+
+@register(
+    "q293_simpson_paradox",
+    oracle="""
+    WITH tagged AS (
+        SELECT c.c_mktsegment,
+               CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) = 1997 THEN 1 ELSE 0 END AS post,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urgent
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE EXTRACT(YEAR FROM o.o_orderdate) IN (1996, 1997)
+    ), seg AS (
+        SELECT c_mktsegment,
+               CAST(SUM(CASE WHEN post = 1 THEN urgent ELSE 0 END) AS BIGINT) AS k1,
+               CAST(SUM(post) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN post = 0 THEN urgent ELSE 0 END) AS BIGINT) AS k0,
+               CAST(SUM(1 - post) AS BIGINT) AS n0
+        FROM tagged GROUP BY 1
+    ), marked AS (
+        SELECT c_mktsegment, k1, n1, k0, n0,
+               -- integer cross-product sign of (k1/n1 - k0/n0)
+               CASE WHEN k1 * n0 > k0 * n1 THEN 1
+                    WHEN k1 * n0 < k0 * n1 THEN -1 ELSE 0 END AS seg_direction
+        FROM seg
+    ), pooled AS (
+        SELECT CAST(SUM(k1) AS BIGINT) AS k1, CAST(SUM(n1) AS BIGINT) AS n1,
+               CAST(SUM(k0) AS BIGINT) AS k0, CAST(SUM(n0) AS BIGINT) AS n0
+        FROM seg
+    )
+    SELECT m.c_mktsegment,
+           CAST(m.seg_direction AS BIGINT) AS seg_direction,
+           CAST(CASE WHEN p.k1 * p.n0 > p.k0 * p.n1 THEN 1
+                     WHEN p.k1 * p.n0 < p.k0 * p.n1 THEN -1 ELSE 0 END AS BIGINT)
+               AS pooled_direction,
+           CASE WHEN m.seg_direction <> 0
+                 AND m.seg_direction <> (CASE WHEN p.k1 * p.n0 > p.k0 * p.n1 THEN 1
+                                              WHEN p.k1 * p.n0 < p.k0 * p.n1 THEN -1
+                                              ELSE 0 END)
+                THEN 1 ELSE 0 END AS reversed
+    FROM marked m CROSS JOIN pooled p
+    """,
+    survey_ref="extension: Simpson's-paradox audit — per-segment vs "
+    "pooled direction of the urgent-rate year-over-year change, "
+    "directions decided by INTEGER cross-products (k1·n0 vs k0·n1 — "
+    "no rate division, no float ties); flags segments whose trend "
+    "reverses under aggregation, the classic trap q288-style "
+    "comparisons must check before trusting a pooled readout",
+)
+def q293_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the pooled trend lie? For each segment, the direction of
+    the 1996→1997 urgent-rate change is compared with the pooled
+    direction — computed without ever forming a rate: k₁/n₁ vs k₀/n₀
+    compares as the integer cross-product k₁·n₀ vs k₀·n₁, so the
+    audit is exact even when rates differ in the 10th decimal. A
+    'reversed' row is Simpson's paradox in the wild: the aggregation
+    direction every per-segment reader would dispute. Run this before
+    quoting any pooled before/after delta (q288's DiD included)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tagged = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            "c_mktsegment",
+            (F.year("o_orderdate") == 1997).cast("long").alias("post"),
+            (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("urgent"),
+        )
+    )
+    seg = tagged.groupBy("c_mktsegment").agg(
+        F.sum(F.when(F.col("post") == 1, F.col("urgent")).otherwise(0))
+        .cast("long")
+        .alias("k1"),
+        F.sum("post").cast("long").alias("n1"),
+        F.sum(F.when(F.col("post") == 0, F.col("urgent")).otherwise(0))
+        .cast("long")
+        .alias("k0"),
+        F.sum(1 - F.col("post")).cast("long").alias("n0"),
+    )
+
+    def direction(k1, n1, k0, n0):
+        return (
+            F.when(k1 * n0 > k0 * n1, 1).when(k1 * n0 < k0 * n1, -1).otherwise(0)
+        )
+
+    marked = seg.withColumn(
+        "seg_direction",
+        direction(F.col("k1"), F.col("n1"), F.col("k0"), F.col("n0")).cast("long"),
+    )
+    pooled = seg.agg(
+        F.sum("k1").cast("long").alias("pk1"),
+        F.sum("n1").cast("long").alias("pn1"),
+        F.sum("k0").cast("long").alias("pk0"),
+        F.sum("n0").cast("long").alias("pn0"),
+    )
+    joined = marked.crossJoin(F.broadcast(pooled))
+    pooled_dir = direction(F.col("pk1"), F.col("pn1"), F.col("pk0"), F.col("pn0")).cast(
+        "long"
+    )
+    return joined.select(
+        "c_mktsegment",
+        "seg_direction",
+        pooled_dir.alias("pooled_direction"),
+        F.when(
+            (F.col("seg_direction") != 0) & (F.col("seg_direction") != pooled_dir), 1
+        )
+        .otherwise(0)
+        .alias("reversed"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

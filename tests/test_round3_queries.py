@@ -1724,3 +1724,47 @@ def test_pattern_profile_uniform_generated_columns(spark):
     assert len(by_col["c_name"]) == 1
     assert by_col["c_name"][0].pattern == "Aaaaaaaa#999999999"
     assert len(by_col["o_orderpriority"]) <= 5
+
+
+# --- batch 35 -------------------------------------------------------------
+
+
+def test_duplicate_payments_banding_is_lossless(spark):
+    from stock_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    import stock_data_pipeline_spark.queries as Q
+
+    rows = REGISTRY["q292_duplicate_payments"].fn(spark, SF).collect()
+    got = {(r.key_a, r.key_b) for r in rows}
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey",
+        (Q._dec("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).collect()
+    brute = set()
+    from collections import defaultdict
+
+    by_cust = defaultdict(list)
+    for r in o:
+        by_cust[r.o_custkey].append(r)
+    for rs in by_cust.values():
+        for i, x in enumerate(rs):
+            for y in rs[i + 1 :]:
+                a, b = (x, y) if x.o_orderkey < y.o_orderkey else (y, x)
+                if abs((b.d - a.d).days) <= 2 and abs(a.cents - b.cents) <= 5_000_000:
+                    brute.add((a.o_orderkey, b.o_orderkey))
+    assert got == brute
+    assert len(got) > 0  # the control actually fires on this data
+    for r in rows:
+        assert abs(r.days_apart) <= 2 and r.cents_apart <= 5_000_000
+
+
+def test_simpson_directions_consistent(spark):
+    rows = REGISTRY["q293_simpson_paradox"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    pooled = {r.pooled_direction for r in rows}
+    assert len(pooled) == 1  # same pooled direction on every row
+    for r in rows:
+        assert r.seg_direction in (-1, 0, 1)
+        expect_rev = 1 if (r.seg_direction != 0 and r.seg_direction != r.pooled_direction) else 0
+        assert r.reversed == expect_rev
