@@ -18809,6 +18809,278 @@ def q293_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 36 (round 3): graph partition quality, network robustness,
+# conformal prediction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q294_modularity",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), comm AS (
+        SELECT p_partkey, split_part(p_name, ' ', 2) AS c FROM part
+    ), labeled AS (
+        SELECT cu.c AS cu, cv.c AS cv
+        FROM e JOIN comm cu ON cu.p_partkey = e.u
+               JOIN comm cv ON cv.p_partkey = e.v
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM labeled  -- directed edge count = 2m
+    ), per_comm AS (
+        SELECT cu AS c,
+               CAST(SUM(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS BIGINT) AS e_in,
+               CAST(COUNT(*) AS BIGINT) AS deg_sum
+        FROM labeled GROUP BY 1
+    )
+    SELECT p.c AS community, p.e_in, p.deg_sum,
+           CAST(p.e_in AS DOUBLE) / CAST(t.m2 AS DOUBLE)
+           - (CAST(p.deg_sum AS DOUBLE) / CAST(t.m2 AS DOUBLE))
+             * (CAST(p.deg_sum AS DOUBLE) / CAST(t.m2 AS DOUBLE)) AS q_contribution
+    FROM per_comm p CROSS JOIN m t
+    """,
+    survey_ref="extension: graph modularity of a labeled partition — "
+    "per-community Q contribution e_in/2m − (deg_sum/2m)² over the "
+    "co-purchase graph with part-noun communities; exact integer edge "
+    "and degree masses, two divisions per community; the partition-"
+    "quality score community-detection algorithms (q235's cores, "
+    "q265's clusters) are judged by",
+)
+def q294_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the part-noun grouping a real community structure on the
+    co-purchase graph? Newman modularity decomposes per community:
+    Q_c = (within-community edge mass) − (expected mass at the same
+    degrees). All masses are exact integers from one labeled-edge
+    aggregate (labels broadcast onto both endpoints); Q_c > 0 means
+    the community holds more of its edges than chance. Σ Q_c is the
+    scalar every clustering paper reports — here it's auditable per
+    community, and on this deliberately structure-free synthetic
+    graph it hovers near zero (the honest null result)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    comm = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("c")
+    )
+    cu = comm.select(F.col("p_partkey").alias("u"), F.col("c").alias("cu"))
+    cv = comm.select(F.col("p_partkey").alias("v"), F.col("c").alias("cv"))
+    labeled = e.join(F.broadcast(cu), "u").join(F.broadcast(cv), "v")
+    m = labeled.agg(F.count("*").cast("long").alias("m2"))
+    per_comm = labeled.groupBy(F.col("cu").alias("community")).agg(
+        F.sum((F.col("cu") == F.col("cv")).cast("long")).cast("long").alias("e_in"),
+        F.count("*").cast("long").alias("deg_sum"),
+    )
+    md = F.col("m2").cast("double")
+    return per_comm.crossJoin(F.broadcast(m)).select(
+        "community", "e_in", "deg_sum",
+        (
+            F.col("e_in").cast("double") / md
+            - (F.col("deg_sum").cast("double") / md) * (F.col("deg_sum").cast("double") / md)
+        ).alias("q_contribution"),
+    )
+
+
+@register(
+    "q295_giant_component",
+    oracle="""
+    WITH RECURSIVE pts AS (
+        SELECT c_custkey AS k,
+               ({mix_x}) % 4096 AS x,
+               ({mix_y}) % 4096 AS y
+        FROM customer
+    ), cells AS (
+        SELECT k, x, y, x // 64 AS cx, y // 64 AS cy FROM pts
+    ), probe AS (
+        SELECT c.k, c.x, c.y, c.cx + dx.d AS ncx, c.cy + dy.d AS ncy
+        FROM cells c
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    ), pairs AS (
+        SELECT a.k AS u, b.k AS v
+        FROM probe a JOIN cells b ON a.ncx = b.cx AND a.ncy = b.cy
+        WHERE a.k < b.k AND abs(a.x - b.x) <= 64 AND abs(a.y - b.y) <= 64
+    ), edges AS (
+        SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ), reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), labels AS (
+        SELECT u AS k, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+    ), sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz FROM labels GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM pts
+    )
+    SELECT t.n_points,
+           CAST((SELECT COUNT(*) FROM labels) AS BIGINT) AS n_connected,
+           CAST((SELECT COUNT(*) FROM sizes) AS BIGINT) AS n_components,
+           CAST((SELECT MAX(sz) FROM sizes) AS BIGINT) AS giant_size,
+           CAST((SELECT MAX(sz) FROM sizes) AS DOUBLE) / CAST(t.n_points AS DOUBLE)
+               AS giant_fraction
+    FROM tot t
+    """.format(
+        mix_x=_mix31_sql("c_custkey"), mix_y=_mix31_sql("c_custkey + 1000003")
+    ),
+    survey_ref="extension: giant-component analysis — component sizes of "
+    "the q232 proximity graph via connected components; the largest-"
+    "component fraction is THE percolation/robustness statistic "
+    "(is the network one blob or fragments?), sitting on the q66 CC "
+    "driver + recursive-CTE oracle",
+)
+def q295_giant_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the proximity network one connected mass or scattered
+    islands? Component sizes of the q232 radius graph (cell-join edge
+    generation, checkpointed CC labeling), then: points, points with
+    any neighbor, component count, largest-component size and its
+    fraction of all points — the order parameter of percolation
+    theory and the first number asked of any network ('is it
+    connected?'). Density here sits near the 2-D percolation
+    threshold, so the giant fraction is genuinely informative rather
+    than trivially 1.0."""
+    from stock_data_pipeline_spark.llm.dedup import connected_components
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.pmod(_mix31_col(F.col("c_custkey")), F.lit(4096).cast("long")).alias("x"),
+        F.pmod(_mix31_col(F.col("c_custkey") + 1000003), F.lit(4096).cast("long")).alias("y"),
+    )
+    cells = pts.select(
+        "k", "x", "y",
+        ((F.col("x") - F.pmod(F.col("x"), F.lit(64))) / 64).cast("long").alias("cx"),
+        ((F.col("y") - F.pmod(F.col("y"), F.lit(64))) / 64).cast("long").alias("cy"),
+    )
+    offsets = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    probe = cells.select("k", "x", "y", "cx", "cy", F.explode(offsets).alias("o")).select(
+        "k", "x", "y",
+        (F.col("cx") + F.col("o.dx")).alias("ncx"),
+        (F.col("cy") + F.col("o.dy")).alias("ncy"),
+    ).alias("a")
+    b = cells.alias("b")
+    pairs = (
+        probe.join(b, (F.col("a.ncx") == F.col("b.cx")) & (F.col("a.ncy") == F.col("b.cy")))
+        .filter(
+            (F.col("a.k") < F.col("b.k"))
+            & (F.abs(F.col("a.x") - F.col("b.x")) <= 64)
+            & (F.abs(F.col("a.y") - F.col("b.y")) <= 64)
+        )
+        .select(F.col("a.k").alias("id_a"), F.col("b.k").alias("id_b"))
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").cast("long").alias("sz"))
+    tot = pts.agg(F.count("*").cast("long").alias("n_points"))
+    n_conn = labels.agg(F.count("*").cast("long").alias("n_connected"))
+    comp = sizes.agg(
+        F.count("*").cast("long").alias("n_components"),
+        F.max("sz").cast("long").alias("giant_size"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(n_conn))
+        .crossJoin(F.broadcast(comp))
+        .select(
+            "n_points", "n_connected", "n_components", "giant_size",
+            (F.col("giant_size").cast("double") / F.col("n_points").cast("double")).alias(
+                "giant_fraction"
+            ),
+        )
+    )
+
+
+@register(
+    "q296_conformal_interval",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey AS k, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'fit' ELSE 'cal' END AS half
+        FROM orders
+    ), moms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+        FROM pts WHERE half = 'fit'
+    ), resid AS (  -- model: predict the fit-half mean; residuals on cal half
+        SELECT p.k,
+               abs(CAST(p.y AS DOUBLE) - CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)) AS r
+        FROM pts p CROSS JOIN moms m WHERE p.half = 'cal'
+    ), ranked AS (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r, k) AS rn, COUNT(*) OVER () AS n_cal
+        FROM resid
+    )
+    SELECT CAST(m.n AS BIGINT) AS n_fit,
+           CAST(MAX(q.n_cal) AS BIGINT) AS n_cal,
+           CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE) AS prediction_cents,
+           MAX(q.r) AS q_hat_cents,
+           CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE) - MAX(q.r) AS lo_cents,
+           CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE) + MAX(q.r) AS hi_cents
+    FROM (
+        SELECT r, n_cal FROM ranked
+        WHERE rn = CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)
+    ) q CROSS JOIN moms m
+    GROUP BY 1, 3
+    """,
+    survey_ref="extension: split conformal prediction — fit half "
+    "supplies the point prediction, calibration half's "
+    "⌈0.9(n+1)⌉-th smallest absolute residual (an exact order "
+    "statistic, deterministic ties) is the margin; distribution-free "
+    "90% coverage guaranteed by exchangeability — the modern UQ wrap "
+    "for ANY predictor (q266's learned index, q238's forecasts)",
+)
+def q296_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 90% prediction interval with NO distributional assumptions:
+    split conformal. Even keys fit the (deliberately simple) model —
+    the mean; odd keys calibrate — their absolute residuals are
+    ranked exactly and the ⌈0.9(n_cal+1)⌉-th smallest is the margin
+    q̂. The conformal guarantee says a fresh order's value lands in
+    prediction ± q̂ with ≥90% probability, by exchangeability alone.
+    Exact integers until the mean/residual doubles (identical
+    operands); the order statistic uses deterministic (r, key) ties.
+    Swap any model in — the calibration machinery is unchanged, which
+    is the point of the method and of this operator."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderkey").alias("k"),
+        (_dec("o_totalprice") * 100).cast("long").alias("y"),
+        F.when(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0, "fit").otherwise("cal").alias("half"),
+    )
+    moms = pts.filter(F.col("half") == "fit").agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("sy")
+    )
+    pred = F.col("sy").cast("double") / F.col("n").cast("double")
+    resid = (
+        pts.filter(F.col("half") == "cal")
+        .crossJoin(F.broadcast(moms))
+        .select("k", F.abs(F.col("y").cast("double") - pred).alias("r"), "n", "sy")
+    )
+    w = Window.orderBy("r", "k")
+    ranked = resid.select(
+        "r", "n", "sy",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n_cal"),
+    )
+    target = F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long")
+    q_hat = ranked.filter(F.col("rn") == target)
+    return q_hat.select(
+        F.col("n").alias("n_fit"),
+        F.col("n_cal").cast("long").alias("n_cal"),
+        (F.col("sy").cast("double") / F.col("n").cast("double")).alias("prediction_cents"),
+        F.col("r").alias("q_hat_cents"),
+        (F.col("sy").cast("double") / F.col("n").cast("double") - F.col("r")).alias("lo_cents"),
+        (F.col("sy").cast("double") / F.col("n").cast("double") + F.col("r")).alias("hi_cents"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -17,7 +17,7 @@ SF = "/root/testdata/sf0.001"
 # without the materialization barrier the unrolled plan grows ~4^rounds,
 # see dedup.connected_components_fixed's caveat). q122 layers the
 # canonical-selection argmax on q66's clusters, so it inherits the loop.
-ITERATIVE = {"q66_dup_clusters", "q122_cluster_canonical", "q265_grid_dbscan"}
+ITERATIVE = {"q66_dup_clusters", "q122_cluster_canonical", "q265_grid_dbscan", "q295_giant_component"}
 
 
 def test_plan_construction_triggers_no_jobs(spark):

@@ -1768,3 +1768,44 @@ def test_simpson_directions_consistent(spark):
         assert r.seg_direction in (-1, 0, 1)
         expect_rev = 1 if (r.seg_direction != 0 and r.seg_direction != r.pooled_direction) else 0
         assert r.reversed == expect_rev
+
+
+# --- batch 36 -------------------------------------------------------------
+
+
+def test_modularity_contributions_bounded_and_near_null(spark):
+    rows = REGISTRY["q294_modularity"].fn(spark, SF).collect()
+    assert len(rows) == 8  # the eight part nouns
+    total_q = sum(r.q_contribution for r in rows)
+    # random-structure graph: modularity of an arbitrary labeling ~ 0
+    assert abs(total_q) < 0.05
+    for r in rows:
+        assert 0 <= r.e_in <= r.deg_sum
+
+
+def test_giant_component_accounting(spark):
+    r = REGISTRY["q295_giant_component"].fn(spark, SF).collect()[0]
+    assert r.n_connected <= r.n_points
+    assert 1 <= r.n_components <= r.n_connected
+    assert r.giant_size <= r.n_connected
+    assert 0.0 < r.giant_fraction <= 1.0
+
+
+def test_conformal_coverage_on_calibration_half(spark):
+    from stock_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    import stock_data_pipeline_spark.queries as Q
+
+    r = REGISTRY["q296_conformal_interval"].fn(spark, SF).collect()[0]
+    assert r.lo_cents < r.prediction_cents < r.hi_cents
+    # empirical coverage on the calibration half must be >= 90% (the
+    # quantile construction guarantees it on the cal set itself)
+    cal = [
+        row.y
+        for row in load_table(spark, SF, "orders")
+        .filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 1)
+        .select((Q._dec("o_totalprice") * 100).cast("long").alias("y"))
+        .collect()
+    ]
+    inside = sum(1 for y in cal if r.lo_cents <= y <= r.hi_cents)
+    assert inside / len(cal) >= 0.9
