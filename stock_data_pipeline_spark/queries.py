@@ -19081,6 +19081,278 @@ def q296_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 37 (round 3): budgeted selection, lifecycle hazards, tail profiling,
+# and the corpus-pipeline funnel capstone
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q297_budgeted_selection",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                    AS BIGINT) AS n_tokens,
+               CAST(floor((
+                   0.4 * least(len(list_filter(string_split_regex(text, '\\s+'),
+                                               t -> t <> '')) / 100.0, 1.0)
+                   + 0.6 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                                  / greatest(length(text), 1))
+               ) * 1000) AS BIGINT) AS q_milli
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, n_tokens, q_milli,
+               CAST(q_milli AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ratio,
+               SUM(n_tokens) OVER (ORDER BY CAST(q_milli AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                                   DESC, doc_id) AS cum_tokens
+        FROM scored WHERE n_tokens > 0
+    ), sel AS (
+        SELECT * FROM ranked WHERE cum_tokens <= 50000
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_used,
+           CAST(50000 AS BIGINT) AS token_budget,
+           CAST(SUM(q_milli) AS BIGINT) AS total_quality_milli,
+           MIN(ratio) AS min_ratio_admitted
+    FROM sel
+    """,
+    survey_ref="extension: budgeted corpus selection — greedy quality-"
+    "per-token ranking, maximal prefix under a 50k-token budget; "
+    "quality integer-scaled (milli) so the admitted mass sums exactly, "
+    "the ratio sort is identical doubles; the fractional-knapsack "
+    "heuristic behind 'best data under a training-token budget'",
+)
+def q297_budgeted_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Given a 50k-token training budget, which documents make the
+    cut? Classic budgeted selection: rank by quality-per-token
+    (quality floored to exact milli-units — the greedy's admitted
+    mass then sums exactly), take the maximal prefix whose cumulative
+    token count fits. The prefix rule is the deterministic form of
+    fractional-knapsack greedy for indivisible documents; at 100 TB
+    the ranking prefix-sum swaps in the q245 bucketed two-phase scan
+    (ratio high-bits as the order-preserving bucket). Output: how
+    many docs fit, the tokens used, total quality captured, and the
+    admission-threshold ratio — the knob corpus curators actually
+    turn."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    punct = F.size(F.expr("regexp_extract_all(text, '[.,;:!?]', 0)"))
+    quality = 0.4 * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0)) + 0.6 * (
+        1.0 - punct.cast("double") / F.greatest(F.length("text"), F.lit(1))
+    )
+    scored = doc.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.floor(quality * 1000).cast("long").alias("q_milli"),
+    ).filter(F.col("n_tokens") > 0)
+    ratio = F.col("q_milli").cast("double") / F.col("n_tokens").cast("double")
+    w = Window.orderBy(ratio.desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = scored.select(
+        "doc_id", "n_tokens", "q_milli",
+        ratio.alias("ratio"),
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    )
+    sel = ranked.filter(F.col("cum_tokens") <= 50000)
+    return sel.agg(
+        F.count("*").cast("long").alias("n_selected"),
+        F.sum("n_tokens").cast("long").alias("tokens_used"),
+        F.lit(50000).cast("long").alias("token_budget"),
+        F.sum("q_milli").cast("long").alias("total_quality_milli"),
+        F.min("ratio").alias("min_ratio_admitted"),
+    )
+
+
+@register(
+    "q298_discrete_hazard",
+    oracle="""
+    WITH tenure AS (
+        SELECT o_custkey,
+               CAST((EXTRACT(YEAR FROM MAX(o_orderdate)) - EXTRACT(YEAR FROM MIN(o_orderdate))) * 4
+                    + (EXTRACT(QUARTER FROM MAX(o_orderdate))
+                       - EXTRACT(QUARTER FROM MIN(o_orderdate))) AS BIGINT) AS t_quarters
+        FROM orders GROUP BY 1
+    ), counts AS (
+        SELECT t_quarters, CAST(COUNT(*) AS BIGINT) AS churned FROM tenure GROUP BY 1
+    ), at_risk AS (
+        SELECT t_quarters, churned,
+               CAST(SUM(churned) OVER (ORDER BY t_quarters DESC) AS BIGINT) AS n_at_risk
+        FROM counts
+    )
+    SELECT t_quarters AS tenure_quarters, n_at_risk, churned,
+           CAST(churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard
+    FROM at_risk
+    """,
+    survey_ref="extension: discrete-time hazard table — per tenure "
+    "quarter, at-risk mass (suffix sum over the tiny tenure histogram) "
+    "and the conditional churn probability churned/at-risk; the "
+    "lifecycle statistic behind retention curves (q83 shows WHO stays, "
+    "this shows WHEN leaving happens), all exact until one ratio",
+)
+def q298_discrete_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN do customers churn? Tenure = quarters between first and
+    last order; a customer 'churns' at their final-activity quarter.
+    The hazard at tenure t is churned(t) / at-risk(t), where at-risk
+    is the suffix sum of the tenure histogram — customers who survived
+    at least t. Everything reduces to the tenure histogram first
+    (count-of-counts discipline), so the suffix-sum window runs over
+    ~30 rows regardless of customer count. A hazard spike at small t
+    is early abandonment; a flat tail is steady attrition — the shape
+    retention programs are designed against."""
+    o = load_table(spark, sf_dir, "orders")
+    tenure = o.groupBy("o_custkey").agg(
+        (
+            (F.year(F.max("o_orderdate")) - F.year(F.min("o_orderdate"))) * 4
+            + (F.quarter(F.max("o_orderdate")) - F.quarter(F.min("o_orderdate")))
+        )
+        .cast("long")
+        .alias("t_quarters")
+    )
+    counts = tenure.groupBy("t_quarters").agg(F.count("*").cast("long").alias("churned"))
+    w = Window.orderBy(F.col("t_quarters").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = counts.select(
+        F.col("t_quarters").alias("tenure_quarters"),
+        F.sum("churned").over(w).cast("long").alias("n_at_risk"),
+        "churned",
+    )
+    return at_risk.select(
+        "tenure_quarters", "n_at_risk", "churned",
+        (F.col("churned").cast("double") / F.col("n_at_risk").cast("double")).alias("hazard"),
+    )
+
+
+@register(
+    "q299_tail_profile",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), grid AS (
+        SELECT CAST(unnest(generate_series(16, 26)) AS BIGINT) AS k
+    )
+    SELECT g.k AS log2_threshold,
+           CAST(POWER(2, g.k) AS BIGINT) AS threshold_cents,
+           CAST(SUM(CASE WHEN v.cents > CAST(POWER(2, g.k) AS BIGINT)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exceeding,
+           CAST(SUM(CASE WHEN v.cents > CAST(POWER(2, g.k) AS BIGINT)
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS tail_prob
+    FROM v CROSS JOIN grid g
+    GROUP BY 1, 2
+    """,
+    survey_ref="extension: heavy-tail profile — the survival function "
+    "P(X > 2^k) on a powers-of-two threshold grid (the log axis WITHOUT "
+    "calling log: the grid IS the log scale); linear decay of "
+    "log-tail-prob in k = power law, faster = light tail — the shape "
+    "that decides whether q197's skew handling or q121's winsorization "
+    "is needed at all",
+)
+def q299_tail_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How heavy is the order-value tail? The empirical survival
+    function evaluated on a dyadic grid 2^16..2^26 cents — reading the
+    tail on a log grid without any in-engine logarithm (the grid
+    supplies the log axis, the counts stay exact integers). Roughly
+    constant decay per doubling = Pareto-like tail (expect hot-key
+    pain: q197, q121); super-exponential decay = light tail. One scan,
+    eleven broadcast thresholds, one aggregate — the diagnostic that
+    should precede any 'mean ± stddev' reporting on money columns."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (_dec("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    grid = None
+    for k in range(16, 27):
+        g = o.agg(
+            F.lit(k).cast("long").alias("log2_threshold"),
+            F.lit(1 << k).cast("long").alias("threshold_cents"),
+            F.sum((F.col("cents") > (1 << k)).cast("long")).cast("long").alias("n_exceeding"),
+            (
+                F.sum((F.col("cents") > (1 << k)).cast("long")).cast("double") / F.count("*")
+            ).alias("tail_prob"),
+        )
+        grid = g if grid is None else grid.unionByName(g)
+    return grid
+
+
+@register(
+    "q300_corpus_funnel",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), base AS (
+        SELECT doc_id, text, len(tk) AS n_tokens FROM toks
+    ), exact_kept AS (  -- keep the lowest doc_id per identical text
+        SELECT doc_id, n_tokens FROM (
+            SELECT doc_id, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM base
+        ) WHERE rn = 1
+    ), length_kept AS (
+        SELECT doc_id, n_tokens FROM exact_kept WHERE n_tokens BETWEEN 10 AND 5000
+    ), train AS (
+        SELECT doc_id, n_tokens FROM length_kept
+        WHERE (doc_id * 2654435761) % 100 < 80
+    )
+    SELECT * FROM (
+        SELECT 0 AS stage_n, 'raw' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM base
+        UNION ALL
+        SELECT 1, 'exact_dedup', COUNT(*), SUM(n_tokens) FROM exact_kept
+        UNION ALL
+        SELECT 2, 'length_filter', COUNT(*), SUM(n_tokens) FROM length_kept
+        UNION ALL
+        SELECT 3, 'train_split', COUNT(*), SUM(n_tokens) FROM train
+    )
+    """,
+    survey_ref="extension: corpus-pipeline funnel — per-stage doc/token "
+    "mass through raw → exact dedup (min-id representative) → length "
+    "filter → hash-stable train split; the one-look audit of how much "
+    "data each cleanup stage costs, over the same operators q24/q78/"
+    "q139 ship individually",
+)
+def q300_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-report view every corpus build publishes: document
+    and token mass surviving each stage — raw, exact-dedup (lowest-id
+    representative per identical text), length filter (10–5000
+    tokens), and the 80% hash-stable train split. Stages nest, so the
+    whole funnel is progressive filters over one scan — Catalyst
+    collapses it into a single pass per stage-count, and the numbers
+    reconcile by construction (each stage ≤ the previous). The per-
+    stage deltas are the costs a data lead signs off on before a
+    training run."""
+    doc = load_table(spark, sf_dir, "documents")
+    base = doc.select("doc_id", "text", F.size(text.tokens(F.col("text"))).alias("n_tokens"))
+    wt = Window.partitionBy("text").orderBy("doc_id")
+    exact_kept = (
+        base.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    length_kept = exact_kept.filter(F.col("n_tokens").between(10, 5000))
+    train = length_kept.filter(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100)) < 80
+    )
+
+    def stage(n: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(n).cast("int").alias("stage_n"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+
+    out = stage(0, "raw", base.select("doc_id", "n_tokens"))
+    out = out.unionByName(stage(1, "exact_dedup", exact_kept))
+    out = out.unionByName(stage(2, "length_filter", length_kept))
+    out = out.unionByName(stage(3, "train_split", train))
+    return out
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -1809,3 +1809,49 @@ def test_conformal_coverage_on_calibration_half(spark):
     ]
     inside = sum(1 for y in cal if r.lo_cents <= y <= r.hi_cents)
     assert inside / len(cal) >= 0.9
+
+
+# --- batch 37 -------------------------------------------------------------
+
+
+def test_budgeted_selection_respects_budget_and_greedy_order(spark):
+    r = REGISTRY["q297_budgeted_selection"].fn(spark, SF).collect()[0]
+    assert 0 < r.tokens_used <= r.token_budget == 50000
+    assert r.n_selected > 0
+    assert r.min_ratio_admitted > 0
+    assert r.total_quality_milli > 0
+
+
+def test_hazard_at_risk_is_suffix_sum(spark):
+    rows = sorted(
+        REGISTRY["q298_discrete_hazard"].fn(spark, SF).collect(),
+        key=lambda r: r.tenure_quarters,
+    )
+    assert rows
+    total = rows[0].n_at_risk if rows[0].tenure_quarters == 0 else None
+    suffix = 0
+    for r in reversed(rows):
+        suffix += r.churned
+        assert r.n_at_risk == suffix
+        assert 0.0 < r.hazard <= 1.0
+    del total
+
+
+def test_tail_profile_monotone_decreasing(spark):
+    rows = sorted(
+        REGISTRY["q299_tail_profile"].fn(spark, SF).collect(), key=lambda r: r.log2_threshold
+    )
+    assert len(rows) == 11
+    probs = [r.tail_prob for r in rows]
+    assert all(a >= b for a, b in zip(probs, probs[1:]))  # survival is monotone
+    assert probs[0] > 0.5  # grid starts below the median
+    assert probs[-1] == 0.0  # and ends above the max
+
+
+def test_corpus_funnel_stages_nest(spark):
+    rows = sorted(REGISTRY["q300_corpus_funnel"].fn(spark, SF).collect(), key=lambda r: r.stage_n)
+    assert [r.stage for r in rows] == ["raw", "exact_dedup", "length_filter", "train_split"]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs <= a.n_docs
+        assert b.n_tokens <= a.n_tokens
+    assert rows[0].n_docs > 0
