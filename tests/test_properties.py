@@ -152,3 +152,116 @@ def test_bloom_membership_never_false_negative(spark, keys):
         hit = (words.get(c.w, 0) & c.m) != 0
         by_key[c.k] = by_key.get(c.k, True) and hit
     assert all(by_key.values())
+
+
+# --- round-3 portable primitives ------------------------------------------
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200, unique=True))
+@SETTINGS
+def test_mix31_matches_host_reference_and_spreads(spark, keys):
+    """The q224 multiply-mod/xor-shift mixer must (a) equal the host
+    reference bit-for-bit for any key, (b) stay within 31 bits."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.queries import _mix31_col
+
+    P = 2147483647
+
+    def ref(u):
+        a = (u * 48271 + 11) % P
+        a ^= a >> 16
+        b = (a * 69621) % P
+        b ^= b >> 16
+        return b
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.h for r in df.select("k", _mix31_col(F.col("k")).alias("h")).collect()}
+    for k in keys:
+        assert got[k] == ref(k)
+        assert 0 <= got[k] < (1 << 31)
+
+
+@given(zs=st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=100))
+@SETTINGS
+def test_varint_byte_table_matches_leb128(spark, zs):
+    """The generated varint threshold CASE must agree with real LEB128
+    encoding lengths for any unsigned value (capped at 9 for >=2^56,
+    where true LEB128 needs 9-10 — documented approximation)."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.queries import _varint_bytes_col
+
+    def leb128_len(z):
+        n = 1
+        while z >= 1 << (7 * n):
+            n += 1
+        return min(n, 9)
+
+    df = spark.createDataFrame([(z,) for z in zs], "z long")
+    got = [r.b for r in df.select(_varint_bytes_col(F.col("z")).alias("b")).collect()]
+    assert got == [leb128_len(z) for z in zs]
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+@SETTINGS
+def test_hilbert_bijective_on_samples_and_matches_reference(spark, pts):
+    """with_hilbert must equal the canonical xy2d walk for arbitrary
+    16-bit points, and distinct points must get distinct indexes
+    (injectivity — the property that makes it a valid sort key)."""
+    from stock_data_pipeline_spark.operators.layout import with_hilbert
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = n - 1 - x
+                    y = n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    df = spark.createDataFrame(list(pts), "x long, y long")
+    got = {(r.x, r.y): r.hval for r in with_hilbert(df, "x", "y").collect()}
+    vals = set()
+    for (x, y), h in got.items():
+        assert h == xy2d(65536, x, y)
+        assert h not in vals
+        vals.add(h)
+
+
+def test_rrf_term_table_is_exact_division(spark):
+    """Every RRF term literal must be exactly L/(60+r) — i.e., the LCM
+    actually clears every denominator (no silent rounding in the
+    generated table)."""
+    from stock_data_pipeline_spark.queries import _RRF_DEPTH, _RRF_K, _RRF_L
+
+    for r in range(1, _RRF_DEPTH + 1):
+        assert _RRF_L % (_RRF_K + r) == 0
+
+
+def test_rbo_coefficients_are_monotone_and_positive(spark):
+    """C[m] = Σ_{d>=m} p^(d-1)·L/d must be strictly decreasing in m and
+    positive — the structural property the per-doc lookup relies on."""
+    from decimal import Decimal
+
+    from stock_data_pipeline_spark.queries import _RBO_C
+
+    vals = [Decimal(_RBO_C[m]) for m in range(1, 21)]
+    assert all(v > 0 for v in vals)
+    assert all(a > b for a, b in zip(vals, vals[1:]))
