@@ -79,9 +79,8 @@ def run() -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "plans": plans,
         "sf": float(sf),
-    }
+    }, plans
 
 
 # Queries that RUN jobs inside fn() (to-convergence iteration): never
@@ -129,4 +128,17 @@ def _plan_fingerprint(spark, name, fn, df, sf_dir) -> dict[str, int]:
 
 
 if __name__ == "__main__":
-    print(json.dumps(run()))
+    # Contract: the FINAL stdout line is the compact timings-only JSON
+    # (~1 KB) — the driver keeps only a short stdout tail, and round 3
+    # lost its external bench record when the plan fingerprints were
+    # inlined into this line (6 KB, truncated mid-string → unparseable).
+    # Fingerprints now go to a committed sidecar file plus an EARLIER
+    # stdout line, never the last one.
+    result, plans = run()
+    plans_path = Path(__file__).resolve().parent / "BENCH_PLANS.json"
+    try:
+        plans_path.write_text(json.dumps(plans, indent=1, sort_keys=True) + "\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line below still carries them
+    print(json.dumps({"plans": plans}))
+    print(json.dumps(result))

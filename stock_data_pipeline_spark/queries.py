@@ -2585,11 +2585,12 @@ def q75_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT source, doc_id, n_tok,
-           (run - n_tok) // 2048 AS pack_id,
-           (run - n_tok) % 2048 AS pack_offset
+           CAST((run - n_tok) // 2048 AS BIGINT) AS pack_id,
+           CAST((run - n_tok) % 2048 AS BIGINT) AS pack_offset
     FROM (
         SELECT source, doc_id, n_tok,
-               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS run
+               CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                    AS BIGINT) AS run
         FROM sized
     )
     """,
@@ -2602,10 +2603,13 @@ def q76_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     filling contexts contiguously in doc order (docs may straddle a
     boundary — the standard pre-tokenization packing layout).
 
-    Pure integer math over one running sum. The window partitions by
-    ``source`` (packing is per-shard, as a real pipeline packs per input
-    shard so shards stay independently reshufflable) — so there is no
-    global single-partition window; scale-out is the number of sources.
+    Pure integer math over one running sum — the plan is integer-only
+    end-to-end (``div``, not float ``/``; hardened after r03's
+    unreproduced driver hash fail so no float op remains to suspect).
+    The window partitions by ``source`` (packing is per-shard, as a
+    real pipeline packs per input shard so shards stay independently
+    reshufflable) — so there is no global single-partition window;
+    scale-out is the number of sources.
     """
     doc = load_table(spark, sf_dir, "documents")
     sized = doc.select(
@@ -2613,13 +2617,13 @@ def q76_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("source").orderBy("doc_id")
     run = F.sum("n_tok").over(w)
-    start = (run - F.col("n_tok"))
-    return sized.select(
+    start = (run - F.col("n_tok")).alias("start")
+    return sized.select("source", "doc_id", "n_tok", start).select(
         "source",
         "doc_id",
         "n_tok",
-        (start / 2048).cast("long").alias("pack_id"),
-        F.pmod(start, F.lit(2048)).cast("long").alias("pack_offset"),
+        F.expr("start div 2048").alias("pack_id"),
+        F.pmod(F.col("start"), F.lit(2048)).cast("long").alias("pack_offset"),
     )
 
 
@@ -19386,9 +19390,18 @@ def _rotated_names() -> list[str]:
     queries first (registry order), already-green queries after. The
     driver snapshots a fixed prefix, so this rotation gives every
     registry entry an external green row across rounds without changing
-    which queries exist or what they compute."""
+    which queries exist or what they compute.
+
+    Only ORACLE-BACKED entries are declared (VERDICT r03 item 3): the
+    three xxhash64 fast twins (q26/q27/q29) can never hash-match a
+    DuckDB oracle by construction (DuckDB has no Spark-compatible
+    xxhash64), so declaring them guaranteed permanent non-green driver
+    rows. Their portable-hash twins q54/q73/q74 carry full value
+    verification of the same operators; the fast twins stay in
+    ``REGISTRY`` for ``headline_queries()`` benchmarking and the
+    recall/equivalence tests."""
     green = _externally_verified()
-    names = list(REGISTRY)
+    names = [n for n in REGISTRY if REGISTRY[n].oracle]
     return [n for n in names if n not in green] + [n for n in names if n in green]
 
 

@@ -53,6 +53,51 @@ def test_sequence_packing_layout(rows):
             run += r["n_tok"]
 
 
+def test_sequence_packing_hostile_repartition_determinism(rows, spark):
+    """q76 must be byte-identical no matter how the input arrives
+    partitioned/ordered (r03's driver run hash-failed once without a
+    local repro — this pins the only plausible failure axis). Rebuild
+    the identical packing over a hostilely repartitioned, reverse-sorted
+    documents frame and under a different shuffle width; all three must
+    agree row-for-row."""
+    from pyspark.sql import Window
+
+    from stock_data_pipeline_spark.llm import text
+
+    base = {(r["source"], r["doc_id"]): (r["n_tok"], r["pack_id"], r["pack_offset"])
+            for r in rows("q76_sequence_packing")}
+
+    doc = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .repartition(7, "lang")
+        .sortWithinPartitions(F.col("doc_id").desc())
+    )
+    sized = doc.select(
+        "source", "doc_id", F.size(text.tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start")
+    hostile = sized.select("source", "doc_id", "n_tok", start).select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.expr("start div 2048").alias("pack_id"),
+        F.pmod(F.col("start"), F.lit(2048)).cast("long").alias("pack_offset"),
+    )
+    got = {(r["source"], r["doc_id"]): (r["n_tok"], r["pack_id"], r["pack_offset"])
+           for r in hostile.collect()}
+    assert got == base
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = {(r["source"], r["doc_id"]): (r["n_tok"], r["pack_id"], r["pack_offset"])
+                  for r in REGISTRY["q76_sequence_packing"].fn(spark, SF).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert narrow == base
+
+
 def test_contamination_fractions_bounded(rows):
     out = rows("q77_contamination")
     for r in out:
