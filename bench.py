@@ -14,10 +14,13 @@ repeatedly mis-flagged regressions under driver load (see the best-of-4
 note below).
 
 The headline set covers one query per distinct plan family (round-3
-prune: q49/q54/q74 verification twins and q67/q70/q71 window-family
+prune: q49/q74 verification twins and q67/q70/q71 window-family
 repeats were dropped — they re-measure plans already represented by
 q25/q26/q28/q53/q68/q69, so benching them only grew wall-clock without
-adding regression signal; all six remain registered and oracle-gated).
+adding regression signal; all remain registered and oracle-gated).
+q54 re-entered in round 4 (VERDICT item 7) so the portable-hash
+verification path stays perf-visible: 8.6 s (r02) → ~2.4 s after the
+4x chunked hash fold.
 """
 
 from __future__ import annotations

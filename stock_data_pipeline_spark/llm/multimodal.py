@@ -12,8 +12,15 @@ Decode has THREE tiers by capability:
    matching ``synthesize_images`` emits spec-valid files (zlib IDAT,
    correct CRCs) so the round trip is oracle-checkable end-to-end
    (q185) without any image library.
-3. ``_real_decode`` — full pixel decode, gated ``NotImplementedError``
-   until PIL exists in the environment.
+3. ``decode_image_pixels`` — REAL full pixel decode, stdlib only:
+   zlib-inflates PNG IDAT streams and reconstructs all five PNG filter
+   types; de-pads BMP rows and normalizes bottom-up BGR to top-down
+   RGB. Emits exact integer raster statistics (count/sum/xor plus a
+   position-weighted sum that pins byte ORDER), so the whole decode is
+   value-verifiable cross-engine (q301's oracle recomputes the expected
+   raster closed-form from the synthesis parameters).
+4. ``_real_decode`` — arbitrary-codec decode (JPEG/WebP/…), gated
+   ``NotImplementedError`` until PIL exists in the environment.
 
 Everything Spark-side — schema, batch shape, ``mapInPandas``
 signature, partition sizing — is real and tested, so swapping tier 3
@@ -197,6 +204,191 @@ def decode_image_headers(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=IMAGE_META_SCHEMA)
+
+
+def decode_png_raster(data: bytes) -> bytes | None:
+    """Tier-3 real PNG decode (stdlib only): walk the chunk stream,
+    zlib-inflate the concatenated IDAT payload, and reconstruct the
+    scanlines through the full PNG filter set (None/Sub/Up/Average/
+    Paeth — the complete 8-bit truecolor spec, not just the filter-0
+    subset our synthesizer emits). Returns the top-down row-major RGB
+    raster, or None for malformed payloads (bad magic, bad IHDR CRC,
+    unsupported color type, inflate error, short raster) — bad rows are
+    data, not errors."""
+    import struct
+    import zlib
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        crc = data[pos + 8 + length : pos + 12 + length]
+        if len(crc) == 4 and struct.unpack(">I", crc)[0] != (
+            zlib.crc32(tag + body) & 0xFFFFFFFF
+        ):
+            return None
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, bit_depth, color_type = struct.unpack(">IIBB", ihdr[:10])
+    if bit_depth != 8 or color_type != 2 or w == 0 or h == 0:
+        return None  # only 8-bit truecolor in scope (what we synthesize)
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    bpp, stride = 3, w * 3
+    if len(raw) < h * (1 + stride):
+        return None
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        base = y * (1 + stride)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def decode_bmp_raster(data: bytes) -> bytes | None:
+    """Tier-3 real BMP decode (24-bit uncompressed BITMAPINFOHEADER):
+    strip headers and row padding and normalize the stored bottom-up
+    BGR rows to the same top-down row-major RGB raster the PNG path
+    produces (negative biHeight = already top-down, per spec). Returns
+    None for malformed/unsupported payloads."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    (pixel_off,) = struct.unpack("<I", data[10:14])
+    header_size, w, h_raw = struct.unpack("<Iii", data[14:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if header_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    if w <= 0 or h == 0:
+        return None
+    stride = ((w * 3 + 3) // 4) * 4
+    pixels = data[pixel_off : pixel_off + stride * h]
+    if len(pixels) < stride * h:
+        return None
+    out = bytearray()
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    for row in rows:
+        line = pixels[row * stride : row * stride + w * 3]
+        for x in range(w):  # BGR -> RGB
+            out += line[3 * x + 2 : 3 * x + 3]
+            out += line[3 * x + 1 : 3 * x + 2]
+            out += line[3 * x : 3 * x + 1]
+    return bytes(out)
+
+
+PIXEL_SCHEMA = (
+    "doc_id long, format string, width int, height int, "
+    "n_pixel_bytes long, byte_sum long, byte_xor long, pos_weighted_sum long"
+)
+
+
+def decode_image_pixels(media: DataFrame) -> DataFrame:
+    """Tier-3 decode over the media table: mapInPandas batches of binary
+    payloads → REAL decoded rasters (PNG: chunk walk + zlib inflate +
+    filter reconstruction; BMP: de-pad + BGR/bottom-up normalization)
+    reduced to exact integer statistics over the normalized top-down
+    RGB byte stream:
+
+    - ``n_pixel_bytes`` / ``byte_sum`` / ``byte_xor`` — content,
+      order-independent;
+    - ``pos_weighted_sum`` = Σ (i+1)·byteᵢ — pins the byte ORDER, so a
+      decoder that got filter reconstruction or row direction wrong
+      cannot match.
+
+    Undecodable payloads emit ('unknown', NULL stats) — never raise.
+    Only the fixed-width stats cross back over the Arrow boundary; the
+    raster itself dies inside the batch (no payload amplification).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "format", "width", "height",
+                "n_pixel_bytes", "byte_sum", "byte_xor", "pos_weighted_sum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                fmt, w, h, _ = parse_image_header(data)
+                raster = None
+                if fmt == "png":
+                    raster = decode_png_raster(data)
+                elif fmt == "bmp":
+                    raster = decode_bmp_raster(data)
+                out["doc_id"].append(doc_id)
+                if raster is None:
+                    out["format"].append("unknown")
+                    for k in ("width", "height", "n_pixel_bytes", "byte_sum",
+                              "byte_xor", "pos_weighted_sum"):
+                        out[k].append(None)
+                    continue
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixel_bytes"].append(len(raster))
+                out["byte_sum"].append(sum(raster))
+                x = 0
+                for b in raster:
+                    x ^= b
+                out["byte_xor"].append(x)
+                out["pos_weighted_sum"].append(
+                    sum((i + 1) * b for i, b in enumerate(raster))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "format": out["format"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "n_pixel_bytes": pd.array(out["n_pixel_bytes"], dtype="Int64"),
+                    "byte_sum": pd.array(out["byte_sum"], dtype="Int64"),
+                    "byte_xor": pd.array(out["byte_xor"], dtype="Int64"),
+                    "pos_weighted_sum": pd.array(out["pos_weighted_sum"], dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PIXEL_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary, n_bytes long"

@@ -183,3 +183,45 @@ def test_holdings_csv_replay_end_to_end(spark):
         ("2024-06-28", "msft", 21.3 / 100.0, 900000.0),
         ("2024-06-28", "nvda", 8.25 / 100.0, 400000.0),
     ]
+
+
+def test_jdbc_roundtrip_embedded_derby(spark):
+    """A6/B1 un-gated (VERDICT r03 item 4): a REAL JDBC round-trip
+    against embedded Derby (on Spark's classpath as the Hive metastore
+    dependency — no network, no install). write_jdbc_append creates the
+    table on first append; read_jdbc_table scans it back. Reference:
+    stock_data_pipeline/functions.py:97-99 (pd.read_sql) and
+    main.py:188-195 (to_sql append)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    url = "jdbc:derby:memory:spark_graft_jdbc;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    rows = [
+        Row(ticker="XLK", trade_date=dt.date(2026, 1, 2), close=234.56, volume=1_000_000),
+        Row(ticker="XLE", trade_date=dt.date(2026, 1, 2), close=91.25, volume=2_500_000),
+        Row(ticker="XLK", trade_date=dt.date(2026, 1, 5), close=236.10, volume=1_200_000),
+    ]
+    df = spark.createDataFrame(rows)
+    sio.write_jdbc_append(df, url, "prices", props)
+    # second append must add, not replace (to_sql if_exists='append')
+    sio.write_jdbc_append(df.limit(1), url, "prices", props)
+
+    back = sio.read_jdbc_table(spark, url, "prices", props)
+    got = sorted(
+        (r["ticker"], r["trade_date"], r["close"], r["volume"]) for r in back.collect()
+    )
+    want = sorted(
+        (r.ticker, r.trade_date, r.close, r.volume) for r in rows + [rows[0]]
+    )
+    assert got == want
+
+    # partitioned-read path: same table through the parallel reader options
+    part = sio.read_jdbc_table(
+        spark, url, "prices",
+        {**props, "partitionColumn": "volume", "lowerBound": "1",
+         "upperBound": "3000000", "numPartitions": "2"},
+    )
+    assert part.rdd.getNumPartitions() == 2
+    assert part.count() == 4

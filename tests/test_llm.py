@@ -246,3 +246,112 @@ def test_image_header_decode_distributed(spark, docs):
         assert r["format"] == ("png" if i % 2 else "bmp")
         assert (r["width"], r["height"]) == (i % 13 + 1, i % 7 + 1)
         assert r["bit_depth"] == (8 if i % 2 else 24)
+
+
+def test_png_pixel_decode_all_filter_types():
+    """The tier-3 PNG decoder must reconstruct every PNG filter type
+    (our synthesizer only emits filter 0, so build a file per filter
+    by hand and check against a straight-line reference model)."""
+    import struct
+    import zlib
+
+    from stock_data_pipeline_spark.llm.multimodal import decode_png_raster
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    w, h = 5, 4
+    raster = bytes((11 * i + 3) % 256 for i in range(w * 3 * h))
+    rows = [raster[y * w * 3:(y + 1) * w * 3] for y in range(h)]
+
+    def encode(filter_type):
+        out = b""
+        prev = bytes(w * 3)
+        for line in rows:
+            enc = bytearray()
+            for i in range(w * 3):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if filter_type == 0:
+                    enc.append(line[i])
+                elif filter_type == 1:
+                    enc.append((line[i] - a) & 0xFF)
+                elif filter_type == 2:
+                    enc.append((line[i] - b) & 0xFF)
+                elif filter_type == 3:
+                    enc.append((line[i] - ((a + b) >> 1)) & 0xFF)
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    enc.append((line[i] - pred) & 0xFF)
+            out += bytes([filter_type]) + bytes(enc)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(out)) + chunk(b"IEND", b"")
+        )
+
+    for ftype in range(5):
+        assert decode_png_raster(encode(ftype)) == raster, f"filter {ftype}"
+
+
+def test_bmp_pixel_decode_normalizes_direction_and_channels():
+    """Bottom-up (positive height) and top-down (negative height) BMPs
+    of the same logical image must decode to the same RGB raster."""
+    import struct
+
+    from stock_data_pipeline_spark.llm.multimodal import decode_bmp_raster
+
+    w, h = 3, 2
+    # logical image, top-down RGB
+    rgb = bytes(range(w * h * 3))
+    stride = ((w * 3 + 3) // 4) * 4
+
+    def encode(top_down):
+        rows = range(h) if top_down else range(h - 1, -1, -1)
+        pixels = b""
+        for y in rows:
+            line = bytearray()
+            for x in range(w):
+                r, g, b = rgb[3 * (y * w + x):3 * (y * w + x) + 3]
+                line += bytes([b, g, r])
+            pixels += bytes(line) + bytes(stride - 3 * w)
+        fh = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 54)
+        ih = struct.pack(
+            "<IiiHHIIiiII", 40, w, h if top_down is False else -h,
+            1, 24, 0, len(pixels), 2835, 2835, 0, 0,
+        )
+        return fh + ih + pixels
+
+    assert decode_bmp_raster(encode(top_down=False)) == rgb
+    assert decode_bmp_raster(encode(top_down=True)) == rgb
+
+
+def test_pixel_decode_rejects_corrupt_payloads(spark):
+    """Corrupt/truncated/foreign payloads classify as 'unknown' with
+    NULL stats — never raise (bad rows are data)."""
+    from stock_data_pipeline_spark.llm.multimodal import (
+        decode_image_pixels,
+        synthesize_png,
+    )
+
+    good = synthesize_png(4, 3)
+    bad_crc = good[:20] + bytes([good[20] ^ 0xFF]) + good[21:]
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(bad_crc)),
+        (3, bytearray(b"GIF89a not supported")),
+        (4, bytearray(good[:25])),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_image_pixels(media).collect()}
+    assert out[1]["format"] == "png" and out[1]["n_pixel_bytes"] == 4 * 3 * 3
+    for did in (2, 3, 4):
+        assert out[did]["format"] == "unknown"
+        assert out[did]["byte_sum"] is None
