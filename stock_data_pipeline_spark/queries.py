@@ -19426,6 +19426,288 @@ def q301_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_pixels(synthesize_images(docs, "doc_id"))
 
 
+_BPE_SEP = "\x1f"  # token joiner inside the fold accumulator (not in data)
+
+
+@register(
+    "q302_bpe_merge_apply",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), prs AS (
+        SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                      i -> {'lt': tk[i], 'rt': tk[i + 1]})) AS p
+        FROM toks WHERE len(tk) > 1
+    ), cnt AS (
+        SELECT p.lt AS lt, p.rt AS rt, CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM prs
+        WHERE p.lt NOT LIKE '%+%' AND p.rt NOT LIKE '%+%'
+        GROUP BY 1, 2
+    ), top5 AS (
+        SELECT lt, rt, ROW_NUMBER() OVER (ORDER BY pair_count DESC, lt, rt) AS rnk
+        FROM cnt QUALIFY rnk <= 5
+    ), rules AS (
+        SELECT MAX(CASE WHEN rnk = 1 THEN lt END) AS lt1, MAX(CASE WHEN rnk = 1 THEN rt END) AS rt1,
+               MAX(CASE WHEN rnk = 2 THEN lt END) AS lt2, MAX(CASE WHEN rnk = 2 THEN rt END) AS rt2,
+               MAX(CASE WHEN rnk = 3 THEN lt END) AS lt3, MAX(CASE WHEN rnk = 3 THEN rt END) AS rt3,
+               MAX(CASE WHEN rnk = 4 THEN lt END) AS lt4, MAX(CASE WHEN rnk = 4 THEN rt END) AS rt4,
+               MAX(CASE WHEN rnk = 5 THEN lt END) AS lt5, MAX(CASE WHEN rnk = 5 THEN rt END) AS rt5
+        FROM top5
+    ), folded AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok_raw,
+        list_reduce(list_prepend('', list_transform(
+        string_split(
+        list_reduce(list_prepend('', list_transform(
+        string_split(
+        list_reduce(list_prepend('', list_transform(
+        string_split(
+        list_reduce(list_prepend('', list_transform(
+        string_split(
+        list_reduce(list_prepend('', tk),
+            (a, t) -> CASE WHEN ends_with(a, chr(31) || lt1) AND t = rt1
+                           THEN a || '+' || t ELSE a || chr(31) || t END),
+        chr(31)), x -> x)[2:]),
+            (a, t) -> CASE WHEN ends_with(a, chr(31) || lt2) AND t = rt2
+                           THEN a || '+' || t ELSE a || chr(31) || t END),
+        chr(31)), x -> x)[2:]),
+            (a, t) -> CASE WHEN ends_with(a, chr(31) || lt3) AND t = rt3
+                           THEN a || '+' || t ELSE a || chr(31) || t END),
+        chr(31)), x -> x)[2:]),
+            (a, t) -> CASE WHEN ends_with(a, chr(31) || lt4) AND t = rt4
+                           THEN a || '+' || t ELSE a || chr(31) || t END),
+        chr(31)), x -> x)[2:]),
+            (a, t) -> CASE WHEN ends_with(a, chr(31) || lt5) AND t = rt5
+                           THEN a || '+' || t ELSE a || chr(31) || t END) AS acc
+        FROM toks CROSS JOIN rules
+    )
+    SELECT doc_id, n_tok_raw,
+           CAST(length(acc) - length(replace(acc, chr(31), '')) AS BIGINT) AS n_tok_bpe,
+           CAST(n_tok_raw - (length(acc) - length(replace(acc, chr(31), ''))) AS BIGINT) AS n_merges,
+           array_to_string(string_split(acc, chr(31))[2:9], ' ') AS bpe_head
+    FROM folded
+    """,
+    survey_ref="extension: BPE merge APPLICATION — the tokenizer-side "
+    "half of q75's pair counting: the top-5 learned merges applied to "
+    "every document by a greedy left-to-right fold, identical on both "
+    "engines (the step a 100 TB pre-tokenization pass runs per shard)",
+)
+def q302_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus's top-5 learned merge rules (q75's ranking,
+    restricted to '+'-free tokens so merged symbols can never collide
+    with raw ones) to every document: one greedy left-to-right pass per
+    rule in rank order, merging each adjacent (lt, rt) occurrence into
+    'lt+rt' — the standard BPE tokenizer application discipline,
+    word-level here like q75's trainer.
+
+    Both engines run the IDENTICAL fold: the accumulator is the token
+    stream joined by chr(31) (absent from the fixtures' text), a merge
+    appends '+rt' to the trailing 'lt', a non-merge appends the
+    separator + token; overlap resolution (e.g. [a,a,a] under (a,a) →
+    [a+a, a]) falls out of the fold because a merged trail no longer
+    suffix-matches the rule.
+
+    Scale: rule learning is q75's one pair-count shuffle reduced to 5
+    rows; the 1-row rule table broadcasts; application is row-local
+    (5 linear passes per doc, no shuffle) — exactly how a tokenizer
+    pass runs over a 100 TB corpus.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    tks = doc.select("doc_id", text.tokens(F.col("text")).alias("tk"))
+    plus_free = lambda c: ~F.col(c).contains("+")  # noqa: E731
+    pairs = (
+        tks.filter(F.size("tk") > 1)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at("tk", i).alias("lt"),
+                        F.element_at("tk", i + 1).alias("rt"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.lt", "p.rt")
+        .filter(plus_free("lt") & plus_free("rt"))
+        .groupBy("lt", "rt")
+        .agg(F.count("*").cast("long").alias("pair_count"))
+    )
+    top5 = pairs.orderBy(F.col("pair_count").desc(), "lt", "rt").limit(5)
+    wr = Window.orderBy(F.col("pair_count").desc(), "lt", "rt")
+    ranked = top5.withColumn("rnk", F.row_number().over(wr))
+    rules = ranked.agg(
+        *[
+            F.max(F.when(F.col("rnk") == i, F.col(c))).alias(f"{c}{i}")
+            for i in range(1, 6)
+            for c in ("lt", "rt")
+        ]
+    )
+
+    sep = F.lit(_BPE_SEP)
+
+    def fold(arr: F.Column, lt: F.Column, rt: F.Column) -> F.Column:
+        return F.aggregate(
+            arr,
+            F.lit(""),
+            lambda a, t: F.when(
+                a.endswith(F.concat(sep, lt)) & (t == rt),
+                F.concat(a, F.lit("+"), t),
+            ).otherwise(F.concat(a, sep, t)),
+        )
+
+    def resplit(acc: F.Column) -> F.Column:
+        # drop the leading '' element the leading separator creates
+        return F.slice(F.split(acc, _BPE_SEP), 2, 2_000_000_000)
+
+    df = tks.join(F.broadcast(rules))
+    acc = F.col("tk")
+    for i in range(1, 6):
+        acc = fold(acc if i == 1 else resplit(acc), F.col(f"lt{i}"), F.col(f"rt{i}"))
+    n_bpe = (F.length(acc) - F.length(F.regexp_replace(acc, _BPE_SEP, ""))).cast("long")
+    return df.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tok_raw"),
+        n_bpe.alias("n_tok_bpe"),
+        (F.size("tk").cast("long") - n_bpe).alias("n_merges"),
+        F.concat_ws(" ", F.slice(F.split(acc, _BPE_SEP), 2, 8)).alias("bpe_head"),
+    )
+
+
+import math as _math
+
+_NDCG_K = 10
+_NDCG_W = [1.0 / _math.log2(i + 1) for i in range(1, _NDCG_K + 1)]
+_NDCG_IDCG = sum((_NDCG_K + 1 - i) * _NDCG_W[i - 1] for i in range(1, _NDCG_K + 1))
+_NDCG_W_SQL = "[" + ", ".join(f"{w!r}e0" for w in _NDCG_W) + "]"
+
+
+@register(
+    "q303_ndcg_truncated",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id % 97 = 0
+    ), c AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS cv
+        FROM embeddings WHERE vec_id % 97 <> 0
+    ), full_top AS (
+        SELECT query_id, vec_id, rn AS frank FROM (
+            SELECT q.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, 64),
+                               i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))), (a, b) -> a + b)
+                       ASC, c.vec_id ASC) AS rn
+            FROM q CROSS JOIN c
+        ) WHERE rn <= {_NDCG_K}
+    ), trunc_top AS (
+        SELECT query_id, vec_id, rn AS trank FROM (
+            SELECT q.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, 16),
+                               i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))), (a, b) -> a + b)
+                       ASC, c.vec_id ASC) AS rn
+            FROM q CROSS JOIN c
+        ) WHERE rn <= {_NDCG_K}
+    ), contrib AS (
+        SELECT t.query_id, t.trank,
+               CAST(COALESCE({_NDCG_K} + 1 - f.frank, 0) AS BIGINT) AS gain,
+               CAST(COALESCE({_NDCG_K} + 1 - f.frank, 0) AS DOUBLE)
+                   * ({_NDCG_W_SQL})[t.trank] AS dc
+        FROM trunc_top t
+        LEFT JOIN full_top f ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dc ORDER BY trank)),
+                       (a, b) -> a + b) AS dcg,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dc ORDER BY trank)),
+                       (a, b) -> a + b) / {_NDCG_IDCG!r}e0 AS ndcg
+    FROM contrib
+    GROUP BY 1
+    """,
+    survey_ref="extension: nDCG@10 of the 16-dim truncated ranking "
+    "against the full 64-dim exact ranking — q219's recall upgraded to "
+    "the graded position-discounted metric (gain = 11 − exact rank, "
+    "log2 discounts and the constant IDCG as host-generated literals, "
+    "fold pinned in position order)",
+)
+def q303_ndcg_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the cheap 16-dim-prefix retrieval, graded by the full
+    64-dim exact ranking (gain 10..1 for exact ranks 1..10, else 0) —
+    the standard eval a dimension-budget decision actually reads
+    (recall@10 treats rank 1 and rank 10 alike; nDCG doesn't).
+
+    Engine-exact float discipline: gains are integers, the 1/log2(i+1)
+    discount table and the constant IDCG (every query has exactly 10
+    graded-relevant docs) are host-generated literals shared with the
+    oracle, and each query's 10 products fold in trank order. Shapes:
+    both rankings share q28's crossJoin(broadcast(queries)) scan; the
+    rank join is per-query top-k only (k² rows per query, corpus-
+    independent) — q219's scale story unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from stock_data_pipeline_spark.llm.clustering import _quantize
+
+    q = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), _quantize(F.col("embedding"), 10).alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") % 97 != 0).select(
+        "vec_id", _quantize(F.col("embedding"), 10).alias("cv")
+    )
+
+    def topk(n_dims: int, rank_name: str) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(
+                F.slice("qv", 1, n_dims),
+                F.slice("cv", 1, n_dims),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        return (
+            q.crossJoin(c)
+            .withColumn("_d", d2)
+            .withColumn(rank_name, F.row_number().over(w))
+            .filter(F.col(rank_name) <= _NDCG_K)
+            .select("query_id", "vec_id", rank_name)
+        )
+
+    full = topk(64, "frank")
+    trunc = topk(16, "trank")
+    gain = F.coalesce(F.lit(_NDCG_K + 1) - full["frank"], F.lit(0)).cast("long")
+    wtab = F.array(*[F.lit(w) for w in _NDCG_W])
+    joined = (
+        trunc.join(
+            full,
+            (full["query_id"] == trunc["query_id"])
+            & (full["vec_id"] == trunc["vec_id"]),
+            "left",
+        )
+        .select(
+            trunc["query_id"].alias("query_id"),
+            trunc["trank"].alias("trank"),
+            gain.alias("gain"),
+            (gain.cast("double") * F.element_at(wtab, trunc["trank"])).alias("dc"),
+        )
+    )
+    dcg = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("trank", "dc"))),
+        F.lit(0.0),
+        lambda a, x: a + x["dc"],
+    )
+    return joined.groupBy("query_id").agg(
+        F.sum((F.col("gain") > 0).cast("int")).cast("long").alias("n_hits"),
+        dcg.alias("dcg"),
+        (dcg / F.lit(_NDCG_IDCG)).alias("ndcg"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -265,3 +265,112 @@ def test_rbo_coefficients_are_monotone_and_positive(spark):
     vals = [Decimal(_RBO_C[m]) for m in range(1, 21)]
     assert all(v > 0 for v in vals)
     assert all(a > b for a, b in zip(vals, vals[1:]))
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_decode_inverts_any_filtered_encoding(w, h, data):
+    """decode_png_raster must invert a spec-conformant encoder for ANY
+    raster and ANY per-row choice of the five PNG filter types (the
+    synthesizer only ever emits filter 0 — this covers the rest of the
+    spec surface the decoder claims)."""
+    import struct
+    import zlib
+
+    from stock_data_pipeline_spark.llm.multimodal import decode_png_raster
+
+    raster = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * 3,
+                max_size=w * h * 3,
+            )
+        )
+    )
+    ftypes = data.draw(
+        st.lists(st.integers(min_value=0, max_value=4), min_size=h, max_size=h)
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    stride = w * 3
+    out, prev = b"", bytes(stride)
+    for y in range(h):
+        line = raster[y * stride:(y + 1) * stride]
+        ft = ftypes[y]
+        enc = bytearray()
+        for i in range(stride):
+            a = line[i - 3] if i >= 3 else 0
+            b_ = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b_
+            elif ft == 3:
+                pred = (a + b_) >> 1
+            else:
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+            enc.append((line[i] - pred) & 0xFF)
+        out += bytes([ft]) + bytes(enc)
+        prev = line
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(out))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_raster(png) == raster
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    top_down=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_decode_normalizes_any_raster(w, h, top_down, data):
+    """decode_bmp_raster must recover the same top-down RGB raster from
+    either storage direction, for ANY pixel content and any padding."""
+    import struct
+
+    from stock_data_pipeline_spark.llm.multimodal import decode_bmp_raster
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * 3,
+                max_size=w * h * 3,
+            )
+        )
+    )
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    pixels = b""
+    for y in rows:
+        line = bytearray()
+        for x in range(w):
+            r, g, b_ = rgb[3 * (y * w + x):3 * (y * w + x) + 3]
+            line += bytes([b_, g, r])
+        pixels += bytes(line) + bytes(stride - 3 * w)
+    fh = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 54)
+    ih = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h,
+        1, 24, 0, len(pixels), 2835, 2835, 0, 0,
+    )
+    assert decode_bmp_raster(fh + ih + pixels) == rgb
