@@ -113,19 +113,105 @@ def fetch_ohlcv_history(
     return spark.createDataFrame(out, schema=PRICES_EDGE_SCHEMA)
 
 
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _xlsx_col_index(cell_ref: str) -> int:
+    """'A1' -> 0, 'AB7' -> 27: the column part of an A1-style ref."""
+    idx = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def parse_xlsx_rows(path: str, sheet_index: int = 0) -> list[list]:
+    """Pure-stdlib xlsx parse (zipfile + xml.etree — an .xlsx IS a zip
+    of XML parts): returns the chosen worksheet as a dense list of rows
+    (None for blank/missing cells, honoring A1 cell refs so sparse rows
+    land in the right columns). Supports the cell types the holdings
+    workbook uses: numbers (float), shared strings (incl. rich-text
+    runs), inline strings, booleans, and formula cells via their cached
+    value. Closes the reference's binary xlsx path
+    (sector.py:155 pd.read_excel) without openpyxl."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        # workbook sheet order -> relationship id -> worksheet part
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        rel_ns = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+        sheets = wb.find(f"{_XLSX_NS}sheets")
+        rid = list(sheets)[sheet_index].attrib[f"{rel_ns}id"]
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        target = next(
+            r.attrib["Target"]
+            for r in rels
+            if r.attrib["Id"] == rid
+        ).lstrip("/")
+        if not target.startswith("xl/"):
+            target = "xl/" + target
+
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in sst.findall(f"{_XLSX_NS}si"):
+                # plain <t> or rich-text <r><t> runs, concatenated
+                shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+
+        ws = ET.fromstring(zf.read(target))
+        rows: list[list] = []
+        for row_el in ws.iter(f"{_XLSX_NS}row"):
+            cells: dict[int, object] = {}
+            for c in row_el.findall(f"{_XLSX_NS}c"):
+                ref = c.attrib.get("r", "")
+                col = _xlsx_col_index(ref) if ref else len(cells)
+                ctype = c.attrib.get("t", "n")
+                if ctype == "inlineStr":
+                    is_el = c.find(f"{_XLSX_NS}is")
+                    val: object = (
+                        "".join(t.text or "" for t in is_el.iter(f"{_XLSX_NS}t"))
+                        if is_el is not None
+                        else None
+                    )
+                else:
+                    v = c.find(f"{_XLSX_NS}v")
+                    raw = v.text if v is not None else None
+                    if raw is None:
+                        val = None
+                    elif ctype == "s":
+                        val = shared[int(raw)]
+                    elif ctype == "b":
+                        val = bool(int(raw))
+                    elif ctype == "str":  # formula cached string
+                        val = raw
+                    else:  # 'n' numeric (incl. formula cached number)
+                        val = float(raw)
+                cells[col] = val
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i) for i in range(width)])
+    ncols = max((len(r) for r in rows), default=0)
+    return [r + [None] * (ncols - len(r)) for r in rows]
+
+
 def read_excel_edge(spark: SparkSession, path: str, skiprows: int = 4) -> DataFrame:
     """A5 — holdings workbook scan (pd.read_excel(skiprows=4),
     sector.py:155). Spark has no core xlsx source; this is a driver-edge
-    pandas read behind an import-try, returning a DataFrame."""
-    try:
-        import pandas as pd
+    read returning a DataFrame. The binary parse is the pure-stdlib
+    :func:`parse_xlsx_rows` (no openpyxl needed); ``skiprows`` rows of
+    preamble are dropped, the next row is the header (lowercased,
+    spaces -> underscores, like the pandas path)."""
+    import pandas as pd
 
-        pdf = pd.read_excel(path, skiprows=skiprows)
-    except ImportError as exc:  # pragma: no cover - openpyxl not in env
-        raise NotImplementedError(
-            "xlsx ingest needs pandas+openpyxl at the driver edge"
-        ) from exc
-    pdf.columns = [str(c).lower().replace(" ", "_") for c in pdf.columns]
+    rows = parse_xlsx_rows(path)[skiprows:]
+    if not rows:
+        return spark.createDataFrame([], "ticker string")
+    header = [
+        str(c).lower().replace(" ", "_") if c is not None else f"col_{i}"
+        for i, c in enumerate(rows[0])
+    ]
+    pdf = pd.DataFrame(rows[1:], columns=header)
     return spark.createDataFrame(pdf)
 
 

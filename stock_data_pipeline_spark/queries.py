@@ -8988,13 +8988,15 @@ def q183_ytd_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q184_holdings_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — the xlsx→holdings cleaning pipeline, oracle-checked.
 
-    The workbook itself can't be read in this sandbox (no openpyxl), so
-    workbook-SHAPED rows — placeholder '-' rows, NULL tickers, tickers
+    Workbook-SHAPED rows — placeholder '-' rows, NULL tickers, tickers
     containing '6', dotted share classes — are synthesized
     deterministically from ``supplier`` and pushed through the same
     ``io.clean_holdings`` engine pipeline the CSV/xlsx edge readers
-    feed (tests/fixtures/holdings_workbook.csv exercises the file
-    path; this query oracle-checks the transformation semantics).
+    feed. The BINARY xlsx path itself is real since r04: the
+    pure-stdlib ``io.parse_xlsx_rows`` (zipfile + XML, shared/inline
+    strings, sparse A1 refs) is round-tripped in tests/test_xlsx.py;
+    this query oracle-checks the transformation semantics on data the
+    oracle can also see.
     """
     from stock_data_pipeline_spark.io import clean_holdings
 
