@@ -166,3 +166,47 @@ def test_xlsx_and_csv_edges_agree(spark, tmp_path):
     ka = sorted(map(tuple, a.collect()))
     kb = sorted(map(tuple, b.collect()))
     assert ka == kb
+
+
+def test_xlsx_parse_roundtrips_arbitrary_tables():
+    """Property: parse_xlsx_rows inverts the writer for ANY table of
+    strings/floats/bools/None (sparse or dense), preserving cell
+    placement and types."""
+    from hypothesis import given, settings, strategies as st
+
+    cell = st.one_of(
+        st.none(),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.booleans(),
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+            min_size=1,
+            max_size=8,
+        ),
+    )
+    tables = st.lists(st.lists(cell, min_size=1, max_size=6), min_size=1, max_size=8)
+
+    @given(rows=tables)
+    @settings(max_examples=40, deadline=None)
+    def check(rows):
+        import tempfile
+        from pathlib import Path
+
+        with tempfile.TemporaryDirectory() as d:
+            p = str(Path(d) / "t.xlsx")
+            write_xlsx(p, rows)
+            got = sio.parse_xlsx_rows(p)
+        ncols = max(len(r) for r in rows)
+        want = [list(r) + [None] * (ncols - len(r)) for r in rows]
+        # trailing all-None columns are indistinguishable from absent
+        # cells in the format itself — compare on the written width
+        gotw = [r + [None] * (ncols - len(r)) for r in (row[:ncols] for row in got)]
+        for w_row, g_row in zip(want, gotw):
+            for w, g in zip(w_row, g_row):
+                if isinstance(w, float):
+                    assert g == float(w)
+                else:
+                    assert g == w
+        assert len(gotw) == len(want)
+
+    check()
