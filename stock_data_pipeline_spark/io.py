@@ -36,6 +36,55 @@ def read_csv_table(
     return reader.csv(path)
 
 
+def read_jsonl_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    keep_corrupt: bool = True,
+) -> DataFrame:
+    """JSONL scan — the standard interchange format for LLM training
+    corpora (one JSON document per line). An EXPLICIT schema is
+    required: schema inference is a full extra pass over what may be
+    100 TB of text, and inferred types drift between snapshots.
+
+    Corrupt-record policy is explicit, not implicit: with
+    ``keep_corrupt`` (default) malformed lines land in a
+    ``_corrupt_record`` column (PERMISSIVE) so a pipeline can count,
+    quarantine, and audit them — silently dropping data is how corpus
+    bugs hide; pass ``keep_corrupt=False`` for DROPMALFORMED when the
+    caller has already audited the source. DROPMALFORMED caveat (pinned
+    in tests/test_io_and_asof.py): malformedness is judged against the
+    columns a query actually reads, so ``count()`` (column-pruned) and
+    a full read can disagree on row count for type-mismatched records —
+    another reason PERMISSIVE is the default here.
+
+    Scale notes: uncompressed/``zstd``-framed JSONL is splittable, so
+    the scan parallelizes per HDFS block; gzip is NOT splittable (one
+    task per file) — shard gzipped corpora into many files.
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if keep_corrupt and not any(f.name == "_corrupt_record" for f in schema.fields):
+        schema = schema.add("_corrupt_record", T.StringType())
+    reader = spark.read.schema(schema).option(
+        "mode", "PERMISSIVE" if keep_corrupt else "DROPMALFORMED"
+    )
+    if keep_corrupt:
+        reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
+    return reader.json(path)
+
+
+def write_jsonl_table(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """JSONL sink — the export half of the corpus interchange
+    round trip. Keeps the DataFrame's partitioning (one file per
+    partition: the shardable layout downstream trainers expect);
+    ``compression='gzip'|'zstd'`` etc. passes through to the writer."""
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def read_config_list(spark: SparkSession, path: str, col_name: str = "value") -> DataFrame:
     """A10 — line-per-entry config scan (config/spdr_sectors.txt,
     sectors.py:62-70)."""
