@@ -70,14 +70,30 @@ def build_attestation(spark, sf_dir: str) -> dict:
 
 
 if __name__ == "__main__":
-    from stock_data_pipeline_spark.session import ensure_engine_confs, get_session
-
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_path = Path(sys.argv[2]) if len(sys.argv) > 2 else (
-        Path(__file__).resolve().parent.parent / "ORACLE_LOCAL_r03.json"
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_path = Path(args[1]) if len(args) > 1 else (
+        Path(__file__).resolve().parent.parent / "ORACLE_LOCAL_r04.json"
     )
-    spark = ensure_engine_confs(get_session("oracle-attest", cpus=8))
+    if vanilla:
+        # the DRIVER's environment: a bare session, no engine confs —
+        # proves every query degrades gracefully (each sets the confs
+        # it needs, e.g. nanosAsLong for the events scans, itself)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .appName("oracle-attest-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from stock_data_pipeline_spark.session import ensure_engine_confs, get_session
+
+        spark = ensure_engine_confs(get_session("oracle-attest", cpus=8))
     att = build_attestation(spark, sf_dir)
+    att["session"] = "vanilla (no engine confs — driver-like)" if vanilla else "engine"
     out_path.write_text(json.dumps(att, indent=1, sort_keys=True) + "\n")
     s = att["summary"]
     print(f"wrote {out_path}: {s['match']} MATCH / {s['rows_only']} rows-only / {s['fail']} FAIL")
