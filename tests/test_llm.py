@@ -355,3 +355,67 @@ def test_pixel_decode_rejects_corrupt_payloads(spark):
     for did in (2, 3, 4):
         assert out[did]["format"] == "unknown"
         assert out[did]["byte_sum"] is None
+
+
+def test_png_decoder_handles_spec_legal_variants():
+    """Multi-IDAT files, ancillary chunks between IHDR and IDAT, and
+    inflate streams with trailing bytes are all spec-legal — the
+    decoder must handle them; zero-dimension headers must reject."""
+    import struct
+    import zlib
+
+    from stock_data_pipeline_spark.llm.multimodal import (
+        decode_png_raster,
+        synthesize_png,
+    )
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    w, h = 3, 2
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    raw = b"".join(
+        b"\x00" + bytes((x * 3 + y * 7) % 256 for x in range(w * 3))
+        for y in range(h)
+    )
+    comp = zlib.compress(raw)
+    ref = decode_png_raster(synthesize_png(w, h))
+    assert ref is not None
+
+    split = len(comp) // 2
+    multi = sig + ihdr + chunk(b"IDAT", comp[:split]) + chunk(b"IDAT", comp[split:]) + chunk(b"IEND", b"")
+    assert decode_png_raster(multi) == ref
+
+    ancillary = sig + ihdr + chunk(b"tEXt", b"Comment\x00hi") + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+    assert decode_png_raster(ancillary) == ref
+
+    trailing = sig + ihdr + chunk(b"IDAT", zlib.compress(raw + b"\x99" * 7)) + chunk(b"IEND", b"")
+    assert decode_png_raster(trailing) == ref
+
+    zero = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 5, 8, 2, 0, 0, 0)) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+    assert decode_png_raster(zero) is None
+
+
+def test_bmp_decoder_honors_pixel_offset():
+    """biOffBits may point past the headers (palette/gap bytes between
+    header and pixel array) — the decoder must seek to it."""
+    import struct
+
+    from stock_data_pipeline_spark.llm.multimodal import (
+        decode_bmp_raster,
+        synthesize_bmp,
+    )
+
+    w, h = 2, 2
+    stride = ((w * 3 + 3) // 4) * 4
+    pixels = bytes((y * stride + i) % 251 for y in range(h) for i in range(stride))
+    gap = b"\xAA" * 10
+    fh = b"BM" + struct.pack("<IHHI", 14 + 40 + 10 + len(pixels), 0, 0, 54 + 10)
+    ih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    assert decode_bmp_raster(fh + ih + gap + pixels) == decode_bmp_raster(
+        synthesize_bmp(w, h)
+    )
