@@ -19710,6 +19710,99 @@ def q303_ndcg_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANTILE_SPECS = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20), ("p99", 99, 100)]
+_QUANTILE_BUCKET_CENTS = 100_000  # $1,000-wide value buckets
+
+
+@register(
+    "q304_exact_quantiles",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM lineitem
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
+    ), specs(label, num, den) AS (
+        VALUES {", ".join(f"('{l}', {a}, {b})" for l, a, b in _QUANTILE_SPECS)}
+    ), ranks AS (
+        SELECT label, CAST((num * n + den - 1) // den AS BIGINT) AS rank FROM specs, n
+    ), ordered AS (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM v
+    )
+    SELECT label, rank, cents AS value_cents,
+           CAST(cents AS DOUBLE) / 100 AS value
+    FROM ranks JOIN ordered ON rn = rank
+    """,
+    survey_ref="extension: EXACT distributed quantiles — lower quantile "
+    "(type-1, rank = ceil(p·n) in integer math) of l_extendedprice at "
+    "p25/p50/p75/p95/p99 via the q245 two-phase value-bucket scan; the "
+    "quantile member of the sketch/summary family (HLL/KMV/CMS/Bloom "
+    "cover cardinality/frequency/membership; this covers order "
+    "statistics) — what percentile_approx answers approximately, "
+    "answered exactly and cross-engine-verifiably",
+)
+def q304_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75/p95/p99 of lineitem extended price WITHOUT a
+    global sort: the two-phase distributed order-statistics shape —
+
+    1. bucket every row by a VALUE-DERIVED equi-width id (``cents div
+       100000`` — immune to ``repartitionByRange`` sampling
+       instability, q245's lesson), one map-side-combined count per
+       bucket;
+    2. running offsets over the ~100-row bucket-totals frame (the only
+       unpartitioned window), target bucket per quantile by a range
+       join on that tiny frame;
+    3. in-bucket ``row_number`` rank selection ONLY inside the ≤5
+       buckets that contain a target rank — the data-sized sort never
+       happens, and ties are value-identical so the selected value is
+       deterministic.
+
+    Ranks use pure integer math (ceil(p·n) = (num·n + den − 1) div
+    den) so Spark and DuckDB agree bit-for-bit; the only float is the
+    final cents→dollars division of identical integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (_dec("l_extendedprice") * 100).cast("long")
+    # integral div keeps the whole plan integer-only (q76's lesson);
+    # cents >= 0 here — signed values would need floor-div (q236)
+    v = li.select(
+        cents.alias("cents"),
+        F.expr(
+            f"CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            f" div {_QUANTILE_BUCKET_CENTS}"
+        ).alias("b"),
+    )
+    bcounts = v.groupBy("b").agg(F.count("*").cast("long").alias("cnt"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bcounts.select(
+        "b", "cnt", F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("long").alias("off")
+    )
+    n_row = v.agg(F.count("*").cast("long").alias("n"))
+    specs = spark.createDataFrame(_QUANTILE_SPECS, "label string, num long, den long")
+    ranks = specs.crossJoin(F.broadcast(n_row)).select(
+        "label", F.expr("(num * n + den - 1) div den").alias("rank")
+    )
+    targets = ranks.join(
+        F.broadcast(offsets),
+        (F.col("off") < F.col("rank")) & (F.col("rank") <= F.col("off") + F.col("cnt")),
+    ).select("label", "rank", "b", "off")
+    wr = Window.partitionBy("b").orderBy("cents")
+    in_bucket = (
+        v.join(F.broadcast(targets.select("b").distinct()), "b", "left_semi")
+        .withColumn("rn", F.row_number().over(wr).cast("long"))
+    )
+    return (
+        in_bucket.join(F.broadcast(targets), "b")
+        .filter(F.col("rn") == F.col("rank") - F.col("off"))
+        .select(
+            "label",
+            "rank",
+            F.col("cents").alias("value_cents"),
+            (F.col("cents").cast("double") / 100).alias("value"),
+        )
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -106,3 +106,18 @@ def test_pixel_decode_stats_consistent(rows):
         assert 0 <= r["byte_xor"] <= 255
         assert r["pos_weighted_sum"] <= 255 * n * (n + 1) // 2
         assert r["format"] == ("png" if r["doc_id"] % 2 else "bmp")
+
+
+def test_exact_quantiles_monotone_and_bounded(rows, spark):
+    """Quantile values must be non-decreasing in p, ranks must satisfy
+    ceil(p*n), and every value must be an actual data value."""
+    out = {r["label"]: r for r in rows("q304_exact_quantiles")}
+    assert list(out) and set(out) == {"p25", "p50", "p75", "p95", "p99"}
+    order = ["p25", "p50", "p75", "p95", "p99"]
+    vals = [out[k]["value_cents"] for k in order]
+    assert vals == sorted(vals)
+    n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    fracs = {"p25": (1, 4), "p50": (1, 2), "p75": (3, 4), "p95": (19, 20), "p99": (99, 100)}
+    for k, (num, den) in fracs.items():
+        assert out[k]["rank"] == (num * n + den - 1) // den
+        assert out[k]["value"] == out[k]["value_cents"] / 100
