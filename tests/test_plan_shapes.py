@@ -22,3 +22,17 @@ def test_no_cartesian_product(spark, name):
     df = REGISTRY[name].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_row_at_a_time_python(spark, name):
+    """Registry-wide: Python may appear ONLY as Arrow-batched
+    mapInPandas/grouped-pandas nodes (the sequential recurrences and
+    multimodal decode). BatchEvalPython (row-at-a-time pickled UDF —
+    the 10-100x slow path) and ArrowEvalPython (scalar pandas UDF —
+    none registered by design; every scalar expression is a JVM
+    expression) must never plan anywhere."""
+    df = REGISTRY[name].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, f"{name} plans a row-at-a-time Python UDF"
+    assert "ArrowEvalPython" not in plan, f"{name} plans a scalar Python UDF"
