@@ -19803,6 +19803,86 @@ def q304_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MG_K = 256  # Misra–Gries counter budget per partition
+
+
+@register(
+    "q305_heavy_hitters",
+    oracle=f"""
+    WITH n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+    ), c AS (
+        SELECT CAST(l_suppkey AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    )
+    SELECT key, cnt, CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS support
+    FROM c, n
+    WHERE cnt * {_MG_K} > n
+    """,
+    survey_ref="extension: exact heavy hitters by the two-pass "
+    "Misra–Gries discipline — map-only mergeable MG(256) summaries per "
+    "partition generate a lossless candidate superset (pigeonhole: any "
+    "key with global count > n/k exceeds n_p/k in some partition), then "
+    "an exact count verifies ONLY candidates; the final output is exact "
+    "and partitioning-independent, so it full-value-oracles against a "
+    "plain GROUP BY HAVING",
+)
+def q305_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All keys with count > n/256 of lineitem's supplier column, found
+    the way a 100 TB job should: phase 1 is a MAP-ONLY pass — each
+    partition keeps a Misra–Gries summary of ≤255 counters (batches
+    merged with the Agarwal et al. mergeable-summaries rule: pointwise
+    add, subtract the k-th largest, clip), so no shuffle carries the
+    full key universe; phase 2 exactly counts ONLY the ≤ partitions×k
+    candidate keys (broadcast semi-join) and keeps those whose exact
+    count clears the threshold (integer compare ``cnt·k > n``).
+
+    Losslessness: a key with global count > n/k must exceed n_p/k in
+    at least one partition, where MG's error bound (≤ n_p/k) cannot
+    evict it — so candidates ⊇ true heavy hitters and the exact second
+    pass makes the output deterministic no matter how the data is
+    partitioned (pinned by a hostile-repartition test). A plain
+    groupBy-count shuffles every distinct key; this shuffles only
+    candidates — the difference between feasible and not when the key
+    universe dwarfs executor memory.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("long").alias("key")
+    )
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            vc = pdf["key"].value_counts()
+            for k, c in vc.items():
+                counters[int(k)] = counters.get(int(k), 0) + int(c)
+            if len(counters) >= _MG_K:
+                # mergeable-summaries shrink: subtract the k-th largest
+                # count from all, drop the non-positive
+                kth = sorted(counters.values(), reverse=True)[_MG_K - 1]
+                counters = {k: c - kth for k, c in counters.items() if c - kth > 0}
+        yield pd.DataFrame({"key": pd.array(sorted(counters), dtype="Int64")})
+
+    cands = li.mapInPandas(mg_partition, "key long").distinct()
+    n_row = li.agg(F.count("*").cast("long").alias("n"))
+    exact = (
+        li.join(F.broadcast(cands), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(n_row))
+        .filter(F.col("cnt") * _MG_K > F.col("n"))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("support"),
+        )
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

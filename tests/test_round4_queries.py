@@ -121,3 +121,34 @@ def test_exact_quantiles_monotone_and_bounded(rows, spark):
     for k, (num, den) in fracs.items():
         assert out[k]["rank"] == (num * n + den - 1) // den
         assert out[k]["value"] == out[k]["value_cents"] / 100
+
+
+def test_heavy_hitters_partitioning_independent(rows, spark):
+    """The MG candidate sets DIFFER per partitioning — the exact verify
+    pass must make the final output identical anyway. Run the query
+    over hostile layouts (1 partition: pure-MG path; 13 partitions by
+    an unrelated key; narrow shuffle width) and against a brute-force
+    reference."""
+    from pyspark.sql import functions as F
+
+    base = {(r["key"], r["cnt"]) for r in rows("q305_heavy_hitters")}
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n = li.count()
+    brute = {
+        (r["key"], r["cnt"])
+        for r in li.groupBy(F.col("l_suppkey").cast("long").alias("key"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") * 256 > F.lit(n))
+        .collect()
+    }
+    assert base == brute
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = {(r["key"], r["cnt"])
+                  for r in REGISTRY["q305_heavy_hitters"].fn(spark, SF).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert narrow == base
