@@ -1,6 +1,8 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line with per-query wall-clock seconds.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints the
+plan-fingerprint JSON on an EARLIER line (and writes BENCH_PLANS.json),
+then the compact timings-only JSON as the FINAL line — tail-capture
+parsers read only the last ~2 KB, which round 3 learned the hard way.
 
 Each query is forced end-to-end with the noop sink (full computation,
 no collect/driver materialization cost in the measurement).
@@ -38,7 +40,7 @@ from stock_data_pipeline_spark import queries as _q  # noqa: E402
 from stock_data_pipeline_spark.session import ensure_engine_confs, get_session  # noqa: E402
 
 
-def run() -> dict:
+def run() -> tuple[dict, dict]:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = ensure_engine_confs(get_session("bench"))

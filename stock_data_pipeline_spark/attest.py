@@ -73,8 +73,11 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if a != "--vanilla"]
     vanilla = "--vanilla" in sys.argv[1:]
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    # distinct defaults per mode — `--vanilla` without an explicit out
+    # path must never silently overwrite the engine attestation
+    default_name = "ORACLE_VANILLA_r04.json" if vanilla else "ORACLE_LOCAL_r04.json"
     out_path = Path(args[1]) if len(args) > 1 else (
-        Path(__file__).resolve().parent.parent / "ORACLE_LOCAL_r04.json"
+        Path(__file__).resolve().parent.parent / default_name
     )
     if vanilla:
         # the DRIVER's environment: a bare session, no engine confs —

@@ -210,12 +210,23 @@ def parse_xlsx_rows(path: str, sheet_index: int = 0) -> list[list]:
                 shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
 
         ws = ET.fromstring(zf.read(target))
-        rows: list[list] = []
+        # rows/cells are placed by their SPEC positions: a <row r="N">
+        # lands at sheet row N (writers omit entirely-empty rows — a
+        # positional append would silently shift everything below them,
+        # breaking skiprows/header alignment), and an unreffed cell
+        # goes one column after the previous cell in its row
+        rows_by_idx: dict[int, list] = {}
+        next_row = 0
         for row_el in ws.iter(f"{_XLSX_NS}row"):
+            r_attr = row_el.attrib.get("r")
+            row_idx = int(r_attr) - 1 if r_attr else next_row
+            next_row = row_idx + 1
             cells: dict[int, object] = {}
+            last_col = -1
             for c in row_el.findall(f"{_XLSX_NS}c"):
                 ref = c.attrib.get("r", "")
-                col = _xlsx_col_index(ref) if ref else len(cells)
+                col = _xlsx_col_index(ref) if ref else last_col + 1
+                last_col = col
                 ctype = c.attrib.get("t", "n")
                 if ctype == "inlineStr":
                     is_el = c.find(f"{_XLSX_NS}is")
@@ -238,10 +249,13 @@ def parse_xlsx_rows(path: str, sheet_index: int = 0) -> list[list]:
                     else:  # 'n' numeric (incl. formula cached number)
                         val = float(raw)
                 cells[col] = val
-            width = max(cells) + 1 if cells else 0
-            rows.append([cells.get(i) for i in range(width)])
-    ncols = max((len(r) for r in rows), default=0)
-    return [r + [None] * (ncols - len(r)) for r in rows]
+            rows_by_idx[row_idx] = cells
+    nrows = max(rows_by_idx, default=-1) + 1
+    ncols = max((max(c) + 1 for c in rows_by_idx.values() if c), default=0)
+    return [
+        [rows_by_idx.get(r, {}).get(i) for i in range(ncols)]
+        for r in range(nrows)
+    ]
 
 
 def read_excel_edge(spark: SparkSession, path: str, skiprows: int = 4) -> DataFrame:
@@ -261,6 +275,16 @@ def read_excel_edge(spark: SparkSession, path: str, skiprows: int = 4) -> DataFr
         for i, c in enumerate(rows[0])
     ]
     pdf = pd.DataFrame(rows[1:], columns=header)
+    # all-None columns (preamble wider than the data table, or a
+    # header-only sheet) have no inferrable Spark type — pin them to
+    # string, matching pandas' all-NaN object-column behavior
+    for col in pdf.columns:
+        if pdf[col].isna().all():
+            pdf[col] = pd.array([None] * len(pdf), dtype="string")
+    if len(pdf) == 0:
+        return spark.createDataFrame(
+            [], ", ".join(f"`{c}` string" for c in header)
+        )
     return spark.createDataFrame(pdf)
 
 

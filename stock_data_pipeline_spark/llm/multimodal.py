@@ -241,15 +241,27 @@ def decode_png_raster(data: bytes) -> bytes | None:
         pos += 12 + length
     if ihdr is None or len(ihdr) < 13 or not idat:
         return None
-    w, h, bit_depth, color_type = struct.unpack(">IIBB", ihdr[:10])
+    w, h, bit_depth, color_type, compression, filter_method, interlace = (
+        struct.unpack(">IIBBBBB", ihdr[:13])
+    )
     if bit_depth != 8 or color_type != 2 or w == 0 or h == 0:
         return None  # only 8-bit truecolor in scope (what we synthesize)
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
+    if compression != 0 or filter_method != 0 or interlace != 0:
+        # Adam7-interlaced (or exotic method) files are spec-legal but
+        # out of scope — decoding them as sequential scanlines would
+        # return a WRONG raster as if valid; classify unknown instead
         return None
     bpp, stride = 3, w * 3
-    if len(raw) < h * (1 + stride):
+    expect = h * (1 + stride)
+    # cap the inflate at the raster size (+1 to detect overruns): a
+    # decompression-bomb payload must not materialize gigabytes in a
+    # path that promises "bad rows are data, never raise"
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(b"".join(idat), expect + 1)
+    except zlib.error:
+        return None
+    if len(raw) < expect:
         return None
     out = bytearray()
     prev = bytes(stride)

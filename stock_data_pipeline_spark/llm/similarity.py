@@ -339,3 +339,52 @@ def embedding_neardup_pairs(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def quantized_prefix_topk(
+    emb: DataFrame,
+    n_dims: int,
+    k: int,
+    rank_name: str = "rn",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 97,
+    quant_bits: int = 10,
+) -> DataFrame:
+    """Exact top-k corpus neighbors per query over the first ``n_dims``
+    embedding dims: queries are ``id % query_mod == 0``, the corpus is
+    the rest, distances are integer-quantized squared L2 (deterministic
+    ties on id). Returns (query_id, vec_id, <rank_name>).
+
+    The SHARED ranker behind the truncated-dimension evaluation family
+    (q219 recall, q227 RRF fusion, q231 RBO, q303 nDCG): the distance
+    fold, tie-break, and quantization discipline are correctness-
+    critical and live here exactly once. Plan shape: one
+    crossJoin(broadcast-eligible query side) scan + per-query window
+    top-k — the exact baseline whose candidate generator swaps for LSH/
+    IVF at scale."""
+    from stock_data_pipeline_spark.llm.clustering import _quantize
+
+    q = emb.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), _quantize(F.col(vec_col), quant_bits).alias("qv")
+    )
+    c = emb.filter(F.col(id_col) % query_mod != 0).select(
+        F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col), quant_bits).alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.slice("qv", 1, n_dims),
+            F.slice("cv", 1, n_dims),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+    return (
+        q.crossJoin(c)
+        .withColumn("_d", d2)
+        .withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
+        .select("query_id", "vec_id", rank_name)
+    )

@@ -62,7 +62,12 @@ def render_line_chart_svg(
     labels at min/max, and a legend. NULL points break the line into
     segments (matching how plotting libraries gap missing data).
     """
-    from xml.sax.saxutils import escape
+    from xml.sax.saxutils import escape as _esc
+
+    def escape(s: str) -> str:
+        # saxutils.escape leaves double quotes alone; these strings land
+        # inside attribute values, so '"' must become &quot;
+        return _esc(s, {'"': "&quot;"})
 
     y_cols = y_cols or [c for c in pdf.columns if c != x_col]
     ml, mr, mt, mb = 60, 140, 30, 40

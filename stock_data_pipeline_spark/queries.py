@@ -11796,38 +11796,15 @@ def q219_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarter of the bytes; this query quantifies what that costs in
     recall, exactly (integer-quantized distances, deterministic ties).
     Both scans share the corpus crossJoin shape of q28 — the broadcast
-    side is the query set."""
+    side is the query set. The ranker itself is the shared
+    ``similarity.quantized_prefix_topk`` (one implementation behind
+    q219/q227/q231/q303)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    from stock_data_pipeline_spark.llm.clustering import _quantize
 
-    q = emb.filter(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("query_id"), _quantize(F.col("embedding"), 10).alias("qv")
+    full = similarity.quantized_prefix_topk(emb, 64, 10).select("query_id", "vec_id")
+    trunc = similarity.quantized_prefix_topk(emb, 16, 10).select(
+        "query_id", F.col("vec_id").alias("t_vec")
     )
-    c = emb.filter(F.col("vec_id") % 97 != 0).select(
-        "vec_id", _quantize(F.col("embedding"), 10).alias("cv")
-    )
-
-    def top10(n_dims: int, out: str) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with(
-                F.slice("qv", 1, n_dims),
-                F.slice("cv", 1, n_dims),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-        w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id").asc())
-        return (
-            q.crossJoin(c)
-            .withColumn("_d", d2)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= 10)
-            .select("query_id", F.col("vec_id").alias(out))
-        )
-
-    full = top10(64, "vec_id")
-    trunc = top10(16, "t_vec")
     return (
         full.join(
             trunc,
@@ -12822,33 +12799,9 @@ def q227_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent, fusion touches only top-k lists.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    from stock_data_pipeline_spark.llm.clustering import _quantize
-
-    q = emb.filter(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("query_id"), _quantize(F.col("embedding"), 10).alias("qv")
-    )
-    c = emb.filter(F.col("vec_id") % 97 != 0).select(
-        "vec_id", _quantize(F.col("embedding"), 10).alias("cv")
-    )
 
     def topk(n_dims: int) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with(
-                F.slice("qv", 1, n_dims),
-                F.slice("cv", 1, n_dims),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id").asc())
-        return (
-            q.crossJoin(c)
-            .withColumn("_d", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _RRF_DEPTH)
-            .select("query_id", "vec_id", "rn")
-        )
+        return similarity.quantized_prefix_topk(emb, n_dims, _RRF_DEPTH)
 
     full, trunc = topk(64).alias("f"), topk(16).alias("t")
     fused = full.join(
@@ -13254,33 +13207,9 @@ def q231_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement rather than fusing. The float appears exactly once: the
     final (1−p)/L scale of an exact decimal."""
     emb = load_table(spark, sf_dir, "embeddings")
-    from stock_data_pipeline_spark.llm.clustering import _quantize
-
-    q = emb.filter(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("query_id"), _quantize(F.col("embedding"), 10).alias("qv")
-    )
-    c = emb.filter(F.col("vec_id") % 97 != 0).select(
-        "vec_id", _quantize(F.col("embedding"), 10).alias("cv")
-    )
 
     def topk(n_dims: int) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with(
-                F.slice("qv", 1, n_dims),
-                F.slice("cv", 1, n_dims),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id").asc())
-        return (
-            q.crossJoin(c)
-            .withColumn("_d", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 20)
-            .select("query_id", "vec_id", "rn")
-        )
+        return similarity.quantized_prefix_topk(emb, n_dims, 20)
 
     full, trunc = topk(64).alias("f"), topk(16).alias("t")
     common = full.join(
@@ -19650,38 +19579,12 @@ def q303_ndcg_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, and each query's 10 products fold in trank order. Shapes:
     both rankings share q28's crossJoin(broadcast(queries)) scan; the
     rank join is per-query top-k only (k² rows per query, corpus-
-    independent) — q219's scale story unchanged."""
+    independent) — q219's scale story unchanged. The ranker is the
+    shared ``similarity.quantized_prefix_topk``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    from stock_data_pipeline_spark.llm.clustering import _quantize
 
-    q = emb.filter(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("query_id"), _quantize(F.col("embedding"), 10).alias("qv")
-    )
-    c = emb.filter(F.col("vec_id") % 97 != 0).select(
-        "vec_id", _quantize(F.col("embedding"), 10).alias("cv")
-    )
-
-    def topk(n_dims: int, rank_name: str) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with(
-                F.slice("qv", 1, n_dims),
-                F.slice("cv", 1, n_dims),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-        w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id").asc())
-        return (
-            q.crossJoin(c)
-            .withColumn("_d", d2)
-            .withColumn(rank_name, F.row_number().over(w))
-            .filter(F.col(rank_name) <= _NDCG_K)
-            .select("query_id", "vec_id", rank_name)
-        )
-
-    full = topk(64, "frank")
-    trunc = topk(16, "trank")
+    full = similarity.quantized_prefix_topk(emb, 64, _NDCG_K, "frank")
+    trunc = similarity.quantized_prefix_topk(emb, 16, _NDCG_K, "trank")
     gain = F.coalesce(F.lit(_NDCG_K + 1) - full["frank"], F.lit(0)).cast("long")
     wtab = F.array(*[F.lit(w) for w in _NDCG_W])
     joined = (

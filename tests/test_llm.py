@@ -419,3 +419,37 @@ def test_bmp_decoder_honors_pixel_offset():
     assert decode_bmp_raster(fh + ih + gap + pixels) == decode_bmp_raster(
         synthesize_bmp(w, h)
     )
+
+
+def test_png_decoder_rejects_interlace_and_bombs():
+    """Spec-legal-but-out-of-scope PNGs must classify unknown, not
+    decode wrong: Adam7 interlace flag -> None; a decompression-bomb
+    IDAT must not materialize beyond the expected raster size."""
+    import struct
+    import zlib
+
+    from stock_data_pipeline_spark.llm.multimodal import decode_png_raster
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    raw = b"\x00" + bytes(3)  # 1x1 black
+    interlaced = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert decode_png_raster(interlaced) is None
+
+    bomb_payload = zlib.compress(b"\x00" * 50_000_000, 9)  # ~48 KB -> 50 MB
+    bomb = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", bomb_payload) + chunk(b"IEND", b"")
+    )
+    # must return quickly with the 1x1 raster (first 4 bytes are the
+    # real scanline) and never inflate the full 50 MB
+    out = decode_png_raster(bomb)
+    assert out == bytes(3)

@@ -210,3 +210,56 @@ def test_xlsx_parse_roundtrips_arbitrary_tables():
         assert len(gotw) == len(want)
 
     check()
+
+
+def test_xlsx_omitted_rows_and_unreffed_cells_keep_spec_positions(tmp_path):
+    """Excel omits entirely-empty rows from the XML and may omit cell
+    refs; both must land at their SPEC positions — row r attributes
+    anchor absolute row indices (no upward shift), and an unreffed cell
+    follows the previous cell's column, not the cell count."""
+    import zipfile
+
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1"><v>1</v></c></row>'
+        # row 2 entirely absent from the XML
+        '<row r="3"><c r="C3"><v>3</v></c><c><v>4</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    p = str(tmp_path / "sparse.xlsx")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("[Content_Types].xml", _CT)
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/workbook.xml", _WORKBOOK)
+        zf.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    rows = sio.parse_xlsx_rows(p)
+    assert len(rows) == 3
+    assert rows[0] == [1.0, None, None, None]
+    assert rows[1] == [None, None, None, None]      # omitted row preserved
+    assert rows[2] == [None, None, 3.0, 4.0]        # unreffed cell -> col D
+
+
+def test_read_excel_edge_all_none_columns_and_header_only(spark, tmp_path):
+    """Preamble wider than the data table (all-None padded columns) and
+    header-only sheets must return DataFrames, not type-inference
+    crashes."""
+    wide_preamble = [
+        ["a", "b", "c", "x", "y"],   # 5-wide preamble row
+        ["Ticker", "Weight", "Shares Held"],
+        ["LIN", 1.0, 2.0],
+    ]
+    p1 = str(tmp_path / "wide.xlsx")
+    write_xlsx(p1, wide_preamble)
+    df = sio.read_excel_edge(spark, p1, skiprows=1)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["ticker"] == "LIN"
+    assert rows[0]["col_3"] is None and rows[0]["col_4"] is None
+
+    p2 = str(tmp_path / "headeronly.xlsx")
+    write_xlsx(p2, [["junk"], ["Ticker", "Weight"]])
+    empty = sio.read_excel_edge(spark, p2, skiprows=1)
+    assert empty.count() == 0
+    assert empty.columns == ["ticker", "weight"]
