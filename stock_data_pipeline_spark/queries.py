@@ -19711,6 +19711,7 @@ _MG_K = 256  # Misra–Gries counter budget per partition
 
 @register(
     "q305_heavy_hitters",
+    headline=True,  # new plan family: map-only MG candidates + verify
     oracle=f"""
     WITH n AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
