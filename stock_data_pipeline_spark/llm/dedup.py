@@ -501,7 +501,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 100,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph (near-dup
@@ -543,6 +543,7 @@ def connected_components(
     labels = (
         bidir.select(F.col("u").alias("vertex")).distinct().withColumn("lbl", F.col("vertex"))
     ).checkpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         new_labels = _cc_round(bidir, labels).checkpoint(eager=True)
         changed = (
@@ -554,7 +555,19 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # NEVER return silently-wrong labels: an unconverged run split
+        # components (found the hard way — the sf0.1 proximity graph
+        # needs 28 rounds; the old max_iter=25 returned a 15000-vertex
+        # component cut into 13182+1818 with no error). max_iter is a
+        # runaway bound, not an accuracy knob.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds; "
+            "the graph's label-propagation depth exceeds the safety bound — "
+            "raise max_iter (labels would be WRONG, not approximate)"
+        )
     return labels.select(F.col("vertex"), F.col("lbl").alias("cluster_id"))
 
 

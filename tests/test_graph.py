@@ -72,3 +72,39 @@ def test_pagerank_single_round_matches_hand_calc(spark):
     tp = 0.15000000000000002 / 2  # 1.0 - 0.85 in IEEE
     exp_a = tp + 0.85 * (0.5 * 0.5 + 0.5 * 1.0)
     assert got["a"] == exp_a
+
+
+def test_cc_raises_rather_than_returning_unconverged_labels(spark):
+    """max_iter is a runaway bound, not an accuracy knob: a graph that
+    cannot converge within it must raise, never return silently-split
+    components (the sf0.1 proximity graph needed 28 rounds and the old
+    max_iter=25 returned a 15000-vertex component cut in two)."""
+    import pytest
+
+    from stock_data_pipeline_spark.llm.dedup import connected_components
+
+    # a long path: 0-1-2-...-199
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1).collect()
+
+
+def test_cc_converges_on_long_path_with_scrambled_ids(spark):
+    """A 2000-vertex path whose vertex ids are scrambled (so min-label
+    propagation gets no help from id locality) must still converge to
+    ONE component labeled by the global min — the shape that exposed
+    the max_iter cliff at sf0.1."""
+    from stock_data_pipeline_spark.llm.dedup import connected_components
+
+    n = 2000
+    # deterministic scramble: multiply by an odd constant mod 2^31
+    ids = [(i * 48271 + 11) % 2_147_483_647 for i in range(n + 1)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n)], ["id_a", "id_b"]
+    )
+    labels = connected_components(edges).collect()
+    assert len(labels) == n + 1
+    want = min(ids)
+    assert {r["cluster_id"] for r in labels} == {want}
