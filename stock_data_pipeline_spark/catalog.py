@@ -197,7 +197,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events fixture with ``ts`` as TIMESTAMP_NTZ at µs precision —
     the exact value DuckDB sees reading the same file (its TIMESTAMP is
     µs; a nanos fixture is µs-truncated identically by both engines).
+
+    Pins the session timezone to UTC (runtime-settable, idempotent —
+    engine sessions already set it at build time): the
+    ``timestamp_micros`` → NTZ conversion renders the SESSION-LOCAL
+    wall clock of the instant, so under a non-UTC JVM every derived
+    day bucket (``to_date(ts)``) would shift while the DuckDB oracle
+    reads naive timestamps — experimentally flips q141/q144 (VERDICT
+    r04). UTC makes NTZ == the naive value DuckDB sees.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = load_events_us(spark, sf_dir)
     return raw.withColumn(
         "ts", F.expr("timestamp_micros(ts)").cast("timestamp_ntz")

@@ -8,8 +8,11 @@ hash (order-insensitive). Used by tests/test_oracle_parity.py and by
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import hashlib
 import math
+import re
 import sys
 
 import duckdb
@@ -17,6 +20,60 @@ from pyspark.sql import DataFrame, SparkSession
 
 from stock_data_pipeline_spark.catalog import ALL_TABLES
 from stock_data_pipeline_spark.queries import REGISTRY
+
+# DuckDB output types proven safe through the driver's result pipeline.
+# Anything int128-backed (HUGEINT, DECIMAL with precision > 18) is
+# rendered as float64/decimal128 by DuckDB's pandas/Arrow exports and
+# hash-diverges from Spark's BIGINT even when values are equal — the
+# root cause of the 8 r04 driver-only fails (VERDICT r04). Oracles must
+# CAST such outputs to BIGINT (or VARCHAR digit strings when > int64).
+_SAFE_DUCK_TYPE = re.compile(
+    r"^(BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|FLOAT|VARCHAR|BOOLEAN|DATE"
+    r"|TIMESTAMP(_NS| WITH TIME ZONE)?)$"
+)
+_DECIMAL_TYPE = re.compile(r"^DECIMAL\((\d+),(\d+)\)$")
+
+
+def duck_type_allowed(duck_type: str) -> bool:
+    """True iff a DuckDB DESCRIBE type is in the driver-proven-safe set."""
+    if _SAFE_DUCK_TYPE.match(duck_type):
+        return True
+    m = _DECIMAL_TYPE.match(duck_type)
+    return bool(m) and int(m.group(1)) <= 18
+
+
+def oracle_output_types(
+    con: duckdb.DuckDBPyConnection, oracle_sql: str
+) -> list[tuple[str, str]]:
+    """(column, DuckDB type) pairs for an oracle query, via DESCRIBE."""
+    return [(c, t) for c, t, *_ in con.execute(f"DESCRIBE {oracle_sql}").fetchall()]
+
+
+def _type_class(v) -> str:
+    """Coarse Python type class for cross-engine type-drift detection."""
+    if isinstance(v, bool):  # before int: bool subclasses int
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, datetime.datetime):  # before date: datetime subclasses date
+        return "datetime"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, (list, tuple)):
+        return "list"
+    return type(v).__name__
+
+
+def _col_type_classes(rows: list[tuple], idx: int) -> set[str]:
+    return {_type_class(row[idx]) for row in rows if row[idx] is not None}
 
 
 def _norm_cell(v) -> str:
@@ -53,9 +110,15 @@ def compare_query(
     if spec.oracle is None:
         result["status"] = "rows_only"
         return result
-    ores = con.execute(spec.oracle)
-    o_cols = [d[0] for d in ores.description]
-    o_rows = ores.fetchall()
+    # Fetch the DuckDB side via Arrow, not fetchall(): fetchall folds
+    # HUGEINT/DECIMAL(38,x) to plain Python int/Decimal and is
+    # structurally blind to the type drift that broke 8 queries in the
+    # driver's r04 window. Arrow preserves the exported logical type
+    # (HUGEINT -> decimal128), so the class check below catches it.
+    otab = con.execute(spec.oracle).fetch_arrow_table()
+    o_cols = list(otab.column_names)
+    _cols_py = [c.to_pylist() for c in otab.columns]
+    o_rows = [tuple(vals) for vals in zip(*_cols_py)] if otab.num_rows else []
     result["oracle_rows"] = len(o_rows)
     if sorted(s_cols) != sorted(o_cols):
         result["status"] = "SCHEMA_MISMATCH"
@@ -64,6 +127,15 @@ def compare_query(
         return result
     s_order = [s_cols.index(c) for c in sorted(s_cols)]
     o_order = [o_cols.index(c) for c in sorted(o_cols)]
+    drift = {}
+    for si, oi in zip(s_order, o_order):
+        sc, oc = _col_type_classes(s_rows, si), _col_type_classes(o_rows, oi)
+        if sc and oc and sc != oc:
+            drift[s_cols[si]] = {"spark": sorted(sc), "oracle": sorted(oc)}
+    if drift:
+        result["status"] = "TYPE_MISMATCH"
+        result["type_drift"] = drift
+        return result
     if len(s_rows) != len(o_rows):
         result["status"] = "ROWCOUNT_MISMATCH"
         return result

