@@ -241,7 +241,18 @@ def parse_xlsx_rows(path: str, sheet_index: int = 0) -> list[list]:
                     if raw is None:
                         val = None
                     elif ctype == "s":
-                        val = shared[int(raw)]
+                        # a workbook can carry s-type cells with a
+                        # missing/short sharedStrings part — fail with
+                        # the file and cell named, not an IndexError
+                        sidx = int(raw)
+                        if not 0 <= sidx < len(shared):
+                            raise ValueError(
+                                f"xlsx parse: {path} cell "
+                                f"{ref or f'row {row_idx + 1}'} references "
+                                f"shared string {sidx} but the workbook "
+                                f"has {len(shared)}"
+                            )
+                        val = shared[sidx]
                     elif ctype == "b":
                         val = bool(int(raw))
                     elif ctype == "str":  # formula cached string
@@ -264,9 +275,11 @@ def read_excel_edge(spark: SparkSession, path: str, skiprows: int = 4) -> DataFr
     read returning a DataFrame. The binary parse is the pure-stdlib
     :func:`parse_xlsx_rows` (no openpyxl needed); ``skiprows`` rows of
     preamble are dropped, the next row is the header (lowercased,
-    spaces -> underscores, like the pandas path)."""
-    import pandas as pd
-
+    spaces -> underscores, like the pandas path). The whole path is
+    dependency-free: rows go to ``createDataFrame`` as plain tuples
+    with an explicit per-column schema (uniform float/bool/str columns
+    keep their type; mixed or all-None columns become string), so
+    heterogeneous sheets can never fail Spark type inference."""
     rows = parse_xlsx_rows(path)[skiprows:]
     if not rows:
         return spark.createDataFrame([], "ticker string")
@@ -274,18 +287,24 @@ def read_excel_edge(spark: SparkSession, path: str, skiprows: int = 4) -> DataFr
         str(c).lower().replace(" ", "_") if c is not None else f"col_{i}"
         for i, c in enumerate(rows[0])
     ]
-    pdf = pd.DataFrame(rows[1:], columns=header)
-    # all-None columns (preamble wider than the data table, or a
-    # header-only sheet) have no inferrable Spark type — pin them to
-    # string, matching pandas' all-NaN object-column behavior
-    for col in pdf.columns:
-        if pdf[col].isna().all():
-            pdf[col] = pd.array([None] * len(pdf), dtype="string")
-    if len(pdf) == 0:
-        return spark.createDataFrame(
-            [], ", ".join(f"`{c}` string" for c in header)
+    data = [r + [None] * (len(header) - len(r)) for r in rows[1:]]
+    col_sql_types = []
+    for i in range(len(header)):
+        kinds = {type(r[i]) for r in data if r[i] is not None}
+        col_sql_types.append(
+            "double" if kinds == {float}
+            else "boolean" if kinds == {bool}
+            else "string"
         )
-    return spark.createDataFrame(pdf)
+    schema = ", ".join(f"`{c}` {t}" for c, t in zip(header, col_sql_types))
+    tuples = [
+        tuple(
+            v if v is None or t != "string" or isinstance(v, str) else str(v)
+            for v, t in zip(r, col_sql_types)
+        )
+        for r in data
+    ]
+    return spark.createDataFrame(tuples, schema)
 
 
 def read_holdings_csv_edge(spark: SparkSession, path: str, skiprows: int = 4) -> DataFrame:

@@ -261,7 +261,12 @@ def decode_png_raster(data: bytes) -> bytes | None:
         raw = d.decompress(b"".join(idat), expect + 1)
     except zlib.error:
         return None
-    if len(raw) < expect:
+    # strict both ways, mirroring the CRC checks: too little output is
+    # truncation; excess output (len > expect), input still unconsumed
+    # at the cap, or a stream that never reached its terminator is a
+    # spec-invalid IDAT — don't silently decode its first `expect`
+    # bytes as valid
+    if len(raw) != expect or d.unconsumed_tail or d.unused_data or not d.eof:
         return None
     out = bytearray()
     prev = bytes(stride)

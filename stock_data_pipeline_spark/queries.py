@@ -19379,7 +19379,11 @@ _BPE_SEP = "\x1f"  # token joiner inside the fold accumulator (not in data)
     "q302_bpe_merge_apply",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        -- tokens containing the fold separator chr(31) are dropped (not
+        -- just assumed absent): one inside a token would silently
+        -- re-split during the between-fold resplit
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '' AND NOT contains(t, chr(31))) AS tk
         FROM documents
     ), prs AS (
         SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
@@ -19447,7 +19451,8 @@ def q302_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-level here like q75's trainer.
 
     Both engines run the IDENTICAL fold: the accumulator is the token
-    stream joined by chr(31) (absent from the fixtures' text), a merge
+    stream joined by chr(31) (tokens containing the separator are
+    dropped up front on both engines — never silently re-split), a merge
     appends '+rt' to the trailing 'lt', a non-merge appends the
     separator + token; overlap resolution (e.g. [a,a,a] under (a,a) →
     [a+a, a]) falls out of the fold because a merged trail no longer
@@ -19459,7 +19464,14 @@ def q302_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass runs over a 100 TB corpus.
     """
     doc = load_table(spark, sf_dir, "documents")
-    tks = doc.select("doc_id", text.tokens(F.col("text")).alias("tk"))
+    # drop (never silently re-split) any token containing the fold
+    # separator — mirrors the oracle's chr(31) filter
+    tks = doc.select(
+        "doc_id",
+        F.filter(
+            text.tokens(F.col("text")), lambda t: ~t.contains(_BPE_SEP)
+        ).alias("tk"),
+    )
     plus_free = lambda c: ~F.col(c).contains("+")  # noqa: E731
     pairs = (
         tks.filter(F.size("tk") > 1)
@@ -19774,14 +19786,25 @@ def q305_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         counters: dict[int, int] = {}
         for pdf in batches:
+            # value_counts is an exact sub-summary of this Arrow batch
+            # (its own footprint is batch-bounded, ~maxRecordsPerBatch
+            # distinct keys, columnar and transient); merging it key by
+            # key lets the counter dict shrink MID-batch, so the ≤255
+            # live-counter budget holds between insertions instead of
+            # only between batches
             vc = pdf["key"].value_counts()
             for k, c in vc.items():
                 counters[int(k)] = counters.get(int(k), 0) + int(c)
-            if len(counters) >= _MG_K:
-                # mergeable-summaries shrink: subtract the k-th largest
-                # count from all, drop the non-positive
-                kth = sorted(counters.values(), reverse=True)[_MG_K - 1]
-                counters = {k: c - kth for k, c in counters.items() if c - kth > 0}
+                if len(counters) >= _MG_K:
+                    # mergeable-summaries shrink: subtract the k-th
+                    # largest count from all, drop the non-positive;
+                    # shrink timing can only change which EXTRA
+                    # candidates survive — phase 2's exact recount
+                    # makes the final output independent of it
+                    kth = sorted(counters.values(), reverse=True)[_MG_K - 1]
+                    counters = {
+                        k2: c2 - kth for k2, c2 in counters.items() if c2 - kth > 0
+                    }
         yield pd.DataFrame({"key": pd.array(sorted(counters), dtype="Int64")})
 
     cands = li.mapInPandas(mg_partition, "key long").distinct()

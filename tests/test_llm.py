@@ -358,9 +358,9 @@ def test_pixel_decode_rejects_corrupt_payloads(spark):
 
 
 def test_png_decoder_handles_spec_legal_variants():
-    """Multi-IDAT files, ancillary chunks between IHDR and IDAT, and
-    inflate streams with trailing bytes are all spec-legal — the
-    decoder must handle them; zero-dimension headers must reject."""
+    """Multi-IDAT files and ancillary chunks between IHDR and IDAT are
+    spec-legal — the decoder must handle them; zero-dimension headers
+    and streams inflating past the declared raster must reject."""
     import struct
     import zlib
 
@@ -393,8 +393,15 @@ def test_png_decoder_handles_spec_legal_variants():
     ancillary = sig + ihdr + chunk(b"tEXt", b"Comment\x00hi") + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
     assert decode_png_raster(ancillary) == ref
 
+    # an IDAT inflating to MORE than the declared raster is spec-invalid
+    # (the stream must decompress to exactly the raster size) — reject,
+    # mirroring the CRC strictness, rather than silently using a prefix
     trailing = sig + ihdr + chunk(b"IDAT", zlib.compress(raw + b"\x99" * 7)) + chunk(b"IEND", b"")
-    assert decode_png_raster(trailing) == ref
+    assert decode_png_raster(trailing) is None
+
+    # ...and trailing garbage AFTER a complete deflate stream likewise
+    after_stream = sig + ihdr + chunk(b"IDAT", comp + b"\x99" * 4) + chunk(b"IEND", b"")
+    assert decode_png_raster(after_stream) is None
 
     zero = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 5, 8, 2, 0, 0, 0)) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
     assert decode_png_raster(zero) is None
@@ -449,7 +456,7 @@ def test_png_decoder_rejects_interlace_and_bombs():
         sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
         + chunk(b"IDAT", bomb_payload) + chunk(b"IEND", b"")
     )
-    # must return quickly with the 1x1 raster (first 4 bytes are the
-    # real scanline) and never inflate the full 50 MB
-    out = decode_png_raster(bomb)
-    assert out == bytes(3)
+    # must return quickly, never inflate the full 50 MB, and classify
+    # the lying payload (declared 1x1, stream holds 50 MB) as invalid
+    # rather than decode its first scanline as if the file were fine
+    assert decode_png_raster(bomb) is None
