@@ -108,27 +108,44 @@ def _plan_fingerprint(spark, name, fn, df, sf_dir) -> dict[str, int]:
         try:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
             # executedPlan is LAZY — force it before the conf flips back
-            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            jplan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
     else:
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        jplan = df._jdf.queryExecution().executedPlan()
+    # Counters come from a TREE walk of the executed plan, not from
+    # toString() matching: the printed tree re-renders each cached
+    # relation's source plan under every InMemoryTableScan reference,
+    # so a textual "Scan parquet" count overstates I/O for any plan
+    # that caches a sampled input (r05: PQ codebook training) — the
+    # cached subtree executes once, its references don't re-scan.
+    names: list[str] = []
+
+    def _walk(node) -> None:
+        names.append(node.nodeName())
+        ch = node.children()
+        for i in range(ch.length()):
+            _walk(ch.apply(i))
+        sq = node.subqueries()
+        for i in range(sq.length()):
+            _walk(sq.apply(i))
+
+    _walk(jplan)
+
+    def count(*prefixes: str) -> int:
+        return sum(1 for n in names if n.startswith(prefixes))
+
     return {
-        "shuffle_exchanges": sum(
-            plan.count(f"Exchange {kind}")
-            for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+        "shuffle_exchanges": count("Exchange"),
+        "broadcast_exchanges": count("BroadcastExchange"),
+        "wholestage_codegen": count("WholeStageCodegen"),
+        "python_eval": count(
+            "FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"
         ),
-        "broadcast_exchanges": plan.count("BroadcastExchange"),
-        # distinct codegen-unit ids — AQE-off treeString marks each
-        # codegen'd node with "*(id) "
-        "wholestage_codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
-        "python_eval": sum(
-            plan.count(k)
-            for k in ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython", "BatchEvalPython")
-        ),
-        "parquet_scans": plan.count("Scan parquet"),
-        "sort_merge_joins": plan.count("SortMergeJoin"),
-        "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+        "parquet_scans": count("Scan parquet"),
+        "in_memory_scans": count("InMemoryTableScan"),
+        "sort_merge_joins": count("SortMergeJoin"),
+        "broadcast_hash_joins": count("BroadcastHashJoin"),
     }
 
 

@@ -117,15 +117,27 @@ def kmeans_fixed(
     )
 
 
-def _lloyd_rounds(pts: DataFrame, k: int, rounds: int) -> tuple[DataFrame, DataFrame]:
+def _lloyd_rounds(
+    pts: DataFrame, k: int, rounds: int, train: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """``rounds`` unrolled Lloyd iterations over (vec_id, qv) points;
     init = the k lowest-id vectors. Returns ``(assigned, cents_used)``
     where ``cents_used`` is the centroid table the FINAL assignment
     scored against (what ADC distance tables must use). Same lazy
-    unrolled-plan shape as :func:`kmeans_fixed`."""
+    unrolled-plan shape as :func:`kmeans_fixed`.
+
+    ``train``: optional training subset (e.g. a cached deterministic
+    sample). When given, the init and the ``rounds - 1`` centroid
+    updates iterate over it ONLY — the full ``pts`` is touched exactly
+    once, by the final assignment. This is how codebooks are trained at
+    scale: Lloyd never needs the whole corpus, and re-reading 100 TB
+    per round to refine k·m centroids is pure waste. With
+    ``train=None`` the plan is identical to the historical full-data
+    unroll."""
+    t = train if train is not None else pts
     w = Window.orderBy("vec_id")
     cents = (
-        pts.orderBy("vec_id")
+        t.orderBy("vec_id")
         .limit(k)
         .withColumn("__rn", F.row_number().over(w))
         .select(
@@ -133,12 +145,23 @@ def _lloyd_rounds(pts: DataFrame, k: int, rounds: int) -> tuple[DataFrame, DataF
             F.transform("qv", lambda x: x.cast("double")).alias("cv"),
         )
     )
-    assigned = None
-    for r in range(rounds):
-        assigned = _assign(pts, cents)
-        if r < rounds - 1:
-            cents = _recompute(assigned)
-    return assigned, cents
+    for _ in range(rounds - 1):
+        cents = _recompute(_assign(t, cents))
+    return _assign(pts, cents), cents
+
+
+def _train_sample(pts: DataFrame, train_mod: int | None) -> DataFrame | None:
+    """Deterministic 1-in-``train_mod`` systematic training sample
+    (``vec_id % train_mod == 0`` — portable to the SQL oracle, unlike an
+    engine-specific hash), CACHED: the unrolled Lloyd rounds reference
+    their input once per round, and caching the small sample turns those
+    re-reads into in-memory scans instead of repeated source scans. At
+    corpus scale this is the difference between one 100 TB pass (the
+    final assignment) and ``rounds + 1`` of them. The cache entry is
+    keyed by canonicalized plan, so repeated invocations reuse it."""
+    if train_mod is None:
+        return None
+    return pts.filter(F.col("vec_id") % train_mod == 0).cache()
 
 
 def _subspace_pts(
@@ -163,6 +186,7 @@ def pq_codes(
     k: int = 4,
     rounds: int = 2,
     quant_bits: int = 10,
+    train_mod: int | None = None,
 ) -> DataFrame:
     """Product quantization (Jégou et al. 2011): split each vector into
     ``m`` contiguous subvectors, Lloyd-cluster each subspace
@@ -187,8 +211,9 @@ def pq_codes(
     joined = None
     err = None
     for s in range(m):
+        pts = _subspace_pts(df, id_col, vec_col, s, sub_dim, quant_bits)
         assigned, _ = _lloyd_rounds(
-            _subspace_pts(df, id_col, vec_col, s, sub_dim, quant_bits), k, rounds
+            pts, k, rounds, train=_train_sample(pts, train_mod)
         )
         part = assigned.select(
             "vec_id",
@@ -216,6 +241,7 @@ def pq_adc_topk(
     rounds: int = 2,
     quant_bits: int = 10,
     topk: int = 10,
+    train_mod: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance-computation top-k over PQ codes: queries
     (``id % query_mod == 0``) keep their raw (quantized) subvectors;
@@ -238,7 +264,9 @@ def pq_adc_topk(
     per_s_scores = []
     for s in range(m):
         pts = _subspace_pts(df, id_col, vec_col, s, sub_dim, quant_bits)
-        assigned, cents = _lloyd_rounds(pts, k, rounds)
+        assigned, cents = _lloyd_rounds(
+            pts, k, rounds, train=_train_sample(pts, train_mod)
+        )
         corpus_codes = assigned.filter(F.col("vec_id") % query_mod != 0).select(
             "vec_id", F.col("cid").alias("code")
         )
@@ -291,6 +319,7 @@ def ivf_pq_topk(
     rounds: int = 2,
     quant_bits: int = 10,
     topk: int = 10,
+    train_mod: int | None = None,
 ) -> DataFrame:
     """The billion-scale ANN production composition: IVF coarse pruning
     + PQ asymmetric-distance scoring (IVF-PQ, Jégou et al. 2011 §V).
@@ -318,7 +347,9 @@ def ivf_pq_topk(
     pts_full = df.select(
         F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col), quant_bits).alias("qv")
     )
-    coarse_assigned, coarse_cents = _lloyd_rounds(pts_full, n_lists, rounds)
+    coarse_assigned, coarse_cents = _lloyd_rounds(
+        pts_full, n_lists, rounds, train=_train_sample(pts_full, train_mod)
+    )
     corpus_lists = coarse_assigned.filter(F.col("vec_id") % query_mod != 0).select(
         "vec_id", F.col("cid").alias("list_id")
     )
@@ -338,7 +369,9 @@ def ivf_pq_topk(
     per_s_scores = []
     for s in range(m):
         pts = _subspace_pts(df, id_col, vec_col, s, sub_dim, quant_bits)
-        assigned, cents = _lloyd_rounds(pts, k, rounds)
+        assigned, cents = _lloyd_rounds(
+            pts, k, rounds, train=_train_sample(pts, train_mod)
+        )
         codes = assigned.select("vec_id", F.col("cid").alias("code"))
         sub_queries = pts.filter(F.col("vec_id") % query_mod == 0).select(
             F.col("vec_id").alias("query_id"), "qv"

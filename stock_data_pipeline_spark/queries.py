@@ -9578,14 +9578,23 @@ def q192_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_subspace_blocks(
-    s: int, sub_dim: int, k: int, rounds: int, bits: int, tag: str | None = None
+    s: int,
+    sub_dim: int,
+    k: int,
+    rounds: int,
+    bits: int,
+    tag: str | None = None,
+    train_mod: int | None = None,
 ) -> list[str]:
     """Unrolled-Lloyd CTE chain for PQ subspace ``s`` (prefix ``s{s}``,
     or ``tag`` when given — the coarse IVF quantizer reuses this with
     tag='cg' over the full vector) — the q80 generated-oracle pattern
     applied to a contiguous slice of the embedding. Mirrors
     clustering._lloyd_rounds exactly: same init (k lowest vec_ids),
-    same quantization, same fold order."""
+    same quantization, same fold order. With ``train_mod``, the init
+    and the centroid updates run over the deterministic 1-in-mod
+    systematic sample only (mirroring clustering._train_sample); the
+    full corpus is assigned once, against the final centroids."""
     scale = 1 << bits
     a, b = s * sub_dim + 1, (s + 1) * sub_dim
     if tag is None:
@@ -9597,46 +9606,64 @@ def _pq_subspace_blocks(
                    i -> (CAST({qv}[i] AS DOUBLE) - {cv}[i]) * (CAST({qv}[i] AS DOUBLE) - {cv}[i]))),
                (x, y) -> x + y)"""
 
-    parts = [
-        f"""{tag}q AS (
-        SELECT vec_id,
-               list_transform(embedding[{a}:{b}], x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
-        FROM embeddings
-    ), {tag}c0 AS (
-        SELECT CAST(rn - 1 AS INTEGER) AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
-        FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, qv FROM {tag}q) t
-        WHERE rn <= {k}
-    )"""
-    ]
-    for r in range(rounds):
-        prev = f"{tag}c{r}"
-        parts.append(f"""{tag}a{r + 1} AS (
+    def assign_block(name: str, src: str, prev: str) -> str:
+        return f"""{name} AS (
         SELECT vec_id, qv, cid, dist2 FROM (
             SELECT q.vec_id, q.qv, {prev}.cid,
                    {dist("q.qv", f"{prev}.cv")} AS dist2,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
                        ORDER BY {dist("q.qv", f"{prev}.cv")} ASC, {prev}.cid ASC) AS rn
-            FROM {tag}q q CROSS JOIN {prev}
+            FROM {src} q CROSS JOIN {prev}
         ) WHERE rn = 1
-    )""")
-        if r < rounds - 1:
-            parts.append(f"""{tag}sums{r + 1} AS (
-        SELECT cid, i, SUM(qv[i]) AS sm FROM {tag}a{r + 1}, generate_series(1, {sub_dim}) AS g(i)
+    )"""
+
+    parts = [
+        f"""{tag}q AS (
+        SELECT vec_id,
+               list_transform(embedding[{a}:{b}], x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+        FROM embeddings
+    )"""
+    ]
+    train_src = f"{tag}q"
+    if train_mod is not None:
+        train_src = f"{tag}t"
+        parts.append(
+            f"""{tag}t AS (
+        SELECT vec_id, qv FROM {tag}q WHERE vec_id % {train_mod} = 0
+    )"""
+        )
+    parts.append(
+        f"""{tag}c0 AS (
+        SELECT CAST(rn - 1 AS INTEGER) AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+        FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, qv FROM {train_src}) t
+        WHERE rn <= {k}
+    )"""
+    )
+    for r in range(rounds - 1):
+        parts.append(assign_block(f"{tag}ta{r + 1}", train_src, f"{tag}c{r}"))
+        parts.append(f"""{tag}sums{r + 1} AS (
+        SELECT cid, i, SUM(qv[i]) AS sm FROM {tag}ta{r + 1}, generate_series(1, {sub_dim}) AS g(i)
         GROUP BY 1, 2
     ), {tag}cnt{r + 1} AS (
-        SELECT cid, COUNT(*) AS n FROM {tag}a{r + 1} GROUP BY 1
+        SELECT cid, COUNT(*) AS n FROM {tag}ta{r + 1} GROUP BY 1
     ), {tag}c{r + 1} AS (
         SELECT cid, list_transform(list(sm ORDER BY i), v -> CAST(v AS DOUBLE) / n) AS cv
         FROM {tag}sums{r + 1} JOIN {tag}cnt{r + 1} USING (cid)
         GROUP BY cid, n
     )""")
+    parts.append(assign_block(f"{tag}a{rounds}", f"{tag}q", f"{tag}c{rounds - 1}"))
     return parts
 
 
-def _pq_codes_oracle(m: int, sub_dim: int, k: int, rounds: int, bits: int) -> str:
+def _pq_codes_oracle(
+    m: int, sub_dim: int, k: int, rounds: int, bits: int,
+    train_mod: int | None = None,
+) -> str:
     parts: list[str] = []
     for s in range(m):
-        parts.extend(_pq_subspace_blocks(s, sub_dim, k, rounds, bits))
+        parts.extend(
+            _pq_subspace_blocks(s, sub_dim, k, rounds, bits, train_mod=train_mod)
+        )
     joins = f"s0a{rounds} a0 " + " ".join(
         f"JOIN s{s}a{rounds} a{s} USING (vec_id)" for s in range(1, m)
     )
@@ -9650,11 +9677,14 @@ def _pq_codes_oracle(m: int, sub_dim: int, k: int, rounds: int, bits: int) -> st
 
 
 def _pq_adc_oracle(
-    m: int, sub_dim: int, k: int, rounds: int, bits: int, query_mod: int, topk: int
+    m: int, sub_dim: int, k: int, rounds: int, bits: int, query_mod: int, topk: int,
+    train_mod: int | None = None,
 ) -> str:
     parts: list[str] = []
     for s in range(m):
-        parts.extend(_pq_subspace_blocks(s, sub_dim, k, rounds, bits))
+        parts.extend(
+            _pq_subspace_blocks(s, sub_dim, k, rounds, bits, train_mod=train_mod)
+        )
         cents = f"s{s}c{rounds - 1}"
 
         def dist(qv: str, cv: str) -> str:
@@ -9693,25 +9723,35 @@ def _pq_adc_oracle(
 
 @register(
     "q193_pq_codes",
-    oracle=_pq_codes_oracle(m=4, sub_dim=16, k=16, rounds=2, bits=10),
+    oracle=_pq_codes_oracle(m=4, sub_dim=16, k=16, rounds=2, bits=10, train_mod=16),
     survey_ref="extension: product quantization — per-subspace Lloyd "
-    "codebooks compress 64 float dims to 4 byte-codes per vector, with "
-    "a FULL generated value oracle (unrolled rounds, q80 discipline)",
+    "codebooks (trained on a deterministic 1/16 sample, the one-scan "
+    "discipline real PQ training uses) compress 64 float dims to 4 "
+    "byte-codes per vector, with a FULL generated value oracle "
+    "(unrolled rounds, q80 discipline, sample mirrored in SQL)",
 )
 def q193_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_data_pipeline_spark.llm.clustering import pq_codes
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_codes(emb, "vec_id", "embedding", m=4, sub_dim=16, k=16, rounds=2, quant_bits=10)
+    return pq_codes(
+        emb, "vec_id", "embedding",
+        m=4, sub_dim=16, k=16, rounds=2, quant_bits=10, train_mod=16,
+    )
 
 
 @register(
     "q194_pq_adc_topk",
     headline=True,
-    oracle=_pq_adc_oracle(m=4, sub_dim=16, k=16, rounds=2, bits=10, query_mod=97, topk=10),
+    oracle=_pq_adc_oracle(
+        m=4, sub_dim=16, k=16, rounds=2, bits=10, query_mod=97, topk=10,
+        train_mod=16,
+    ),
     survey_ref="extension: asymmetric-distance top-k over PQ codes — "
-    "per-query m-by-k distance tables against broadcast codebooks, corpus "
-    "scored by code lookup; pairs with q53 IVF pruning for "
+    "codebooks trained on a cached deterministic 1/16 sample (one "
+    "source scan per subspace instead of one per Lloyd round), "
+    "per-query m-by-k distance tables against broadcast codebooks, "
+    "corpus scored by code lookup; pairs with q53 IVF pruning for "
     "billion-vector search",
 )
 def q194_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9720,7 +9760,7 @@ def q194_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(
         emb, "vec_id", "embedding", query_mod=97,
-        m=4, sub_dim=16, k=16, rounds=2, quant_bits=10, topk=10,
+        m=4, sub_dim=16, k=16, rounds=2, quant_bits=10, topk=10, train_mod=16,
     )
 
 
@@ -12190,10 +12230,11 @@ def _ivf_pq_oracle(
     bits: int,
     query_mod: int,
     topk: int,
+    train_mod: int | None = None,
 ) -> str:
     # coarse quantizer: subspace 0 over the FULL vector (slice [1:m·sub_dim])
     parts: list[str] = _pq_subspace_blocks(
-        0, m * sub_dim, n_lists, rounds, bits, tag="cg"
+        0, m * sub_dim, n_lists, rounds, bits, tag="cg", train_mod=train_mod
     )
     cg_cents = f"cgc{rounds - 1}"
     parts.append(f"""probe AS (
@@ -12211,7 +12252,9 @@ def _ivf_pq_oracle(
               WHERE vec_id % {query_mod} <> 0) cl USING (list_id)
     )""")
     for s in range(m):
-        parts.extend(_pq_subspace_blocks(s, sub_dim, k, rounds, bits))
+        parts.extend(
+            _pq_subspace_blocks(s, sub_dim, k, rounds, bits, train_mod=train_mod)
+        )
         parts.append(f"""s{s}sc AS (
         SELECT c.query_id, c.vec_id, {s} AS sub, dt.d2
         FROM cand c
@@ -12247,7 +12290,7 @@ def _ivf_pq_oracle(
     "q198_ivf_pq_topk",
     oracle=_ivf_pq_oracle(
         n_lists=8, nprobe=2, m=4, sub_dim=16, k=16, rounds=2, bits=10,
-        query_mod=97, topk=10,
+        query_mod=97, topk=10, train_mod=16,
     ),
     survey_ref="extension: IVF-PQ — coarse inverted-list pruning (q53's "
     "IVF) composed with PQ asymmetric-distance scoring (q194), the "
@@ -12261,7 +12304,7 @@ def q198_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         emb, "vec_id", "embedding", query_mod=97,
         n_lists=8, nprobe=2, m=4, sub_dim=16, k=16, rounds=2,
-        quant_bits=10, topk=10,
+        quant_bits=10, topk=10, train_mod=16,
     )
 
 
