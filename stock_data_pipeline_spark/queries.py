@@ -19868,6 +19868,385 @@ def q305_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 29 (round 5): reference-LM quality filtering, distributed PCA,
+# Mann–Whitney U
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q306_lm_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), bi AS (
+        SELECT doc_id, source, tk[i] AS w1, tk[i+1] AS w2
+        FROM toks, unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS g(i)
+    ), ref_bi AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM bi WHERE source = 'src0' GROUP BY 1, 2
+    ), ref_uni AS (
+        SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM bi WHERE source = 'src0' GROUP BY 1
+    ), ref_v AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM (
+            SELECT unnest(tk) AS tok FROM toks WHERE source = 'src0'
+        )
+    ), bits AS (
+        SELECT b.doc_id, b.source,
+               CAST(length(bin((COALESCE(u.c1, 0) + rv.v)
+                               // (COALESCE(r.c2, 0) + 1))) - 1 AS BIGINT) AS sbits
+        FROM bi b
+        LEFT JOIN ref_bi r ON b.w1 = r.w1 AND b.w2 = r.w2
+        LEFT JOIN ref_uni u ON b.w1 = u.w1
+        CROSS JOIN ref_v rv
+    )
+    SELECT doc_id, source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(sbits) AS BIGINT) AS total_bits,
+           CAST(SUM(sbits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bits_per_bigram
+    FROM bits GROUP BY 1, 2
+    """,
+    survey_ref="extension: reference-LM corpus quality scoring (the "
+    "CCNet discipline) — an add-one-smoothed bigram LM trained on one "
+    "trusted source scores every document's mean surprise; kept "
+    "engine-exact by measuring surprise in whole BITS via integer "
+    "floor-log2 (length(bin(a div b)) - 1), no float log anywhere",
+)
+def q306_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filtering: train a bigram LM on the
+    trusted reference slice (source 'src0', add-one smoothing over its
+    vocabulary), then score EVERY document by its mean per-bigram
+    surprise. Surprise is measured in whole bits as
+    floor(log2((c1(w1)+V) / (c2(w1,w2)+1))) — and since for integers
+    a ≥ b ≥ 1, floor(log2(a/b)) == floor(log2(a div b)), both engines
+    compute it exactly as length(bin(a div b)) − 1 with zero
+    floating-point logs. An unseen bigram under a seen left token costs
+    ~log2(c1+V) bits; a fully-OOV left token costs log2(V) — the
+    standard smoothed-LM penalty shape.
+
+    Scale: the reference LM is (w1,w2)→count — built with one shuffle
+    over the reference slice only; scoring streams every document's
+    bigrams through hash equi-joins on (w1,w2) and w1 (no broadcast
+    assumption: a web-scale reference LM is itself large), then one
+    map-side-combinable per-doc aggregate. This is the shape CCNet/
+    RedPajama-class pipelines use to rank a 100 TB crawl against a
+    Wikipedia-grade reference."""
+    doc = load_table(spark, sf_dir, "documents")
+    tks = doc.select("doc_id", "source", text.tokens(F.col("text")).alias("tk"))
+    bi = (
+        tks.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at("tk", i).alias("w1"),
+                        F.element_at("tk", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "source", "p.w1", "p.w2")
+    )
+    ref = bi.filter(F.col("source") == "src0")
+    ref_bi = ref.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+    ref_uni = ref.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    ref_v = (
+        tks.filter(F.col("source") == "src0")
+        .select(F.explode("tk").alias("tok"))
+        .agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+    scored = (
+        bi.join(ref_bi, ["w1", "w2"], "left")
+        .join(ref_uni, ["w1"], "left")
+        .crossJoin(F.broadcast(ref_v))
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.length(
+                    F.bin(
+                        F.expr("(coalesce(c1, 0) + v) div (coalesce(c2, 0) + 1)")
+                    )
+                )
+                - 1
+            )
+            .cast("long")
+            .alias("sbits"),
+        )
+    )
+    return scored.groupBy("doc_id", "source").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("sbits").cast("long").alias("total_bits"),
+        (F.sum("sbits").cast("double") / F.count("*").cast("double")).alias(
+            "bits_per_bigram"
+        ),
+    )
+
+
+def _pca_oracle(rounds: int = 3) -> str:
+    """Unrolled power-iteration CTE chain mirroring q307's Spark plan:
+    exact-integer scaled covariance, then ``rounds`` matrix-vector
+    products with L∞ normalization, every fold ascending — the q80/q193
+    generated-oracle discipline applied to linear algebra."""
+    parts = [
+        """qe AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        FROM embeddings
+    ), ex AS (
+        SELECT vec_id, i, qv[i] AS x
+        FROM qe, unnest(generate_series(1, 64)) AS g(i)
+    ), s AS (
+        SELECT i, CAST(SUM(x) AS BIGINT) AS si FROM ex GROUP BY 1
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qe
+    ), p AS (
+        SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sij
+        FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2
+    ), crow AS (
+        SELECT p.i,
+               list(CAST(nn.n * p.sij - si.si * sj.si AS DOUBLE) ORDER BY p.j) AS cr
+        FROM p CROSS JOIN nn
+        JOIN s si ON si.i = p.i
+        JOIN s sj ON sj.i = p.j
+        GROUP BY p.i
+    ), v0 AS (
+        SELECT list_transform(generate_series(1, 64), x -> CAST(1.0 AS DOUBLE)) AS v
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""w{t} AS (
+        SELECT i,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, 64), jj -> cr[jj] * v[jj])),
+                   (a, b) -> a + b) AS w
+        FROM crow CROSS JOIN v{t - 1}
+    ), m{t} AS (
+        SELECT w AS m FROM w{t} ORDER BY abs(w) DESC, i ASC LIMIT 1
+    ), v{t} AS (
+        SELECT list(w / m ORDER BY i) AS v FROM w{t} CROSS JOIN m{t}
+    )""")
+    last = rounds
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(i AS BIGINT) AS dim, w / m AS component, m AS lambda_linf
+    FROM w{last} CROSS JOIN m{last}
+    """
+    )
+
+
+@register(
+    "q307_power_iteration_pca",
+    oracle=_pca_oracle(rounds=3),
+    survey_ref="extension: distributed PCA — top principal direction of "
+    "the embedding covariance by 3 unrolled power-iteration rounds; the "
+    "n²-scaled covariance n·Σxxᵀ − (Σx)(Σx)ᵀ is exact int64, every "
+    "later fold is ascending-order IEEE with identical operands, so the "
+    "eigenvector is bit-reproducible with a FULL generated value oracle",
+)
+def q307_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud — the whitening /
+    decorrelation primitive for embedding stores (ANN preconditioning,
+    drift monitoring, OPQ's rotation seed). Two stages, both exact:
+
+    1. Scaled covariance C = n·Σ x xᵀ − (Σx)(Σx)ᵀ over the quantized
+       integer embeddings — one self-join on vec_id (co-partitioned
+       after one shuffle) and a (64×64)-cell map-side-combinable SUM.
+       Centering via the n² scaling keeps every cell exact int64
+       (≈2.5e13 at sf0.1 — double-exact too, < 2^53).
+    2. Three power-iteration rounds v ← C v / ‖C v‖∞ over the 64-row
+       broadcast matrix: each matrix-vector product folds ascending-j,
+       the L∞ normalizer picks (max |w|, lowest dim) — a deterministic
+       sign convention — and both engines execute the identical IEEE
+       sequence, so components hash-match bitwise.
+
+    Scale: stage 1 touches the corpus exactly once; its output is
+    64×64 cells regardless of corpus size. Stage 2 is O(dim²) on the
+    driver-sized matrix — exactly how you'd seed a 100 TB whitening
+    job (the corpus pass is the only data-sized cost)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1024).cast("long")
+        ).alias("qv"),
+    )
+    ex = qe.select(
+        "vec_id", F.posexplode("qv").alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    s = ex.groupBy("i").agg(F.sum("x").cast("long").alias("si"))
+    nn = qe.agg(F.count("*").cast("long").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    p = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).cast("long").alias("sij"))
+    )
+    crow = (
+        p.crossJoin(F.broadcast(nn))
+        .join(F.broadcast(s.select(F.col("i"), F.col("si"))), "i")
+        .join(
+            F.broadcast(s.select(F.col("i").alias("j"), F.col("si").alias("sj"))),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sij") - F.col("si") * F.col("sj"))
+            .cast("double")
+            .alias("cij"),
+        )
+        .groupBy("i")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "cij"))),
+                lambda t: t["cij"],
+            ).alias("cr")
+        )
+    )
+    v = None  # single-row DataFrame with a 64-double array column "v"
+    for _ in range(3):
+        if v is None:
+            src = crow.withColumn(
+                "v", F.array(*[F.lit(1.0) for _ in range(64)])
+            )
+        else:
+            src = crow.crossJoin(F.broadcast(v))
+        w = src.select(
+            "i",
+            F.aggregate(
+                F.zip_with("cr", "v", lambda c, x: c * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("w"),
+        )
+        m = w.orderBy(F.abs(F.col("w")).desc(), F.col("i").asc()).limit(1).select(
+            F.col("w").alias("m")
+        )
+        wm = w.crossJoin(F.broadcast(m))
+        v = wm.groupBy().agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", (F.col("w") / F.col("m")).alias("c")))),
+                lambda t: t["c"],
+            ).alias("v")
+        )
+    return wm.select(
+        F.col("i").cast("long").alias("dim"),
+        (F.col("w") / F.col("m")).alias("component"),
+        F.col("m").alias("lambda_linf"),
+    )
+
+
+@register(
+    "q308_mann_whitney",
+    oracle="""
+    WITH tagged AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_r
+        FROM lineitem
+    ), vals AS (
+        SELECT v, CAST(SUM(is_r) AS BIGINT) AS ca, CAST(COUNT(*) AS BIGINT) AS ct
+        FROM tagged GROUP BY 1
+    ), cum AS (
+        SELECT v, ca, ct,
+               COALESCE(SUM(ct) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM vals
+    ), agg AS (
+        SELECT CAST(SUM(ca * (2 * cb + ct + 1)) AS BIGINT) AS r_a2,
+               CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(ct - ca) AS BIGINT) AS nb,
+               CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tie3
+        FROM cum
+    )
+    SELECT na, nb,
+           r_a2 - na * (na + 1) AS u_a2,
+           2 * na * nb - (r_a2 - na * (na + 1)) AS u_b2,
+           CAST(r_a2 - na * (na + 1) - na * nb AS DOUBLE) / 2.0
+           / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                  * (CAST(na + nb + 1 AS DOUBLE)
+                     - CAST(tie3 AS DOUBLE)
+                       / (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE))))
+               AS z_stat
+    FROM agg
+    """,
+    survey_ref="extension: Mann–Whitney U (Wilcoxon rank-sum) with the "
+    "full tie correction — midranks carried as exact DOUBLED integers "
+    "(2·midrank = 2·cum_before + t + 1), U and the tie term Σ(t³−t) "
+    "stay BIGINT, one final double z; completes the nonparametric "
+    "two-sample family next to KS (q245) and EMD (q275)",
+)
+def q308_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are returned ('R') line items drawn from a different price
+    distribution than kept ones — without assuming normality? The
+    rank-sum test needs every value's midrank; computed per DISTINCT
+    value (not per row): group to (value, count_A, count_total), prefix
+    sum of counts gives each value's doubled midrank 2·cb + t + 1
+    exactly (ties included), and the rank sum, U statistic, and tie
+    correction Σ(t³−t) are all integer arithmetic. The only doubles are
+    the final z's fixed operand sequence — identical on both engines.
+
+    Scale: identical two-phase discipline as q245/q275 — the heavy
+    per-row work collapses to one map-side-combinable GROUP BY value;
+    the prefix sum runs over distinct values only (bucket-partitionable
+    exactly like q245 if the value universe ever dwarfs a partition;
+    the plain window keeps this plan oracle-comparable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tagged = li.select(
+        (_dec("l_extendedprice") * 100).cast("long").alias("v"),
+        (F.col("l_returnflag") == "R").cast("long").alias("is_r"),
+    )
+    vals = tagged.groupBy("v").agg(
+        F.sum("is_r").cast("long").alias("ca"),
+        F.count("*").cast("long").alias("ct"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.select(
+        "v", "ca", "ct", F.coalesce(F.sum("ct").over(wv), F.lit(0)).alias("cb")
+    )
+    agg = cum.agg(
+        F.sum(F.col("ca") * (2 * F.col("cb") + F.col("ct") + 1))
+        .cast("long")
+        .alias("r_a2"),
+        F.sum("ca").cast("long").alias("na"),
+        F.sum(F.col("ct") - F.col("ca")).cast("long").alias("nb"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    u_a2 = F.col("r_a2") - F.col("na") * (F.col("na") + 1)
+    z = (
+        (u_a2 - F.col("na") * F.col("nb")).cast("double")
+        / 2.0
+        / F.sqrt(
+            F.col("na").cast("double") * F.col("nb").cast("double") / 12.0
+            * (
+                (F.col("na") + F.col("nb") + 1).cast("double")
+                - F.col("tie3").cast("double")
+                / (
+                    (F.col("na") + F.col("nb")).cast("double")
+                    * (F.col("na") + F.col("nb") - 1).cast("double")
+                )
+            )
+        )
+    )
+    return agg.select(
+        "na",
+        "nb",
+        u_a2.alias("u_a2"),
+        (2 * F.col("na") * F.col("nb") - u_a2).alias("u_b2"),
+        z.alias("z_stat"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

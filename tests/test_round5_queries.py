@@ -1,0 +1,142 @@
+"""Round-5 additions: reference-LM quality scoring (q306), distributed
+power-iteration PCA (q307), Mann–Whitney U (q308). Each query already
+hash-matches its DuckDB oracle registry-wide; these tests pin the
+SEMANTICS against independent pure-Python replays of the math from the
+raw parquet, so an engine-symmetric bug (both sides wrong the same
+way) cannot hide behind the oracle."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from stock_data_pipeline_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, source, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+
+
+def test_lm_quality_matches_python_replay(spark, docs):
+    """Replay the add-one bigram LM and whole-bit surprise in plain
+    Python dicts for every document; totals must match row-for-row."""
+    ref_bi: dict[tuple[str, str], int] = {}
+    ref_uni: dict[str, int] = {}
+    ref_vocab: set[str] = set()
+    toks = {d: t.split() for d, _, t in docs}
+    for doc_id, source, _ in docs:
+        tk = toks[doc_id]
+        if source == "src0":
+            ref_vocab.update(tk)
+            for a, b in zip(tk, tk[1:]):
+                ref_bi[(a, b)] = ref_bi.get((a, b), 0) + 1
+                ref_uni[a] = ref_uni.get(a, 0) + 1
+    v = len(ref_vocab)
+    expected = {}
+    for doc_id, source, _ in docs:
+        tk = toks[doc_id]
+        if len(tk) < 2:
+            continue
+        bits = [
+            ((ref_uni.get(a, 0) + v) // (ref_bi.get((a, b), 0) + 1)).bit_length() - 1
+            for a, b in zip(tk, tk[1:])
+        ]
+        expected[doc_id] = (len(bits), sum(bits))
+    got = {
+        r.doc_id: (r.n_bigrams, r.total_bits)
+        for r in REGISTRY["q306_lm_quality"].fn(spark, SF).collect()
+    }
+    assert got == expected
+    # reference slice must be cheaper to encode under its own LM
+    rows = REGISTRY["q306_lm_quality"].fn(spark, SF).collect()
+    ref_rows = [r for r in rows if r.source == "src0"]
+    other = [r for r in rows if r.source != "src0"]
+    mean = lambda xs: sum(x.total_bits for x in xs) / sum(x.n_bigrams for x in xs)  # noqa: E731
+    assert mean(ref_rows) < mean(other)
+
+
+def test_power_iteration_pca_matches_python_replay(spark):
+    """Replay covariance + 3 L∞-normalized power rounds in pure Python
+    (ascending-index folds, the engines' exact IEEE sequence) — every
+    component must match BITWISE, and the normalization convention
+    (component 1.0 at the signed max-|w| dim) must hold."""
+    con = duckdb.connect()
+    embs = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    q = [[math.floor(float(x) * 1024) for x in e] for _, e in embs]
+    n = len(q)
+    d = 64
+    s = [sum(row[i] for row in q) for i in range(d)]
+    c = [
+        [
+            float(n * sum(row[i] * row[j] for row in q) - s[i] * s[j])
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    v = [1.0] * d
+    for _ in range(3):
+        w = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):  # ascending fold, exactly like both engines
+                acc = acc + c[i][j] * v[j]
+            w.append(acc)
+        m = max(range(d), key=lambda i: (abs(w[i]), -i))
+        mval = w[m]
+        v = [x / mval for x in w]
+    rows = {
+        r.dim: r for r in REGISTRY["q307_power_iteration_pca"].fn(spark, SF).collect()
+    }
+    assert len(rows) == d
+    for i in range(d):
+        assert rows[i + 1].component == v[i], f"dim {i + 1} diverged"
+        assert rows[i + 1].lambda_linf == mval
+    assert max(abs(r.component) for r in rows.values()) == 1.0
+
+
+def test_mann_whitney_matches_python_replay(spark):
+    """Replay midranks + tie correction from the raw cents values."""
+    con = duckdb.connect()
+    vals = con.execute(
+        f"""SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+            FROM read_parquet('{SF}/lineitem.parquet')"""
+    ).fetchall()
+    groups: dict[int, list[int]] = {}
+    for cents, is_r in vals:
+        groups.setdefault(cents, []).append(is_r)
+    na = sum(is_r for _, is_r in vals)
+    nb = len(vals) - na
+    cb = 0
+    r_a2 = 0
+    tie3 = 0
+    for cents in sorted(groups):
+        g = groups[cents]
+        t = len(g)
+        r_a2 += sum(g) * (2 * cb + t + 1)
+        tie3 += t * t * t - t
+        cb += t
+    u_a2 = r_a2 - na * (na + 1)
+    row = REGISTRY["q308_mann_whitney"].fn(spark, SF).collect()[0]
+    assert (row.na, row.nb, row.u_a2, row.u_b2) == (na, nb, u_a2, 2 * na * nb - u_a2)
+    # z recomputed with the identical operand sequence
+    z = (
+        float(u_a2 - na * nb) / 2.0
+        / math.sqrt(
+            float(na) * float(nb) / 12.0
+            * (float(na + nb + 1) - float(tie3) / (float(na + nb) * float(na + nb - 1)))
+        )
+    )
+    assert row.z_stat == z
+    # U_A + U_B == n_A · n_B is the defining identity
+    assert row.u_a2 + row.u_b2 == 2 * na * nb
