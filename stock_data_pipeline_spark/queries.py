@@ -20247,6 +20247,98 @@ def q308_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Poisson(1) inverse-CDF thresholds, host-computed once and embedded as
+# e-notation literals (DuckDB types a PLAIN decimal literal as DECIMAL,
+# not DOUBLE — the q247 lesson; e-notation forces DOUBLE in both
+# engines, and both parse the same 17-significant-digit literal to the
+# same bits). w = #thresholds below u, capped at 8; E[w] = 1.
+_POISSON1_CUM = [
+    "3.67879441171442334e-01", "7.35758882342884668e-01",
+    "9.19698602928605835e-01", "9.81011843123846261e-01",
+    "9.96340153172656340e-01", "9.99405815182418333e-01",
+    "9.99916758850711962e-01", "9.99989750803325306e-01",
+]
+
+
+def _poisson1_w_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POISSON1_CUM)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+def _poisson1_w_col(u: F.Column) -> F.Column:
+    out = F.lit(8)
+    for k, c in reversed(list(enumerate(_POISSON1_CUM))):
+        out = F.when(u < F.lit(float(c)), F.lit(k)).otherwise(out)
+    return out
+
+
+@register(
+    "q309_poisson_bootstrap",
+    oracle=f"""
+    WITH vals AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), weighted AS (
+        SELECT b, cents,
+               {_poisson1_w_sql(f"CAST({_mix31_sql('k * 64 + b')} AS DOUBLE) / 2147483648.0")} AS w
+        FROM vals, unnest(generate_series(0, 31)) AS g(b)
+    )
+    SELECT CAST(b AS BIGINT) AS replica,
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(CAST(w AS BIGINT) * cents) AS BIGINT) AS wsum_cents,
+           CAST(SUM(CAST(w AS BIGINT) * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+               AS mean_cents
+    FROM weighted GROUP BY 1
+    """,
+    survey_ref="extension: Poisson bootstrap — the distributed-standard "
+    "resampling CI (per-row independent Poisson(1) weights instead of "
+    "multinomial draws, so replicas need no global coordination); "
+    "weights come from the portable 31-bit mixer through a host-literal "
+    "inverse CDF, making all 32 replica means engine-exact",
+)
+def q309_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order value, the way a
+    100 TB job has to do it: the classic bootstrap's multinomial
+    resample needs the global row count per replica, but Poisson(1)
+    weights approximate it row-locally (Chamandy et al., 'Estimating
+    Uncertainty for Massive Data Streams') — each row draws its weight
+    for each of 32 replicas from a deterministic hash, so the whole
+    thing is ONE map stage plus a 32-group aggregate. Replica spread
+    gives the CI; no second pass, no driver state.
+
+    Engine-exactness: u = mix31(key·64+b)/2^31 is an exact double
+    (power-of-two divisor), the Poisson(1) inverse-CDF thresholds are
+    shared e-notation literals, weights and weighted sums stay BIGINT,
+    and the single division per replica has identical operands."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    weighted = o.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        "k",
+    ).select(
+        "b",
+        "cents",
+        _poisson1_w_col(
+            _mix31_col(F.col("k") * 64 + F.col("b")).cast("double")
+            / F.lit(2147483648.0)
+        ).alias("w"),
+    )
+    return weighted.groupBy(F.col("b").cast("long").alias("replica")).agg(
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum(F.col("w").cast("long") * F.col("cents")).cast("long").alias("wsum_cents"),
+        (
+            F.sum(F.col("w").cast("long") * F.col("cents")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_cents"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

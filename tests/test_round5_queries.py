@@ -104,6 +104,54 @@ def test_power_iteration_pca_matches_python_replay(spark):
     assert max(abs(r.component) for r in rows.values()) == 1.0
 
 
+def test_poisson_bootstrap_matches_python_replay(spark):
+    """Replay the mixer, the inverse-CDF weights, and every replica's
+    weighted sums in pure Python from the raw parquet."""
+    import math
+
+    M31 = 2147483647
+    CUM = [0.0] * 8
+    e, f, c = math.exp(-1.0), 1, 0.0
+    for k in range(8):
+        if k:
+            f *= k
+        c += e / f
+        CUM[k] = float(f"{c:.17e}")
+
+    def mix31(u: int) -> int:
+        a = (u * 48271 + 11) % M31
+        b = ((a ^ (a >> 16)) * 69621) % M31
+        return b ^ (b >> 16)
+
+    def w_of(u: float) -> int:
+        for k, t in enumerate(CUM):
+            if u < t:
+                return k
+        return 8
+
+    con = duckdb.connect()
+    orders = con.execute(
+        f"""SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM read_parquet('{SF}/orders.parquet')"""
+    ).fetchall()
+    exp = {}
+    for b in range(32):
+        sw = swc = 0
+        for k, cents in orders:
+            w = w_of(mix31(k * 64 + b) / 2147483648.0)
+            sw += w
+            swc += w * cents
+        exp[b] = (sw, swc, float(swc) / float(sw))
+    rows = REGISTRY["q309_poisson_bootstrap"].fn(spark, SF).collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert (r.sum_w, r.wsum_cents, r.mean_cents) == exp[r.replica]
+    # statistical sanity: E[w]=1, so Σw across replicas ≈ 32·n (±5%)
+    n = len(orders)
+    total_w = sum(r.sum_w for r in rows)
+    assert abs(total_w - 32 * n) / (32 * n) < 0.05
+
+
 def test_mann_whitney_matches_python_replay(spark):
     """Replay midranks + tie correction from the raw cents values."""
     con = duckdb.connect()
