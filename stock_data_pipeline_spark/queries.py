@@ -19876,6 +19876,7 @@ def q305_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q306_lm_quality",
+    headline=True,
     oracle="""
     WITH toks AS (
         SELECT doc_id, source,
@@ -20276,6 +20277,7 @@ def _poisson1_w_col(u: F.Column) -> F.Column:
 
 @register(
     "q309_poisson_bootstrap",
+    headline=True,
     oracle=f"""
     WITH vals AS (
         SELECT o_orderkey AS k,
