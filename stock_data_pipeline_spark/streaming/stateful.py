@@ -16,9 +16,10 @@ from collections.abc import Iterable, Iterator
 from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -136,5 +137,91 @@ def threshold_alerts_per_user(events: DataFrame, threshold_cents: int) -> DataFr
         outputStructType=ALERT_SCHEMA,
         stateStructType=ALERT_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("emit_seq", LongType()),
+        StructField("key", LongType()),
+        StructField("mg_count", LongType()),
+    ]
+)
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("emit_seq", LongType()),
+        StructField("keys", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def _update_mg(k_budget: int):
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            seq, ks, cs = state.get
+            counters = dict(zip(ks, cs))
+        else:
+            seq, counters = 0, {}
+        for pdf in pdfs:
+            # value_counts is descending-count (deterministic) — merge
+            # key by key so the ≤ k_budget−1 live-counter bound holds
+            # between insertions (same discipline as q305's batch pass)
+            vc = pdf["key"].value_counts()
+            for kk, c in vc.items():
+                counters[int(kk)] = counters.get(int(kk), 0) + int(c)
+                if len(counters) >= k_budget:
+                    kth = sorted(counters.values(), reverse=True)[k_budget - 1]
+                    counters = {
+                        a: b - kth for a, b in counters.items() if b - kth > 0
+                    }
+        seq += 1
+        ks = sorted(counters)
+        state.update((seq, ks, [counters[a] for a in ks]))
+        yield pd.DataFrame(
+            {
+                "shard": pd.array([key[0]] * len(ks), dtype="Int64"),
+                "emit_seq": pd.array([seq] * len(ks), dtype="Int64"),
+                "key": pd.array(ks, dtype="Int64"),
+                "mg_count": pd.array([counters[a] for a in ks], dtype="Int64"),
+            }
+        )
+
+    return update
+
+
+def streaming_heavy_hitter_candidates(
+    events: DataFrame, key_col: str = "user_id", n_shards: int = 8, k_budget: int = 256
+) -> DataFrame:
+    """Streaming Misra–Gries heavy-hitter candidates — the incremental
+    twin of q305's batch phase 1. Rows are sharded by ``key % n_shards``
+    (every occurrence of a key lands in ONE shard, so the MG error
+    bound applies to the key's full stream mass); each shard keeps an
+    MG(k_budget) summary in group state and re-emits its candidate set
+    (with a monotone ``emit_seq``) every micro-batch, so the latest
+    emission per shard is always the current summary.
+
+    Losslessness across the stream: a key with total count
+    > N_total/k_budget has shard-local count > shard_rows/k_budget
+    (its shard holds all of its rows and shard_rows ≤ N_total), where
+    the MG bound cannot evict it — candidates ⊇ true heavy hitters at
+    every point in the stream, exactly like the batch operator. State
+    is ≤ n_shards · k_budget counters TOTAL regardless of the key
+    universe; a downstream exact recount (q305 phase 2, or a
+    foreachBatch join) finishes the job.
+    """
+    keyed = events.select(
+        (F.col(key_col) % n_shards).cast("long").alias("shard"),
+        F.col(key_col).cast("long").alias("key"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _update_mg(k_budget),
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -374,3 +374,23 @@ def test_bmp_decode_normalizes_any_raster(w, h, top_down, data):
         1, 24, 0, len(pixels), 2835, 2835, 0, 0,
     )
     assert decode_bmp_raster(fh + ih + pixels) == rgb
+
+
+@given(
+    a=st.integers(min_value=1, max_value=10**18),
+    b=st.integers(min_value=1, max_value=10**18),
+)
+@settings(max_examples=300, deadline=None)
+def test_floor_log2_ratio_equals_bin_length_of_integer_division(a, b):
+    """q306's core identity: for integers a ≥ b ≥ 1,
+    floor(log2(a/b)) == bit_length(a div b) − 1 — proven by
+    2^k ≤ a/b < 2^(k+1) ⟺ 2^k ≤ a//b < 2^(k+1); verified here against
+    an exact integer-comparison floor-log2 (no floats anywhere, so no
+    boundary lies)."""
+    if a < b:
+        a, b = b, a
+    # exact floor(log2(a/b)): largest k with (b << k) <= a
+    k = 0
+    while (b << (k + 1)) <= a:
+        k += 1
+    assert (a // b).bit_length() - 1 == k
