@@ -377,6 +377,28 @@ def write_parquet_table(
     writer.parquet(path)
 
 
+def write_orc_table(
+    df: DataFrame, path: str, mode: str = "append", partition_by: list[str] | None = None
+) -> None:
+    """B5 companion — ORC sink (Spark-native, zero extra deps): the
+    other columnar interchange format warehouses commonly mandate
+    (Hive/Trino estates). Same partitioning semantics as the parquet
+    sink; predicate pushdown and column pruning work identically."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc_table(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """A7 companion — ORC scan; pass ``schema`` (DDL string) to keep
+    plan construction footer-probe-free like the parquet catalog path."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
     """B2 at scale — dynamic partition overwrite: replace ONLY the
     partitions present in ``df``, leaving every other partition of the

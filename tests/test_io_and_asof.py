@@ -277,3 +277,24 @@ def test_jsonl_corrupt_record_policy(spark, tmp_path):
     # read. That instability is exactly why keep_corrupt=True is the
     # default for corpus audits.
     assert dropped.count() == 3 and len(drows) == 2
+
+
+def test_orc_roundtrip_partitioned_and_pruned(spark, tmp_path):
+    """ORC sink/scan round-trip: partitioned write, schema-pinned read,
+    values identical to the parquet path, and partition pruning visible
+    in the scan plan."""
+    from stock_data_pipeline_spark.catalog import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    path = str(tmp_path / "orders_orc")
+    sio.write_orc_table(df, path, mode="overwrite", partition_by=["o_orderpriority"])
+    back = sio.read_orc_table(
+        spark, path, schema="o_orderkey long, o_custkey long, o_orderpriority string"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    pruned = back.filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert pruned.count() == df.filter(df.o_orderpriority == "1-URGENT").count()
