@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 import time
 from pathlib import Path
@@ -122,7 +121,18 @@ def _plan_fingerprint(spark, name, fn, df, sf_dir) -> dict[str, int]:
     names: list[str] = []
 
     def _walk(node) -> None:
-        names.append(node.nodeName())
+        name = node.nodeName()
+        names.append(name)
+        if name == "AdaptiveSparkPlan":
+            # AdaptiveSparkPlanExec is a LEAF node — its real plan hangs
+            # off executedPlan()/initialPlan(), not children(); without
+            # this descent the ITERATIVE branch (AQE left on) would
+            # fingerprint as all-zeros
+            try:
+                _walk(node.executedPlan())
+            except Exception:
+                _walk(node.initialPlan())
+            return
         ch = node.children()
         for i in range(ch.length()):
             _walk(ch.apply(i))

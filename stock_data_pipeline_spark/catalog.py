@@ -198,15 +198,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact value DuckDB sees reading the same file (its TIMESTAMP is
     µs; a nanos fixture is µs-truncated identically by both engines).
 
-    Pins the session timezone to UTC (runtime-settable, idempotent —
-    engine sessions already set it at build time): the
-    ``timestamp_micros`` → NTZ conversion renders the SESSION-LOCAL
-    wall clock of the instant, so under a non-UTC JVM every derived
-    day bucket (``to_date(ts)``) would shift while the DuckDB oracle
-    reads naive timestamps — experimentally flips q141/q144 (VERDICT
-    r04). UTC makes NTZ == the naive value DuckDB sees.
+    The UTC session-timezone pin lives in :func:`load_events_raw` (the
+    bottom of every events chain), so queries that build their own NTZ
+    timestamps from :func:`load_events_us` integers are covered too.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = load_events_us(spark, sf_dir)
     return raw.withColumn(
         "ts", F.expr("timestamp_micros(ts)").cast("timestamp_ntz")
@@ -232,7 +227,20 @@ def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     check :func:`events_ts_unit`; prefer :func:`load_events_us`).
     The nanosAsLong conf lets the vectorized reader accept a
     TIMESTAMP(NANOS) column as LONG; a MICROS column reads as the raw
-    int64 under the forced LONG schema either way."""
+    int64 under the forced LONG schema either way.
+
+    Also pins the session timezone to UTC (runtime-settable,
+    idempotent — engine sessions already set it at build time): any
+    downstream ``timestamp_micros(...)`` → NTZ conversion renders the
+    SESSION-LOCAL wall clock of the instant, so under a non-UTC JVM
+    every derived day/session bucket would shift while the DuckDB
+    oracle reads naive timestamps — experimentally flips q141/q144
+    (VERDICT r04) and q23/q95 (r05 self-review; they convert
+    ``load_events_us`` integers themselves, which is why the pin lives
+    HERE, at the bottom of every events chain, not in
+    :func:`load_events`). UTC makes NTZ == the naive value DuckDB
+    sees."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.schema(TABLE_SCHEMAS["events"]).parquet(f"{sf_dir}/events.parquet")
 

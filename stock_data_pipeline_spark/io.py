@@ -287,7 +287,16 @@ def read_excel_edge(spark: SparkSession, path: str, skiprows: int = 4) -> DataFr
         str(c).lower().replace(" ", "_") if c is not None else f"col_{i}"
         for i, c in enumerate(rows[0])
     ]
-    data = [r + [None] * (len(header) - len(r)) for r in rows[1:]]
+    data = rows[1:]
+    # parse_xlsx_rows returns uniform-width rows (dense grid, padded to
+    # the sheet's ncols) — assert it rather than silently truncating a
+    # wider row in the zip below, the failure the pandas path raised on
+    for r in data:
+        if len(r) != len(header):
+            raise ValueError(
+                f"xlsx parse: {path} produced a {len(r)}-cell row under a "
+                f"{len(header)}-column header — non-rectangular sheet grid"
+            )
     col_sql_types = []
     for i in range(len(header)):
         kinds = {type(r[i]) for r in data if r[i] is not None}

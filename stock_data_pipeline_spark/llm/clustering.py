@@ -158,7 +158,12 @@ def _train_sample(pts: DataFrame, train_mod: int | None) -> DataFrame | None:
     re-reads into in-memory scans instead of repeated source scans. At
     corpus scale this is the difference between one 100 TB pass (the
     final assignment) and ``rounds + 1`` of them. The cache entry is
-    keyed by canonicalized plan, so repeated invocations reuse it."""
+    keyed by canonicalized plan, so repeated invocations reuse it
+    rather than stacking duplicates; entries live until the session
+    ends (the returned plan stays lazy, so there is no safe unpersist
+    point inside the operator) — bounded at |table|/train_mod ×
+    (sub_dim + 1) int64s per distinct (table, subspace) — ~40 KB per
+    entry at sf0.1."""
     if train_mod is None:
         return None
     return pts.filter(F.col("vec_id") % train_mod == 0).cache()

@@ -5,10 +5,13 @@ non-UTC JVM timezone (``TZ=America/New_York``, no engine confs),
 q141_ab_test and q144_new_vs_returning flipped to mismatch: the
 ``timestamp_micros`` → NTZ conversion in ``load_events`` rendered
 session-local wall clocks, shifting every ``to_date(ts)`` day bucket,
-while the DuckDB oracle read naive timestamps. ``load_events`` now
-pins ``spark.sql.session.timeZone=UTC`` at plan-build time; this test
+while the DuckDB oracle read naive timestamps. The r05 self-review
+then found q23/q95 flip the same way via their own conversions over
+``load_events_us`` integers, so the UTC pin lives in
+``load_events_raw`` — the bottom of every events chain. This test
 replays the judge's exact experiment in a subprocess (the JVM's
-default zone is fixed at launch, so it needs its own JVM).
+default zone is fixed at launch, so it needs its own JVM), covering
+both the load_events path and the self-converting queries.
 """
 
 from __future__ import annotations
@@ -32,13 +35,18 @@ spark = (
     .appName("tz-independence")
     .getOrCreate()
 )
-assert spark.conf.get("spark.sql.session.timeZone") != "UTC", (
+orig_tz = spark.conf.get("spark.sql.session.timeZone")
+assert orig_tz != "UTC", (
     "precondition: the session must START non-UTC or the test proves nothing"
 )
 con = duckdb.connect()
 register_duckdb_views(con, "/root/testdata/sf0.001")
 bad = []
-for name in ["q141_ab_test", "q144_new_vs_returning", "q21_tumbling_window"]:
+for name in ["q141_ab_test", "q144_new_vs_returning", "q21_tumbling_window",
+             "q23_sessionize", "q95_twap"]:
+    # un-pin before every query: each must restore UTC through its OWN
+    # load path, or an earlier query's pin masks a per-query gap
+    spark.conf.set("spark.sql.session.timeZone", orig_tz)
     r = compare_query(spark, con, name, "/root/testdata/sf0.001")
     print(name, r["status"], flush=True)
     if r["status"] != "MATCH":
