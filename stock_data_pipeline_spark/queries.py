@@ -20341,6 +20341,181 @@ def q309_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bt_oracle(rounds: int = 3) -> str:
+    """Unrolled Bradley–Terry MM CTE chain mirroring q310's Spark plan:
+    integer win counts (Laplace-smoothed), then ``rounds`` minorize-
+    maximize updates s_a ← W_a / Σ_b n_ab/(s_a+s_b) with the partner
+    fold ascending-b — the generated-oracle discipline (q80/q193/q307)
+    applied to a fixed-point fit."""
+    parts = [
+        """cmp AS (
+        SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
+               CAST(CAST(a.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pa,
+               CAST(CAST(b.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+        WHERE a.l_suppkey <> b.l_suppkey
+    ), outcomes AS (
+        SELECT least(sa, sb) AS u, greatest(sa, sb) AS v,
+               CASE WHEN pa = pb THEN 0
+                    WHEN (pa < pb) = (sa < sb) THEN 1 ELSE 2 END AS win
+        FROM cmp
+    ), pairs AS (  -- Laplace +1 each way keeps every score positive/finite
+        SELECT u, v,
+               CAST(SUM(CASE WHEN win = 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS w_uv,
+               CAST(SUM(CASE WHEN win = 2 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS w_vu
+        FROM outcomes GROUP BY 1, 2
+    ), edges AS (
+        SELECT u AS a, v AS b, w_uv + w_vu AS n, w_uv AS w FROM pairs
+        UNION ALL
+        SELECT v, u, w_uv + w_vu, w_vu FROM pairs
+    ), wtot AS (
+        SELECT a, CAST(SUM(w) AS BIGINT) AS wa,
+               CAST(SUM(n) AS BIGINT) AS n_cmp
+        FROM edges GROUP BY 1
+    ), s0 AS (
+        SELECT a, CAST(1.0 AS DOUBLE) AS s FROM wtot
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        prev = f"s{t - 1}"
+        parts.append(f"""s{t} AS (
+        SELECT e.a,
+               CAST(w.wa AS DOUBLE) / list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list(CAST(e.n AS DOUBLE) / (sa.s + sb.s) ORDER BY e.b)),
+                   (x, y) -> x + y) AS s
+        FROM edges e
+        JOIN {prev} sa ON sa.a = e.a
+        JOIN {prev} sb ON sb.a = e.b
+        JOIN wtot w ON w.a = e.a
+        GROUP BY e.a, w.wa
+    )""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT w.a AS suppkey, w.n_cmp AS n_comparisons,
+           w.wa AS n_wins_smoothed, s{rounds}.s AS bt_score
+    FROM wtot w JOIN s{rounds} ON s{rounds}.a = w.a
+    """
+    )
+
+
+@register(
+    "q310_bradley_terry",
+    oracle=_bt_oracle(rounds=3),
+    survey_ref="extension: Bradley–Terry preference-strength fitting — "
+    "the pairwise-preference primitive behind RLHF reward-data prep and "
+    "ranking-from-comparisons; 3 unrolled MM rounds over Laplace-"
+    "smoothed integer win counts, partner folds ascending, so the fit "
+    "is engine-exact with a FULL generated value oracle",
+)
+def q310_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit Bradley–Terry strengths from pairwise outcomes — the model
+    behind reward-data curation (which annotator/model 'wins'
+    head-to-heads), here over a deterministic comparison stream:
+    consecutive lines of each order, cheaper supplier wins (ties emit
+    nothing). Counts are Laplace-smoothed (+1 each way per observed
+    pair) so every compared supplier keeps a positive, finite score
+    even if it never wins, and the MM update (Hunter 2004)
+    s_a ← W_a / Σ_b n_ab/(s_a+s_b) runs 3 unrolled rounds from s=1.
+
+    Engine-exactness: win/total counts are BIGINT; each round's only
+    float math is the per-edge division n/(s_a+s_b) and an
+    ascending-partner fold — identical operand sequences on both
+    engines (the q307 discipline), so scores hash-match bitwise.
+
+    Scale: comparisons derive from a self-join on (order, line+1) —
+    co-partitioned on orderkey, one shuffle; the fit then runs on the
+    PAIR aggregate (≤ suppliers² rows, typically tiny vs the event
+    stream), with each MM round two broadcast-size joins and one
+    map-side-combinable fold. This is the standard shape: reduce the
+    preference log to pair counts once, iterate on the small summary.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        (_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    cmp_ = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("sa"),
+            F.col("b.l_suppkey").alias("sb"),
+            F.col("a.cents").alias("pa"),
+            F.col("b.cents").alias("pb"),
+        )
+    )
+    outcomes = cmp_.select(
+        F.least("sa", "sb").alias("u"),
+        F.greatest("sa", "sb").alias("v"),
+        F.when(F.col("pa") == F.col("pb"), F.lit(0))
+        .when((F.col("pa") < F.col("pb")) == (F.col("sa") < F.col("sb")), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("win"),
+    )
+    pairs = outcomes.groupBy("u", "v").agg(
+        (F.sum((F.col("win") == 1).cast("long")) + 1).cast("long").alias("w_uv"),
+        (F.sum((F.col("win") == 2).cast("long")) + 1).cast("long").alias("w_vu"),
+    )
+    edges = pairs.select(
+        F.col("u").alias("a"), F.col("v").alias("b"),
+        (F.col("w_uv") + F.col("w_vu")).alias("n"), F.col("w_uv").alias("w"),
+    ).unionByName(
+        pairs.select(
+            F.col("v").alias("a"), F.col("u").alias("b"),
+            (F.col("w_uv") + F.col("w_vu")).alias("n"), F.col("w_vu").alias("w"),
+        )
+    )
+    wtot = edges.groupBy("a").agg(
+        F.sum("w").cast("long").alias("wa"),
+        F.sum("n").cast("long").alias("n_cmp"),
+    )
+    scores = wtot.select("a", F.lit(1.0).alias("s"))
+    for _ in range(3):
+        sa = scores.select(F.col("a"), F.col("s").alias("s_a"))
+        sb = scores.select(F.col("a").alias("b"), F.col("s").alias("s_b"))
+        scores = (
+            edges.join(sa, "a")
+            .join(sb, "b")
+            .select(
+                "a",
+                "b",
+                (F.col("n").cast("double") / (F.col("s_a") + F.col("s_b"))).alias(
+                    "term"
+                ),
+            )
+            .groupBy("a")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("b", "term"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"],
+                ).alias("den")
+            )
+            .join(wtot.select("a", "wa"), "a")
+            .select("a", (F.col("wa").cast("double") / F.col("den")).alias("s"))
+        )
+    return (
+        wtot.join(scores, "a")
+        .select(
+            F.col("a").alias("suppkey"),
+            F.col("n_cmp").alias("n_comparisons"),
+            F.col("wa").alias("n_wins_smoothed"),
+            F.col("s").alias("bt_score"),
+        )
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -152,6 +152,62 @@ def test_poisson_bootstrap_matches_python_replay(spark):
     assert abs(total_w - 32 * n) / (32 * n) < 0.05
 
 
+def test_bradley_terry_matches_python_replay(spark):
+    """Replay comparison derivation, Laplace-smoothed pair counts, and
+    3 MM rounds (ascending-partner folds) in pure Python; counts and
+    scores must match bitwise."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT l_orderkey, l_linenumber, l_suppkey,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM read_parquet('{SF}/lineitem.parquet')
+            ORDER BY l_orderkey, l_linenumber"""
+    ).fetchall()
+    # mirror the JOIN semantics exactly: the fixture has duplicate
+    # (orderkey, linenumber) rows, so each a-line pairs with EVERY
+    # b-line at linenumber+1 in its order
+    by_slot: dict[tuple[int, int], list] = {}
+    for o, ln, s, c in rows:
+        by_slot.setdefault((o, ln), []).append((s, c))
+    pairs: dict[tuple[int, int], list[int]] = {}
+    for (o, ln), a_lines in by_slot.items():
+        for s1, c1 in a_lines:
+            for s2, c2 in by_slot.get((o, ln + 1), []):
+                if s1 == s2:
+                    continue
+                u, v = min(s1, s2), max(s1, s2)
+                w = pairs.setdefault((u, v), [1, 1])  # Laplace +1 each way
+                if c1 != c2:
+                    winner = s1 if c1 < c2 else s2
+                    w[0 if winner == u else 1] += 1
+    edges: dict[int, list[tuple[int, int, int]]] = {}
+    wa: dict[int, int] = {}
+    ncmp: dict[int, int] = {}
+    for (u, v), (wuv, wvu) in pairs.items():
+        n = wuv + wvu
+        edges.setdefault(u, []).append((v, n, wuv))
+        edges.setdefault(v, []).append((u, n, wvu))
+        wa[u] = wa.get(u, 0) + wuv
+        wa[v] = wa.get(v, 0) + wvu
+        ncmp[u] = ncmp.get(u, 0) + n
+        ncmp[v] = ncmp.get(v, 0) + n
+    s = {a: 1.0 for a in edges}
+    for _ in range(3):
+        new = {}
+        for a in edges:
+            den = 0.0
+            for b, n, _w in sorted(edges[a]):  # ascending-partner fold
+                den = den + float(n) / (s[a] + s[b])
+            new[a] = float(wa[a]) / den
+        s = new
+    got = {r.suppkey: r for r in REGISTRY["q310_bradley_terry"].fn(spark, SF).collect()}
+    assert set(got) == set(edges)
+    for a in edges:
+        assert got[a].n_comparisons == ncmp[a]
+        assert got[a].n_wins_smoothed == wa[a]
+        assert got[a].bt_score == s[a], f"supplier {a} score diverged"
+
+
 def test_mann_whitney_matches_python_replay(spark):
     """Replay midranks + tie correction from the raw cents values."""
     con = duckdb.connect()
