@@ -20516,6 +20516,113 @@ def q310_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q311_ips_offpolicy",
+    oracle="""
+    WITH logged AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderpriority AS action,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS r_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), seg AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_seg FROM logged GROUP BY 1
+    ), sa AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_sa,
+               CAST(SUM(r_cents) AS BIGINT) AS matched_cents
+        FROM logged WHERE action = '1-URGENT' GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM logged
+    )
+    SELECT s.segment,
+           s.n_seg,
+           COALESCE(a.n_sa, 0) AS n_matched,
+           CAST(COALESCE(a.n_sa, 0) AS DOUBLE) / CAST(s.n_seg AS DOUBLE)
+               AS propensity,
+           COALESCE(a.matched_cents, 0) AS matched_cents,
+           CASE WHEN COALESCE(a.n_sa, 0) = 0 THEN 0.0
+                ELSE CAST(a.matched_cents * s.n_seg AS DOUBLE)
+                     / CAST(a.n_sa AS DOUBLE) / CAST(t.n AS DOUBLE)
+           END AS ips_contrib_cents,
+           CASE WHEN COALESCE(a.n_sa, 0) = 0 THEN 0.0
+                ELSE CAST(a.n_sa * s.n_seg AS DOUBLE)
+                     / CAST(a.n_sa AS DOUBLE) / CAST(t.n AS DOUBLE)
+           END AS weight_mass
+    FROM seg s LEFT JOIN sa a ON a.segment = s.segment CROSS JOIN tot t
+    """,
+    survey_ref="extension: inverse-propensity off-policy evaluation — "
+    "the counterfactual estimator behind recsys/RLHF policy audits "
+    "('what would the always-URGENT policy have earned on this logged "
+    "traffic?'); per-row weights collapse to one exact-integer term "
+    "per segment (all matched rows in a segment share n_seg/n_sa), so "
+    "IPS and the SNIPS normalizer are engine-exact",
+)
+def q311_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy (counterfactual) evaluation from logged data: the
+    logging policy's empirical propensities are p(a|segment) =
+    n_sa/n_seg; the target policy 'always 1-URGENT' is valued by
+    IPS = (1/N) Σ_matched r·n_seg/n_sa. Because every matched row in a
+    segment shares the same weight, the per-row sum collapses exactly:
+    segment contribution = matched_cents·n_seg / n_sa / N — integer
+    numerators (≤ ~4e14 at sf0.1), two divisions in a fixed order.
+    The emitted weight_mass column is the SNIPS normalizer term
+    (Σ weights / N per segment): Σ ips_contrib / Σ weight_mass is the
+    self-normalized estimate, and segments where the logging policy
+    never took the target action surface as propensity-0 rows — the
+    support-deficiency diagnostic every off-policy audit needs.
+
+    Scale: one orders⋈customer shuffle, then everything is per-segment
+    aggregates (≤ segments rows). The per-row reweighting never
+    materializes — the standard trick for IPS over a 100 TB log."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("action"),
+        (_dec("o_totalprice") * 100).cast("long").alias("r_cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    logged = o.join(c, "o_custkey")
+    seg = logged.groupBy("segment").agg(F.count("*").cast("long").alias("n_seg"))
+    sa = (
+        logged.filter(F.col("action") == "1-URGENT")
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_sa"),
+            F.sum("r_cents").cast("long").alias("matched_cents"),
+        )
+    )
+    tot = logged.agg(F.count("*").cast("long").alias("n"))
+    n_matched = F.coalesce(F.col("n_sa"), F.lit(0)).cast("long")
+    return (
+        seg.join(sa, "segment", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "n_seg",
+            n_matched.alias("n_matched"),
+            (n_matched.cast("double") / F.col("n_seg").cast("double")).alias(
+                "propensity"
+            ),
+            F.coalesce(F.col("matched_cents"), F.lit(0)).cast("long").alias(
+                "matched_cents"
+            ),
+            F.when(n_matched == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("matched_cents") * F.col("n_seg")).cast("double")
+                / F.col("n_sa").cast("double")
+                / F.col("n").cast("double")
+            )
+            .alias("ips_contrib_cents"),
+            F.when(n_matched == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("n_sa") * F.col("n_seg")).cast("double")
+                / F.col("n_sa").cast("double")
+                / F.col("n").cast("double")
+            )
+            .alias("weight_mass"),
+        )
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

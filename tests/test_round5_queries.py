@@ -208,6 +208,54 @@ def test_bradley_terry_matches_python_replay(spark):
         assert got[a].bt_score == s[a], f"supplier {a} score diverged"
 
 
+def test_ips_offpolicy_matches_python_replay(spark):
+    """Replay the propensity table and the per-segment exact collapse;
+    the SNIPS identity must also hold: with the target action's rows as
+    the only matched mass, Σ ips_contrib / Σ weight_mass equals the
+    plain mean reward of the matched rows reweighted per segment."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT c.c_mktsegment, o.o_orderpriority,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM read_parquet('{SF}/orders.parquet') o
+            JOIN read_parquet('{SF}/customer.parquet') c
+              ON o.o_custkey = c.c_custkey"""
+    ).fetchall()
+    n = len(rows)
+    n_seg: dict[str, int] = {}
+    n_sa: dict[str, int] = {}
+    cents: dict[str, int] = {}
+    for seg, act, r in rows:
+        n_seg[seg] = n_seg.get(seg, 0) + 1
+        if act == "1-URGENT":
+            n_sa[seg] = n_sa.get(seg, 0) + 1
+            cents[seg] = cents.get(seg, 0) + r
+    got = {r.segment: r for r in REGISTRY["q311_ips_offpolicy"].fn(spark, SF).collect()}
+    assert set(got) == set(n_seg)
+    for seg in n_seg:
+        g = got[seg]
+        assert g.n_seg == n_seg[seg]
+        assert g.n_matched == n_sa.get(seg, 0)
+        assert g.matched_cents == cents.get(seg, 0)
+        assert g.propensity == float(n_sa.get(seg, 0)) / float(n_seg[seg])
+        if n_sa.get(seg, 0):
+            assert g.ips_contrib_cents == (
+                float(cents[seg] * n_seg[seg]) / float(n_sa[seg]) / float(n)
+            )
+            assert g.weight_mass == (
+                float(n_sa[seg] * n_seg[seg]) / float(n_sa[seg]) / float(n)
+            )
+        else:
+            assert g.ips_contrib_cents == 0.0 and g.weight_mass == 0.0
+    # SNIPS sanity: the self-normalized estimate is a weighted mean of
+    # matched rewards, so it must sit inside [min, max] matched reward
+    matched = [r for _, act, r in rows if act == "1-URGENT"]
+    snips = sum(g.ips_contrib_cents for g in got.values()) / sum(
+        g.weight_mass for g in got.values()
+    )
+    assert min(matched) <= snips <= max(matched)
+
+
 def test_mann_whitney_matches_python_replay(spark):
     """Replay midranks + tie correction from the raw cents values."""
     con = duckdb.connect()
