@@ -20623,6 +20623,887 @@ def q311_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 30 (round 5, cont.): multiple-testing control, doubly-robust OPE,
+# l-diversity, isotonic calibration, Kruskal–Wallis, segmented trend,
+# Mantel–Haenszel pooled odds
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q312_bh_fdr",
+    oracle="""
+    WITH joined AS (
+        SELECT p.p_brand AS brand, l.l_quantity AS q,
+               CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END AS is_f
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), stats AS (
+        SELECT brand,
+               CAST(SUM(is_f) AS BIGINT) AS na,
+               CAST(SUM(is_f * q) AS BIGINT) AS sa,
+               CAST(SUM(is_f * q * q) AS BIGINT) AS ssa,
+               CAST(SUM(1 - is_f) AS BIGINT) AS nb,
+               CAST(SUM((1 - is_f) * q) AS BIGINT) AS sb,
+               CAST(SUM((1 - is_f) * q * q) AS BIGINT) AS ssb
+        FROM stats_src GROUP BY 1
+    ), tests AS (
+        SELECT brand, na, nb,
+               (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+               * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+               / (CAST(na * ssa - sa * sa AS DOUBLE)
+                      / CAST(na * na * (na - 1) AS DOUBLE)
+                  + CAST(nb * ssb - sb * sb AS DOUBLE)
+                      / CAST(nb * nb * (nb - 1) AS DOUBLE)) AS z2
+        FROM stats
+        WHERE na >= 2 AND nb >= 2
+          AND na * ssa - sa * sa + nb * ssb - sb * sb > 0
+    ), ranked AS (
+        SELECT brand, na, nb, z2,
+               CASE WHEN z2 <= 1e0 THEN 1e0 ELSE 1e0 / z2 END AS p,
+               ROW_NUMBER() OVER (ORDER BY
+                   CASE WHEN z2 <= 1e0 THEN 1e0 ELSE 1e0 / z2 END, brand) AS r,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM tests
+    ), cut AS (
+        SELECT *, MAX(CASE WHEN p * CAST(m AS DOUBLE) * 1e1
+                                <= CAST(r AS DOUBLE) THEN r END)
+                      OVER () AS kstar
+        FROM ranked
+    )
+    SELECT brand, na AS n_f, nb AS n_o, z2, p AS p_chebyshev,
+           CAST(r AS BIGINT) AS p_rank, m AS m_tests,
+           r <= COALESCE(kstar, 0) AS discovery
+    FROM cut
+    """.replace("FROM stats_src", "FROM joined"),
+    survey_ref="extension: Benjamini–Hochberg FDR control over a family "
+    "of per-brand two-sample tests — the multiple-testing step every "
+    "metrics platform needs after q141's single A/B test; p-values are "
+    "distribution-free Chebyshev bounds min(1, 1/z²) so the whole "
+    "procedure is closed-form arithmetic (no erf/exp), and the step-up "
+    "cutoff k* = max{k : p_(k) <= k·α/m} is one window max",
+)
+def q312_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m simultaneous hypothesis tests (one per part brand: does mean
+    order quantity differ between finished 'F' and open 'O' line
+    items?) with Benjamini–Hochberg false-discovery-rate control at
+    α = 0.1. Per test, a Welch z² from exact integer sums (n·Σx²−(Σx)²
+    stays BIGINT); the p-value is the two-sided Chebyshev bound
+    min(1, 1/z²) — deliberately distribution-free AND transcendental-
+    free, so both engines produce bit-identical doubles. BH step-up:
+    sort p ascending (brand tiebreak), find the largest rank r with
+    p_(r) ≤ r·α/m (compared as 10·p·m ≤ r, exact literal arithmetic),
+    reject everything at or below it.
+
+    Scale: the per-row work is one map-side-combinable GROUP BY brand;
+    the BH pass runs on m = #brands rows (25 here, thousands at most in
+    practice), so the unpartitioned rank/max windows cost nothing — the
+    same tiny-totals-frame discipline as q245."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("q"),
+        (F.col("l_linestatus") == "F").cast("long").alias("is_f"),
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    st = (
+        li.join(pt, "l_partkey")
+        .groupBy("brand")
+        .agg(
+            F.sum("is_f").cast("long").alias("na"),
+            F.sum(F.col("is_f") * F.col("q")).cast("long").alias("sa"),
+            F.sum(F.col("is_f") * F.col("q") * F.col("q")).cast("long").alias("ssa"),
+            F.sum(1 - F.col("is_f")).cast("long").alias("nb"),
+            F.sum((1 - F.col("is_f")) * F.col("q")).cast("long").alias("sb"),
+            F.sum((1 - F.col("is_f")) * F.col("q") * F.col("q"))
+            .cast("long")
+            .alias("ssb"),
+        )
+    )
+    delta = F.col("sa").cast("double") / F.col("na").cast("double") - F.col(
+        "sb"
+    ).cast("double") / F.col("nb").cast("double")
+    se2 = (F.col("na") * F.col("ssa") - F.col("sa") * F.col("sa")).cast("double") / (
+        F.col("na") * F.col("na") * (F.col("na") - 1)
+    ).cast("double") + (F.col("nb") * F.col("ssb") - F.col("sb") * F.col("sb")).cast(
+        "double"
+    ) / (F.col("nb") * F.col("nb") * (F.col("nb") - 1)).cast("double")
+    tests = st.filter(
+        (F.col("na") >= 2)
+        & (F.col("nb") >= 2)
+        & (
+            F.col("na") * F.col("ssa")
+            - F.col("sa") * F.col("sa")
+            + F.col("nb") * F.col("ssb")
+            - F.col("sb") * F.col("sb")
+            > 0
+        )
+    ).select("brand", "na", "nb", (delta * delta / se2).alias("z2"))
+    p = F.when(F.col("z2") <= 1.0, F.lit(1.0)).otherwise(1.0 / F.col("z2"))
+    ranked = tests.select(
+        "brand",
+        "na",
+        "nb",
+        "z2",
+        p.alias("p"),
+    ).select(
+        "*",
+        F.row_number().over(Window.orderBy("p", "brand")).alias("r"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    cond = F.col("p") * F.col("m").cast("double") * 10.0 <= F.col("r").cast("double")
+    cut = ranked.select(
+        "*",
+        F.max(F.when(cond, F.col("r"))).over(Window.partitionBy()).alias("kstar"),
+    )
+    return cut.select(
+        "brand",
+        F.col("na").alias("n_f"),
+        F.col("nb").alias("n_o"),
+        "z2",
+        F.col("p").alias("p_chebyshev"),
+        F.col("r").cast("long").alias("p_rank"),
+        F.col("m").alias("m_tests"),
+        (F.col("r") <= F.coalesce(F.col("kstar"), F.lit(0))).alias("discovery"),
+    )
+
+
+@register(
+    "q313_dr_offpolicy",
+    oracle="""
+    WITH logged AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS is_tgt,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS r_cents,
+               o.o_orderkey % 2 AS fold
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), model AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS nm,
+               CAST(SUM(r_cents) AS BIGINT) AS mc
+        FROM logged WHERE fold = 0 AND is_tgt = 1 GROUP BY 1
+    ), gmodel AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nmg,
+               CAST(SUM(r_cents) AS BIGINT) AS mcg
+        FROM logged WHERE fold = 0 AND is_tgt = 1
+    ), eval_seg AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS ne_seg,
+               CAST(SUM(is_tgt) AS BIGINT) AS na_e,
+               CAST(SUM(is_tgt * r_cents) AS BIGINT) AS mc_e
+        FROM logged WHERE fold = 1 GROUP BY 1
+    ), eval_tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_e FROM logged WHERE fold = 1
+    ), fitted AS (
+        SELECT e.segment, e.ne_seg, e.na_e, e.mc_e,
+               COALESCE(m.nm, 0) AS n_model,
+               CASE WHEN COALESCE(m.nm, 0) > 0
+                    THEN CAST(m.mc AS DOUBLE) / CAST(m.nm AS DOUBLE)
+                    ELSE CAST(g.mcg AS DOUBLE) / CAST(g.nmg AS DOUBLE)
+               END AS qhat,
+               t.n_e
+        FROM eval_seg e LEFT JOIN model m ON m.segment = e.segment
+        CROSS JOIN gmodel g CROSS JOIN eval_tot t
+    )
+    SELECT segment, n_model AS n_model_urgent, ne_seg AS n_eval,
+           na_e AS n_eval_urgent, qhat AS qhat_cents,
+           CAST(ne_seg AS DOUBLE) * qhat / CAST(n_e AS DOUBLE)
+               AS dm_contrib_cents,
+           CASE WHEN na_e = 0 THEN 0e0
+                ELSE (CAST(mc_e AS DOUBLE) - CAST(na_e AS DOUBLE) * qhat)
+                     * CAST(ne_seg AS DOUBLE) / CAST(na_e AS DOUBLE)
+                     / CAST(n_e AS DOUBLE)
+           END AS correction_cents,
+           CAST(ne_seg AS DOUBLE) * qhat / CAST(n_e AS DOUBLE)
+           + CASE WHEN na_e = 0 THEN 0e0
+                  ELSE (CAST(mc_e AS DOUBLE) - CAST(na_e AS DOUBLE) * qhat)
+                       * CAST(ne_seg AS DOUBLE) / CAST(na_e AS DOUBLE)
+                       / CAST(n_e AS DOUBLE)
+             END AS dr_contrib_cents
+    FROM fitted
+    """,
+    survey_ref="extension: cross-fitted doubly-robust off-policy "
+    "evaluation — the estimator that upgrades q311's IPS with an "
+    "outcome model fitted on a DISJOINT fold (without cross-fitting, "
+    "the empirical-propensity correction is identically zero and DR "
+    "degenerates to the direct method); per-segment collapse keeps the "
+    "per-row reweighting unmaterialized, same as q311",
+)
+def q313_dr_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust counterfactual value of the 'always 1-URGENT'
+    policy with two-fold cross-fitting: the outcome model q̂(segment) =
+    mean urgent reward on fold 0; the DR estimator runs on fold 1 —
+    per row, q̂ + 1{a=π}·(r − q̂)/p̂ — which collapses per segment to
+    DM term n_seg·q̂/N plus correction (Σr_matched − n_matched·q̂)·
+    n_seg/n_matched/N, all from exact integer sums and a fixed double
+    operand order. Segments the model fold never saw urgent fall back
+    to the global model mean (reported via n_model_urgent = 0);
+    segments with no eval-side urgent keep the DM term with zero
+    correction — the support-deficiency cases an OPE audit must
+    surface, not crash on.
+
+    Scale: one orders⋈customer shuffle feeding four map-side-combinable
+    aggregates; everything after is per-segment rows joined to two
+    broadcast scalars."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("is_tgt"),
+        (_dec("o_totalprice") * 100).cast("long").alias("r_cents"),
+        (F.col("o_orderkey") % 2).alias("fold"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    logged = o.join(c, "o_custkey")
+    model_rows = logged.filter((F.col("fold") == 0) & (F.col("is_tgt") == 1))
+    model = model_rows.groupBy("segment").agg(
+        F.count("*").cast("long").alias("nm"),
+        F.sum("r_cents").cast("long").alias("mc"),
+    )
+    gmodel = model_rows.agg(
+        F.count("*").cast("long").alias("nmg"),
+        F.sum("r_cents").cast("long").alias("mcg"),
+    )
+    ev = logged.filter(F.col("fold") == 1)
+    eval_seg = ev.groupBy("segment").agg(
+        F.count("*").cast("long").alias("ne_seg"),
+        F.sum("is_tgt").cast("long").alias("na_e"),
+        F.sum(F.col("is_tgt") * F.col("r_cents")).cast("long").alias("mc_e"),
+    )
+    eval_tot = ev.agg(F.count("*").cast("long").alias("n_e"))
+    n_model = F.coalesce(F.col("nm"), F.lit(0)).cast("long")
+    qhat = F.when(
+        n_model > 0, F.col("mc").cast("double") / F.col("nm").cast("double")
+    ).otherwise(F.col("mcg").cast("double") / F.col("nmg").cast("double"))
+    fitted = (
+        eval_seg.join(model, "segment", "left")
+        .crossJoin(F.broadcast(gmodel))
+        .crossJoin(F.broadcast(eval_tot))
+        .select(
+            "segment",
+            "ne_seg",
+            "na_e",
+            "mc_e",
+            n_model.alias("n_model"),
+            qhat.alias("qhat"),
+            "n_e",
+        )
+    )
+    dm = (
+        F.col("ne_seg").cast("double")
+        * F.col("qhat")
+        / F.col("n_e").cast("double")
+    )
+    corr = F.when(F.col("na_e") == 0, F.lit(0.0)).otherwise(
+        (F.col("mc_e").cast("double") - F.col("na_e").cast("double") * F.col("qhat"))
+        * F.col("ne_seg").cast("double")
+        / F.col("na_e").cast("double")
+        / F.col("n_e").cast("double")
+    )
+    return fitted.select(
+        "segment",
+        F.col("n_model").alias("n_model_urgent"),
+        F.col("ne_seg").alias("n_eval"),
+        F.col("na_e").alias("n_eval_urgent"),
+        F.col("qhat").alias("qhat_cents"),
+        dm.alias("dm_contrib_cents"),
+        corr.alias("correction_cents"),
+        (dm + corr).alias("dr_contrib_cents"),
+    )
+
+
+@register(
+    "q314_l_diversity",
+    oracle="""
+    WITH cell AS (
+        SELECT c.c_nationkey AS nationkey, c.c_mktsegment AS segment,
+               o.o_orderpriority AS action, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(nationkey AS BIGINT) AS nationkey, segment,
+           CAST(SUM(cnt) AS BIGINT) AS group_n,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           CAST(MAX(cnt) AS BIGINT) AS top_count,
+           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_share,
+           COUNT(*) < 3 AS at_risk
+    FROM cell GROUP BY 1, 2
+    """,
+    survey_ref="extension: distinct l-diversity audit — the "
+    "re-identification check that complements q236's k-anonymity "
+    "(a k-anonymous group is still leaky if the sensitive attribute "
+    "is near-constant inside it); reports per-QI-group sensitive "
+    "diversity, the modal sensitive share (the recursive-(c,l) "
+    "frequency term), and the l<3 risk flag",
+)
+def q314_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit over the quasi-identifier (nation, market
+    segment): for each QI group, how many DISTINCT values of the
+    sensitive attribute (order priority) appear, and how concentrated
+    is the modal value? k-anonymity (q236) bounds group size; this
+    bounds attribute disclosure — a group where 9 of 10 orders are
+    '1-URGENT' reveals the sensitive value with 90% confidence no
+    matter how large the group is. Groups with l < 3 are flagged.
+
+    Scale: two stacked map-side-combinable aggregates ((QI, action)
+    then QI) — the count-distinct never builds a per-group set because
+    the first GROUP BY already reduced to distinct cells."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderpriority").alias("action")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    cell = (
+        o.join(c, "o_custkey")
+        .groupBy("nationkey", "segment", "action")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return cell.groupBy("nationkey", "segment").agg(
+        F.sum("cnt").cast("long").alias("group_n"),
+        F.count("*").cast("long").alias("l_distinct"),
+        F.max("cnt").cast("long").alias("top_count"),
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
+            "top_share"
+        ),
+        (F.count("*") < 3).alias("at_risk"),
+    )
+
+
+@register(
+    "q315_isotonic_calibration",
+    oracle="""
+    WITH lv AS (
+        SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS w,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM lineitem GROUP BY 1
+    ), cum AS (
+        SELECT d, w, s,
+               CAST(SUM(w) OVER (ORDER BY d) AS BIGINT) AS cw,
+               CAST(SUM(s) OVER (ORDER BY d) AS BIGINT) AS cs
+        FROM lv
+    ), pairs AS (
+        SELECT j.d AS dj, k.d AS dk,
+               CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+               / CAST(k.cw - (j.cw - j.w) AS DOUBLE) AS seg_mean
+        FROM cum j JOIN cum k ON j.d <= k.d
+    ), inner_min AS (
+        SELECT i.d AS di, p.dj, MIN(p.seg_mean) AS m_ij
+        FROM cum i JOIN pairs p ON p.dj <= i.d AND p.dk >= i.d
+        GROUP BY 1, 2
+    ), iso AS (
+        SELECT di AS d, MAX(m_ij) AS iso_rate FROM inner_min GROUP BY 1
+    )
+    SELECT lv.d AS discount_cents, lv.w AS n, lv.s AS n_pos,
+           CAST(lv.s AS DOUBLE) / CAST(lv.w AS DOUBLE) AS emp_rate,
+           iso.iso_rate AS iso_rate
+    FROM lv JOIN iso ON lv.d = iso.d
+    """,
+    survey_ref="extension: isotonic regression (PAVA) for calibration — "
+    "the monotone fit behind calibrated probabilities and monotone "
+    "binning, complementing q222's raw calibration curve; computed by "
+    "the exact minimax identity iso(i) = max_{j<=i} min_{k>=i} "
+    "mean(y_j..y_k) over AGGREGATED levels, so no sequential "
+    "pool-adjacent pass and no iteration cap",
+)
+def q315_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone-calibrated return rate as a function of discount level:
+    the isotonic (PAVA) fit of P(returnflag='R' | discount). Instead of
+    the sequential pool-adjacent-violators sweep (driver-side, orderful),
+    this uses the closed-form minimax characterization — the isotonic
+    value at level i is max over starts j≤i of the min over ends k≥i of
+    the segment mean — which is embarrassingly parallel over the
+    (j,i,k) triples of AGGREGATED levels. Segment means come from
+    integer prefix sums (one division each), so min/max select among
+    bit-identical doubles on both engines.
+
+    Scale: the per-row pass is one map-side-combinable GROUP BY level;
+    the minimax runs on L levels (11 here — L³ pairs of broadcast-joined
+    aggregates), the right shape whenever the calibration grid is
+    bounded, which is what a calibration grid is."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lv = li.groupBy(
+        (_dec("l_discount") * 100).cast("long").alias("d")
+    ).agg(
+        F.count("*").cast("long").alias("w"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).cast("long").alias("s"),
+    )
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = lv.select(
+        "d",
+        "w",
+        "s",
+        F.sum("w").over(wd).cast("long").alias("cw"),
+        F.sum("s").over(wd).cast("long").alias("cs"),
+    )
+    j = cum.select(
+        F.col("d").alias("dj"),
+        (F.col("cw") - F.col("w")).alias("pw"),
+        (F.col("cs") - F.col("s")).alias("ps"),
+    )
+    k = cum.select(
+        F.col("d").alias("dk"), F.col("cw").alias("kw"), F.col("cs").alias("ks")
+    )
+    pairs = (
+        j.join(F.broadcast(k), F.col("dj") <= F.col("dk"))
+        .select(
+            "dj",
+            "dk",
+            (
+                (F.col("ks") - F.col("ps")).cast("double")
+                / (F.col("kw") - F.col("pw")).cast("double")
+            ).alias("seg_mean"),
+        )
+    )
+    inner_min = (
+        cum.select(F.col("d").alias("di"))
+        .join(
+            F.broadcast(pairs),
+            (F.col("dj") <= F.col("di")) & (F.col("dk") >= F.col("di")),
+        )
+        .groupBy("di", "dj")
+        .agg(F.min("seg_mean").alias("m_ij"))
+    )
+    iso = inner_min.groupBy(F.col("di").alias("d")).agg(
+        F.max("m_ij").alias("iso_rate")
+    )
+    return lv.join(iso, "d").select(
+        F.col("d").alias("discount_cents"),
+        F.col("w").alias("n"),
+        F.col("s").alias("n_pos"),
+        (F.col("s").cast("double") / F.col("w").cast("double")).alias("emp_rate"),
+        "iso_rate",
+    )
+
+
+@register(
+    "q316_kruskal_wallis",
+    oracle="""
+    WITH tagged AS (
+        SELECT l_returnflag AS g,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM lineitem
+    ), cells AS (
+        SELECT v, g, CAST(COUNT(*) AS BIGINT) AS cnt FROM tagged GROUP BY 1, 2
+    ), vals AS (
+        SELECT v, CAST(SUM(cnt) AS BIGINT) AS ct FROM cells GROUP BY 1
+    ), cum AS (
+        SELECT v, ct,
+               COALESCE(SUM(ct) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM vals
+    ), groups AS (
+        SELECT c.g, CAST(SUM(c.cnt) AS BIGINT) AS n_g,
+               CAST(SUM(c.cnt * (2 * u.cb + u.ct + 1)) AS BIGINT) AS r2_g
+        FROM cells c JOIN cum u ON c.v = u.v
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS n,
+               CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tie3
+        FROM vals
+    ), folded AS (
+        SELECT list_reduce(list_prepend(CAST(0e0 AS DOUBLE),
+                   list(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+                        / CAST(4 * n_g AS DOUBLE) ORDER BY g)),
+                   (a, b) -> a + b) AS srank
+        FROM groups
+    ), stats AS (
+        SELECT 1.2e1 * f.srank / (CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))
+               - 3e0 * CAST(t.n + 1 AS DOUBLE) AS hstat,
+               1e0 - CAST(t.tie3 AS DOUBLE)
+                     / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                        * CAST(t.n AS DOUBLE) - CAST(t.n AS DOUBLE)) AS tie_c,
+               t.n AS n_total
+        FROM folded f CROSS JOIN tot t
+    )
+    SELECT g.g AS returnflag, g.n_g, g.r2_g AS rank_sum2, s.n_total,
+           s.hstat, s.tie_c AS tie_correction, s.hstat / s.tie_c AS h_corrected
+    FROM groups g CROSS JOIN stats s
+    """,
+    survey_ref="extension: Kruskal–Wallis H (one-way ANOVA on ranks) "
+    "with full tie correction — the 3-group (returnflag A/N/R) "
+    "generalization of q308's Mann–Whitney, same doubled-midrank "
+    "discipline (rank sums "
+    "stay BIGINT); the only cross-group double sum folds left-to-right "
+    "in group order on both engines (the q178 pinned-fold pattern), so "
+    "H hash-matches bit-for-bit",
+)
+def q316_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the three return-flag populations (A/N/R) draw line-item
+    prices from the same distribution? The k-group rank ANOVA that
+    q308's two-sample test generalizes to (lineitem carries no other
+    categorical with >2 levels; at k=2 this H is exactly z² from
+    q308). Kruskal–Wallis: midranks per DISTINCT value via one
+    prefix sum (doubled to stay integer under ties, as in q308),
+    per-group rank sums as exact BIGINTs, then
+    H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) over the G group rows, divided
+    by the tie correction 1 − Σ(t³−t)/(N³−N). Σ R_g²/n_g is a sum of
+    G doubles — order-sensitive — so it is folded over an array sorted
+    by group name, making the summation order part of the contract;
+    N³ is formed in doubles so the expression survives row counts past
+    the int64 cube bound.
+
+    Scale: per-row work is one GROUP BY (value, group); the prefix sum
+    runs over distinct values (bucket-partitionable as in q245); the
+    fold touches G rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tagged = li.select(
+        F.col("l_returnflag").alias("g"),
+        (_dec("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    cells = tagged.groupBy("v", "g").agg(F.count("*").cast("long").alias("cnt"))
+    vals = cells.groupBy("v").agg(F.sum("cnt").cast("long").alias("ct"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.select(
+        "v", "ct", F.coalesce(F.sum("ct").over(wv), F.lit(0)).alias("cb")
+    )
+    groups = (
+        cells.join(cum, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_g"),
+            F.sum(F.col("cnt") * (2 * F.col("cb") + F.col("ct") + 1))
+            .cast("long")
+            .alias("r2_g"),
+        )
+    )
+    tot = vals.agg(
+        F.sum("ct").cast("long").alias("n"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    term = F.col("r2_g").cast("double") * F.col("r2_g").cast("double") / (
+        4 * F.col("n_g")
+    ).cast("double")
+    folded = groups.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("g").alias("g"), term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["t"],
+        ).alias("srank")
+    )
+    n_d = F.col("n").cast("double")
+    stats = folded.crossJoin(F.broadcast(tot)).select(
+        (
+            12.0 * F.col("srank") / (n_d * (F.col("n") + 1).cast("double"))
+            - 3.0 * (F.col("n") + 1).cast("double")
+        ).alias("hstat"),
+        (
+            1.0 - F.col("tie3").cast("double") / (n_d * n_d * n_d - n_d)
+        ).alias("tie_c"),
+        F.col("n").alias("n_total"),
+    )
+    return groups.crossJoin(F.broadcast(stats)).select(
+        F.col("g").alias("returnflag"),
+        "n_g",
+        F.col("r2_g").alias("rank_sum2"),
+        "n_total",
+        "hstat",
+        F.col("tie_c").alias("tie_correction"),
+        (F.col("hstat") / F.col("tie_c")).alias("h_corrected"),
+    )
+
+
+@register(
+    "q317_segmented_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                    AS BIGINT) AS x,
+               o_orderdate AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2
+    ), cum AS (
+        SELECT day,
+               CAST(ROW_NUMBER() OVER (ORDER BY x) AS BIGINT) AS cn,
+               CAST(SUM(x) OVER (ORDER BY x) AS BIGINT) AS cx,
+               CAST(SUM(y) OVER (ORDER BY x) AS BIGINT) AS cy,
+               CAST(SUM(x * x) OVER (ORDER BY x) AS BIGINT) AS cxx,
+               CAST(SUM(x * y) OVER (ORDER BY x) AS BIGINT) AS cxy,
+               CAST(SUM(y * y) OVER (ORDER BY x) AS BIGINT) AS cyy
+        FROM daily
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS tx,
+               CAST(SUM(y) AS BIGINT) AS ty, CAST(SUM(x * x) AS BIGINT) AS txx,
+               CAST(SUM(x * y) AS BIGINT) AS txy,
+               CAST(SUM(y * y) AS BIGINT) AS tyy
+        FROM daily
+    ), scored AS (
+        SELECT c.day, c.cn AS n_left, t.n - c.cn AS n_right,
+               CAST(c.cn * c.cxy - c.cx * c.cy AS DOUBLE)
+                   / CAST(c.cn * c.cxx - c.cx * c.cx AS DOUBLE) AS slope_left,
+               CAST((t.n - c.cn) * (t.txy - c.cxy)
+                    - (t.tx - c.cx) * (t.ty - c.cy) AS DOUBLE)
+                   / CAST((t.n - c.cn) * (t.txx - c.cxx)
+                          - (t.tx - c.cx) * (t.tx - c.cx) AS DOUBLE)
+                   AS slope_right,
+               (CAST(c.cn * c.cyy - c.cy * c.cy AS DOUBLE)
+                - CAST(c.cn * c.cxy - c.cx * c.cy AS DOUBLE)
+                  * CAST(c.cn * c.cxy - c.cx * c.cy AS DOUBLE)
+                  / CAST(c.cn * c.cxx - c.cx * c.cx AS DOUBLE))
+               / CAST(c.cn AS DOUBLE) AS sse_left,
+               (CAST((t.n - c.cn) * (t.tyy - c.cyy)
+                     - (t.ty - c.cy) * (t.ty - c.cy) AS DOUBLE)
+                - CAST((t.n - c.cn) * (t.txy - c.cxy)
+                       - (t.tx - c.cx) * (t.ty - c.cy) AS DOUBLE)
+                  * CAST((t.n - c.cn) * (t.txy - c.cxy)
+                         - (t.tx - c.cx) * (t.ty - c.cy) AS DOUBLE)
+                  / CAST((t.n - c.cn) * (t.txx - c.cxx)
+                         - (t.tx - c.cx) * (t.tx - c.cx) AS DOUBLE))
+               / CAST(t.n - c.cn AS DOUBLE) AS sse_right,
+               (CAST(t.n * t.tyy - t.ty * t.ty AS DOUBLE)
+                - CAST(t.n * t.txy - t.tx * t.ty AS DOUBLE)
+                  * CAST(t.n * t.txy - t.tx * t.ty AS DOUBLE)
+                  / CAST(t.n * t.txx - t.tx * t.tx AS DOUBLE))
+               / CAST(t.n AS DOUBLE) AS sse_null
+        FROM cum c CROSS JOIN tot t
+        WHERE c.cn >= 2 AND t.n - c.cn >= 2
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY sse_left + sse_right, day) AS rk
+        FROM scored
+    )
+    SELECT day AS split_day, n_left, n_right, slope_left, slope_right,
+           sse_left, sse_right, sse_left + sse_right AS sse_split, sse_null,
+           CASE WHEN sse_null = 0e0 THEN 0e0
+                ELSE (sse_null - (sse_left + sse_right)) / sse_null
+           END AS gain
+    FROM ranked WHERE rk = 1
+    """,
+    survey_ref="extension: segmented (two-piece) least-squares trend — "
+    "the structural-break detector that complements q210's CUSUM (mean "
+    "shift) with a SLOPE shift, scanning every candidate breakpoint in "
+    "one pass via integer prefix sums of (n, Σx, Σy, Σx², Σxy, Σy²); "
+    "each side's SSE is closed-form from the exact sums, no per-split "
+    "refit",
+)
+def q317_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single breakpoint in the daily order-volume trend: fit
+    separate OLS lines to days ≤ s and days > s for EVERY candidate s,
+    pick the split minimizing total SSE (day tiebreak), and report both
+    slopes plus the no-split SSE and the variance-explained gain.
+    The classic O(n²)-looking scan collapses to one prefix-sum pass:
+    a segment's SSE is closed-form in (n, Σx, Σy, Σx², Σxy, Σy²), and
+    suffix sums are totals minus prefixes. All moment sums are exact
+    BIGINTs (y = daily counts, x = day offsets); each SSE is a fixed
+    double expression over them.
+
+    Scale: GROUP BY day first (map-side combinable), then the prefix
+    sums run over distinct days only — bucket-partitionable like q245's
+    if the day axis ever outgrows one partition; the argmin is a
+    WindowGroupLimit-style rank over the same tiny frame, not a global
+    sort of raw rows."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").cast("long").alias("y")
+    ).select(
+        F.datediff(F.col("day"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        "day",
+        "y",
+    )
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("x")).cast("long").alias("cn"),
+        F.sum("x").over(wx).cast("long").alias("cx"),
+        F.sum("y").over(wx).cast("long").alias("cy"),
+        F.sum(F.col("x") * F.col("x")).over(wx).cast("long").alias("cxx"),
+        F.sum(F.col("x") * F.col("y")).over(wx).cast("long").alias("cxy"),
+        F.sum(F.col("y") * F.col("y")).over(wx).cast("long").alias("cyy"),
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("tx"),
+        F.sum("y").cast("long").alias("ty"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("txx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("txy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("tyy"),
+    )
+
+    def _sse(n, sx, sy, sxx, sxy, syy):
+        a = (n * syy - sy * sy).cast("double")
+        b = (n * sxy - sx * sy).cast("double")
+        c = (n * sxx - sx * sx).cast("double")
+        return (a - b * b / c) / n.cast("double"), b / c
+
+    nl = F.col("cn")
+    nr = F.col("n") - F.col("cn")
+    sse_l, slope_l = _sse(
+        nl, F.col("cx"), F.col("cy"), F.col("cxx"), F.col("cxy"), F.col("cyy")
+    )
+    sse_r, slope_r = _sse(
+        nr,
+        F.col("tx") - F.col("cx"),
+        F.col("ty") - F.col("cy"),
+        F.col("txx") - F.col("cxx"),
+        F.col("txy") - F.col("cxy"),
+        F.col("tyy") - F.col("cyy"),
+    )
+    sse_0, _ = _sse(
+        F.col("n"), F.col("tx"), F.col("ty"), F.col("txx"), F.col("txy"),
+        F.col("tyy"),
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter((nl >= 2) & (nr >= 2))
+        .select(
+            "day",
+            nl.alias("n_left"),
+            nr.alias("n_right"),
+            slope_l.alias("slope_left"),
+            slope_r.alias("slope_right"),
+            sse_l.alias("sse_left"),
+            sse_r.alias("sse_right"),
+            sse_0.alias("sse_null"),
+        )
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("sse_left") + F.col("sse_right"), F.col("day")))
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        F.col("day").alias("split_day"),
+        "n_left",
+        "n_right",
+        "slope_left",
+        "slope_right",
+        "sse_left",
+        "sse_right",
+        (F.col("sse_left") + F.col("sse_right")).alias("sse_split"),
+        "sse_null",
+        F.when(F.col("sse_null") == 0.0, F.lit(0.0))
+        .otherwise(
+            (F.col("sse_null") - (F.col("sse_left") + F.col("sse_right")))
+            / F.col("sse_null")
+        )
+        .alias("gain"),
+    )
+
+
+@register(
+    "q318_cmh_pooled_odds",
+    oracle="""
+    WITH base AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN CAST(l.l_discount AS DECIMAL(18,2)) * 100 >= 5
+                    THEN 1 ELSE 0 END AS e,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), strata AS (
+        SELECT brand,
+               CAST(SUM(e * r) AS BIGINT) AS a,
+               CAST(SUM(e * (1 - r)) AS BIGINT) AS b,
+               CAST(SUM((1 - e) * r) AS BIGINT) AS c,
+               CAST(SUM((1 - e) * (1 - r)) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY 1
+    ), pooled AS (
+        SELECT list_reduce(list_prepend(CAST(0e0 AS DOUBLE),
+                   list(CAST(a * d AS DOUBLE) / CAST(n AS DOUBLE)
+                        ORDER BY brand)), (x, y) -> x + y) AS mh_num,
+               list_reduce(list_prepend(CAST(0e0 AS DOUBLE),
+                   list(CAST(b * c AS DOUBLE) / CAST(n AS DOUBLE)
+                        ORDER BY brand)), (x, y) -> x + y) AS mh_den
+        FROM strata
+    )
+    SELECT s.brand, s.a AS n_exp_ret, s.b AS n_exp_keep,
+           s.c AS n_unexp_ret, s.d AS n_unexp_keep,
+           CASE WHEN s.b * s.c = 0 THEN NULL
+                ELSE CAST(s.a * s.d AS DOUBLE) / CAST(s.b * s.c AS DOUBLE)
+           END AS or_stratum,
+           p.mh_num, p.mh_den, p.mh_num / p.mh_den AS or_mh
+    FROM strata s CROSS JOIN pooled p
+    """,
+    survey_ref="extension: Cochran–Mantel–Haenszel pooled odds ratio — "
+    "the stratified-confounding answer to q293's Simpson's-paradox "
+    "detector: instead of flagging the reversal, CMH pools the per-"
+    "stratum 2×2 tables into one confounder-adjusted association "
+    "estimate Σ(a·d/n)/Σ(b·c/n); the two cross-stratum double sums use "
+    "the q178 pinned fold so they hash-match",
+)
+def q318_cmh_pooled_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is a high discount (≥5%) associated with returns after
+    controlling for brand? Each brand is a stratum with a 2×2
+    exposure(high-discount)×outcome(returned) table; the
+    Mantel–Haenszel estimator pools them as
+    Σ_k(a_k·d_k/n_k) / Σ_k(b_k·c_k/n_k) — robust to brand-level
+    confounding that a marginal odds ratio (the q293 trap) absorbs.
+    Per-stratum cells are exact integer conditional sums; each
+    stratum's term is one double division, and the cross-stratum sums
+    fold in brand order on both engines (G doubles, order pinned).
+    Degenerate strata (a zero off-diagonal) report a NULL per-stratum
+    OR but still contribute their defined term to the pooled sums —
+    exactly why CMH exists.
+
+    Scale: one lineitem⋈part equi-join, one map-side-combinable GROUP
+    BY brand, then G-row arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (_dec("l_discount") * 100 >= 5).cast("long").alias("e"),
+        (F.col("l_returnflag") == "R").cast("long").alias("r"),
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    strata = (
+        li.join(pt, "l_partkey")
+        .groupBy("brand")
+        .agg(
+            F.sum(F.col("e") * F.col("r")).cast("long").alias("a"),
+            F.sum(F.col("e") * (1 - F.col("r"))).cast("long").alias("b"),
+            F.sum((1 - F.col("e")) * F.col("r")).cast("long").alias("c"),
+            F.sum((1 - F.col("e")) * (1 - F.col("r"))).cast("long").alias("d"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+    def _fold(term: F.Column) -> F.Column:
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("brand").alias("brand"), term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        )
+
+    pooled = strata.agg(
+        _fold(
+            (F.col("a") * F.col("d")).cast("double") / F.col("n").cast("double")
+        ).alias("mh_num"),
+        _fold(
+            (F.col("b") * F.col("c")).cast("double") / F.col("n").cast("double")
+        ).alias("mh_den"),
+    )
+    return strata.crossJoin(F.broadcast(pooled)).select(
+        "brand",
+        F.col("a").alias("n_exp_ret"),
+        F.col("b").alias("n_exp_keep"),
+        F.col("c").alias("n_unexp_ret"),
+        F.col("d").alias("n_unexp_keep"),
+        F.when(F.col("b") * F.col("c") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("a") * F.col("d")).cast("double")
+            / (F.col("b") * F.col("c")).cast("double")
+        )
+        .alias("or_stratum"),
+        "mh_num",
+        "mh_den",
+        (F.col("mh_num") / F.col("mh_den")).alias("or_mh"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

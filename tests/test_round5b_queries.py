@@ -1,0 +1,371 @@
+"""Round-5 batch-30 additions: BH-FDR (q312), cross-fitted doubly-robust
+OPE (q313), l-diversity (q314), isotonic calibration (q315),
+Kruskal–Wallis (q316), segmented trend (q317), Mantel–Haenszel pooled
+odds (q318). Each already hash-matches its DuckDB oracle registry-wide;
+these tests pin the SEMANTICS against independent pure-Python replays
+from the raw parquet — where possible by a DIFFERENT algorithm than the
+engine uses (q315's replay is the sequential pool-adjacent-violators
+sweep, the engine computes the minimax identity; q317's replay refits
+every split from scratch, the engine uses prefix sums) — so an
+engine-symmetric bug cannot hide behind the oracle."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from stock_data_pipeline_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(sql: str):
+    con = duckdb.connect()
+    return con.execute(sql).fetchall()
+
+
+def _close(a: float, b: float) -> bool:
+    return math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-15)
+
+
+# ---------------------------------------------------------------- q312
+
+
+def test_bh_fdr_matches_python_replay(spark):
+    raw = _rows(
+        f"""
+        SELECT p.p_brand, l.l_quantity,
+               CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END
+        FROM read_parquet('{SF}/lineitem.parquet') l
+        JOIN read_parquet('{SF}/part.parquet') p ON l.l_partkey = p.p_partkey
+        """
+    )
+    st: dict[str, list[int]] = {}
+    for brand, q, is_f in raw:
+        s = st.setdefault(brand, [0, 0, 0, 0, 0, 0])
+        q = int(q)
+        if is_f:
+            s[0] += 1
+            s[1] += q
+            s[2] += q * q
+        else:
+            s[3] += 1
+            s[4] += q
+            s[5] += q * q
+    tests = {}
+    for brand, (na, sa, ssa, nb, sb, ssb) in st.items():
+        if na < 2 or nb < 2 or na * ssa - sa * sa + nb * ssb - sb * sb <= 0:
+            continue
+        delta = sa / na - sb / nb
+        se2 = (na * ssa - sa * sa) / (na * na * (na - 1)) + (
+            nb * ssb - sb * sb
+        ) / (nb * nb * (nb - 1))
+        z2 = delta * delta / se2
+        tests[brand] = (na, nb, z2, 1.0 if z2 <= 1.0 else 1.0 / z2)
+    m = len(tests)
+    order = sorted(tests, key=lambda b: (tests[b][3], b))
+    kstar = 0
+    for r, brand in enumerate(order, 1):
+        if tests[brand][3] * m * 10.0 <= r:
+            kstar = r
+    expected = {
+        brand: (tests[brand][0], tests[brand][1], r, r <= kstar)
+        for r, brand in enumerate(order, 1)
+    }
+    got = REGISTRY["q312_bh_fdr"].fn(spark, SF).collect()
+    assert len(got) == m
+    for row in got:
+        na, nb, rank, disc = expected[row.brand]
+        assert (row.n_f, row.n_o, row.p_rank, row.discovery) == (
+            na,
+            nb,
+            rank,
+            disc,
+        )
+        assert row.m_tests == m
+        assert _close(row.z2, tests[row.brand][2])
+        assert _close(row.p_chebyshev, tests[row.brand][3])
+    # BH must reject a PREFIX of the p-ordered tests, never a gap
+    flags = [r.discovery for r in sorted(got, key=lambda r: r.p_rank)]
+    assert flags == sorted(flags, reverse=True)
+
+
+# ---------------------------------------------------------------- q313
+
+
+def test_dr_offpolicy_matches_python_replay(spark):
+    raw = _rows(
+        f"""
+        SELECT c.c_mktsegment, o.o_orderpriority,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+               o.o_orderkey % 2
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON o.o_custkey = c.c_custkey
+        """
+    )
+    model: dict[str, list[int]] = {}
+    gm = [0, 0]
+    ev: dict[str, list[int]] = {}
+    n_e = 0
+    for seg, act, r_cents, fold in raw:
+        tgt = act == "1-URGENT"
+        if fold == 0 and tgt:
+            s = model.setdefault(seg, [0, 0])
+            s[0] += 1
+            s[1] += r_cents
+            gm[0] += 1
+            gm[1] += r_cents
+        if fold == 1:
+            n_e += 1
+            s = ev.setdefault(seg, [0, 0, 0])
+            s[0] += 1
+            if tgt:
+                s[1] += 1
+                s[2] += r_cents
+    got = {r.segment: r for r in REGISTRY["q313_dr_offpolicy"].fn(spark, SF).collect()}
+    assert set(got) == set(ev)
+    for seg, (ne_seg, na_e, mc_e) in ev.items():
+        nm, mc = model.get(seg, (0, 0))
+        qhat = mc / nm if nm > 0 else gm[1] / gm[0]
+        dm = ne_seg * qhat / n_e
+        corr = 0.0 if na_e == 0 else (mc_e - na_e * qhat) * ne_seg / na_e / n_e
+        row = got[seg]
+        assert (row.n_model_urgent, row.n_eval, row.n_eval_urgent) == (
+            nm,
+            ne_seg,
+            na_e,
+        )
+        assert _close(row.qhat_cents, qhat)
+        assert _close(row.dm_contrib_cents, dm)
+        assert _close(row.correction_cents, corr) or (corr == 0 and row.correction_cents == 0)
+        assert _close(row.dr_contrib_cents, dm + corr)
+    # the cross-fit makes DR a real correction: at least one segment's
+    # correction must be nonzero (fold-0 model vs fold-1 outcomes differ)
+    assert any(abs(r.correction_cents) > 0 for r in got.values())
+
+
+# ---------------------------------------------------------------- q314
+
+
+def test_l_diversity_matches_python_replay(spark):
+    raw = _rows(
+        f"""
+        SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON o.o_custkey = c.c_custkey
+        """
+    )
+    cells: dict[tuple, dict[str, int]] = {}
+    for nk, seg, act in raw:
+        cells.setdefault((nk, seg), {}).setdefault(act, 0)
+        cells[(nk, seg)][act] += 1
+    got = {
+        (r.nationkey, r.segment): r
+        for r in REGISTRY["q314_l_diversity"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(cells)
+    for qi, acts in cells.items():
+        row = got[qi]
+        n = sum(acts.values())
+        top = max(acts.values())
+        assert (row.group_n, row.l_distinct, row.top_count, row.at_risk) == (
+            n,
+            len(acts),
+            top,
+            len(acts) < 3,
+        )
+        assert _close(row.top_share, top / n)
+
+
+# ---------------------------------------------------------------- q315
+
+
+def _pava(levels: list[tuple[int, int, int]]) -> dict[int, float]:
+    """Sequential pool-adjacent-violators — a deliberately DIFFERENT
+    algorithm than the engine's minimax identity."""
+    blocks = [[d, w, s] for d, w, s in levels]  # ordered by d
+    out = []
+    for b in blocks:
+        out.append(b[:])
+        while len(out) >= 2 and out[-2][2] * out[-1][1] >= out[-1][2] * out[-2][1]:
+            d, w, s = out.pop()
+            out[-1][1] += w
+            out[-1][2] += s
+    iso = {}
+    i = 0
+    for d2, w2, s2 in out:
+        # block covers all original levels up to its last member
+        rate = s2 / w2
+        cover = 0
+        while cover < w2:
+            iso[blocks[i][0]] = rate
+            cover += blocks[i][1]
+            i += 1
+    return iso
+
+
+def test_isotonic_matches_sequential_pava(spark):
+    raw = _rows(
+        f"""
+        SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT),
+               COUNT(*),
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1 ORDER BY 1
+        """
+    )
+    levels = [(int(d), int(w), int(s)) for d, w, s in raw]
+    iso = _pava(levels)
+    got = {r.discount_cents: r for r in
+           REGISTRY["q315_isotonic_calibration"].fn(spark, SF).collect()}
+    assert set(got) == set(iso)
+    for (d, w, s) in levels:
+        row = got[d]
+        assert (row.n, row.n_pos) == (w, s)
+        assert _close(row.emp_rate, s / w)
+        assert _close(row.iso_rate, iso[d])
+    # the fit must be monotone non-decreasing in discount
+    rates = [got[d].iso_rate for d, _, _ in levels]
+    assert all(a <= b + 1e-12 for a, b in zip(rates, rates[1:]))
+    # and mass-preserving per pooled block: overall weighted means agree
+    tot_w = sum(w for _, w, _ in levels)
+    assert _close(
+        sum(got[d].iso_rate * w for d, w, _ in levels) / tot_w,
+        sum(s for _, _, s in levels) / tot_w,
+    )
+
+
+# ---------------------------------------------------------------- q316
+
+
+def test_kruskal_wallis_matches_python_replay(spark):
+    raw = _rows(
+        f"""
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM read_parquet('{SF}/lineitem.parquet')
+        """
+    )
+    from collections import Counter
+
+    byval = Counter(v for _, v in raw)
+    order = sorted(byval)
+    d2 = {}
+    cb = 0
+    for v in order:
+        d2[v] = 2 * cb + byval[v] + 1
+        cb += byval[v]
+    groups: dict[str, list[int]] = {}
+    for g, v in raw:
+        s = groups.setdefault(g, [0, 0])
+        s[0] += 1
+        s[1] += d2[v]
+    n = len(raw)
+    tie3 = sum(c * c * c - c for c in byval.values())
+    srank = 0.0
+    for g in sorted(groups):
+        n_g, r2 = groups[g]
+        srank += float(r2) * float(r2) / float(4 * n_g)
+    h = 12.0 * srank / (float(n) * float(n + 1)) - 3.0 * float(n + 1)
+    tie_c = 1.0 - float(tie3) / (float(n) ** 3 - float(n))
+    rows = REGISTRY["q316_kruskal_wallis"].fn(spark, SF).collect()
+    assert {r.returnflag for r in rows} == set(groups)
+    for r in rows:
+        n_g, r2 = groups[r.returnflag]
+        assert (r.n_g, r.rank_sum2, r.n_total) == (n_g, r2, n)
+        assert _close(r.hstat, h)
+        assert _close(r.tie_correction, tie_c)
+        assert _close(r.h_corrected, h / tie_c)
+    # with k=2 this machinery must reduce to q308's z²: cross-check
+    # H(corrected) against scipy-free two-group identity on a subsample
+    # is covered by construction (same midrank table as q308).
+    assert h > 0  # ranks differ somewhere
+
+
+# ---------------------------------------------------------------- q317
+
+
+def test_segmented_trend_matches_bruteforce_refit(spark):
+    raw = _rows(
+        f"""
+        SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT),
+               o_orderdate, COUNT(*)
+        FROM read_parquet('{SF}/orders.parquet') GROUP BY 1, 2 ORDER BY 1
+        """
+    )
+    pts = [(int(x), day, int(y)) for x, day, y in raw]
+
+    def ols_sse(seg):
+        n = len(seg)
+        mx = sum(x for x, _, _ in seg) / n
+        my = sum(y for _, _, y in seg) / n
+        sxy = sum((x - mx) * (y - my) for x, _, y in seg)
+        sxx = sum((x - mx) ** 2 for x, _, _ in seg)
+        b = sxy / sxx
+        return sum((y - my - b * (x - mx)) ** 2 for x, _, y in seg), b
+
+    best = None
+    for i in range(2, len(pts) - 1):
+        sl, bl = ols_sse(pts[:i])
+        sr, br = ols_sse(pts[i:])
+        key = (sl + sr, pts[i - 1][1])
+        if best is None or key < best[0]:
+            best = (key, pts[i - 1][1], i, bl, br, sl, sr)
+    s0, _ = ols_sse(pts)
+    row = REGISTRY["q317_segmented_trend"].fn(spark, SF).collect()
+    assert len(row) == 1
+    row = row[0]
+    _, day, i, bl, br, sl, sr = best
+    assert row.split_day == day
+    assert (row.n_left, row.n_right) == (i, len(pts) - i)
+    # brute force uses centered sums (different fp path) — tolerance-based
+    assert math.isclose(row.slope_left, bl, rel_tol=1e-9, abs_tol=1e-12)
+    assert math.isclose(row.slope_right, br, rel_tol=1e-9, abs_tol=1e-12)
+    assert math.isclose(row.sse_split, sl + sr, rel_tol=1e-9)
+    assert math.isclose(row.sse_null, s0, rel_tol=1e-9)
+    assert math.isclose(row.gain, (s0 - (sl + sr)) / s0, rel_tol=1e-9)
+    assert 0.0 <= row.gain <= 1.0
+
+
+# ---------------------------------------------------------------- q318
+
+
+def test_cmh_matches_python_replay(spark):
+    raw = _rows(
+        f"""
+        SELECT p.p_brand,
+               CASE WHEN CAST(l.l_discount AS DECIMAL(18,2)) * 100 >= 5
+                    THEN 1 ELSE 0 END,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END
+        FROM read_parquet('{SF}/lineitem.parquet') l
+        JOIN read_parquet('{SF}/part.parquet') p ON l.l_partkey = p.p_partkey
+        """
+    )
+    st: dict[str, list[int]] = {}
+    for brand, e, r in raw:
+        s = st.setdefault(brand, [0, 0, 0, 0])
+        s[2 * (1 - e) + (1 - r)] += 1  # [a, b, c, d] layout
+    num = 0.0
+    den = 0.0
+    for brand in sorted(st):
+        a, b, c, d = st[brand]
+        n = a + b + c + d
+        num += a * d / n
+        den += b * c / n
+    got = {r.brand: r for r in
+           REGISTRY["q318_cmh_pooled_odds"].fn(spark, SF).collect()}
+    assert set(got) == set(st)
+    for brand, (a, b, c, d) in st.items():
+        row = got[brand]
+        assert (row.n_exp_ret, row.n_exp_keep, row.n_unexp_ret,
+                row.n_unexp_keep) == (a, b, c, d)
+        if b * c == 0:
+            assert row.or_stratum is None
+        else:
+            assert _close(row.or_stratum, a * d / (b * c))
+        assert _close(row.mh_num, num)
+        assert _close(row.mh_den, den)
+        assert _close(row.or_mh, num / den)
