@@ -98,3 +98,87 @@ def pagerank_fixed(
             )
         )
     return ranks.select("node", "pr")
+
+
+def hits_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    rounds: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities, ``rounds`` unrolled iterations.
+
+    Kleinberg's mutual-reinforcement pair on a weighted directed graph:
+    authority(j) = Σ_i w_ij·hub(i), hub(i) = Σ_j w_ij·authority(j),
+    each half-step L1-normalized. Init hub = 1/N. Returns
+    ``(node, hub, authority)`` after the final round.
+
+    Same determinism discipline as :func:`pagerank_fixed`: integer
+    weights, per-node contribution folds pinned in neighbor order, and
+    the L1 normalizer folded over nodes in node order (one array of
+    |node-type| elements — bounded by the vocabulary of the graph's
+    node domain, not by |edges|). Nodes with no in-edges get authority
+    0; no out-edges, hub 0 — surfaced, not dropped.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n1 = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    hubs = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", (F.lit(1.0) / F.col("__n").cast("double")).alias("h")
+    )
+    e = edges.select(
+        F.col(src).alias("__src"),
+        F.col(dst).alias("__dst"),
+        F.col(weight).cast("double").alias("__w"),
+    )
+
+    def _pinned(order_col: str, term: F.Column) -> F.Column:
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                                 term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        )
+
+    def _l1(df: DataFrame, col: str) -> DataFrame:
+        # fold |nodes| positive doubles in node order — the pinned
+        # normalizer (values are non-negative, so L1 = plain sum)
+        tot = df.agg(_pinned("node", F.col(col)).alias("__t"))
+        return df.crossJoin(F.broadcast(tot)).select(
+            "node", (F.col(col) / F.col("__t")).alias(col)
+        )
+
+    auths = None
+    for _ in range(rounds):
+        a_raw = (
+            hubs.join(e, hubs.node == e.__src)
+            .select(F.col("__dst").alias("node"), F.col("__src").alias("__o"),
+                    (F.col("h") * F.col("__w")).alias("__c"))
+            .groupBy("node")
+            .agg(_pinned("__o", F.col("__c")).alias("a"))
+        )
+        auths = _l1(
+            nodes.join(a_raw, "node", "left")
+            .select("node", F.coalesce("a", F.lit(0.0)).alias("a")),
+            "a",
+        )
+        h_raw = (
+            auths.join(e, auths.node == e.__dst)
+            .select(F.col("__src").alias("node"), F.col("__dst").alias("__o"),
+                    (F.col("a") * F.col("__w")).alias("__c"))
+            .groupBy("node")
+            .agg(_pinned("__o", F.col("__c")).alias("h"))
+        )
+        hubs = _l1(
+            nodes.join(h_raw, "node", "left")
+            .select("node", F.coalesce("h", F.lit(0.0)).alias("h")),
+            "h",
+        )
+    return (
+        hubs.join(auths, "node")
+        .select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
+    )

@@ -21504,6 +21504,525 @@ def q318_cmh_pooled_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 31 (round 5, cont.): HITS, memorization audit, Cohen's kappa,
+# Qini uplift
+# ---------------------------------------------------------------------------
+
+
+def _hits_oracle(rounds: int = 2) -> str:
+    """DuckDB oracle for q319: unrolled HITS rounds over the event-type
+    transition graph. Mirrors operators.graph.hits_fixed exactly —
+    integer edge weights, per-node contribution folds pinned in
+    neighbor order, L1 normalizers folded in node order — so hubs and
+    authorities are bit-identical doubles."""
+    parts = [
+        """seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), ed AS (
+        SELECT event_type AS src, nxt AS dst, COUNT(*) AS w
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM ed
+        UNION SELECT DISTINCT dst FROM ed
+    ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+    e AS (SELECT src, dst, CAST(w AS DOUBLE) AS w FROM ed),
+    h0 AS (
+        SELECT node, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS h
+        FROM nodes CROSS JOIN nn
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""ar{r + 1} AS (
+        SELECT e.dst AS node,
+               list_reduce(list_prepend(CAST(0e0 AS DOUBLE),
+                   list(h{r}.h * e.w ORDER BY e.src)), (x, y) -> x + y) AS a
+        FROM h{r} JOIN e ON h{r}.node = e.src GROUP BY 1
+    ), af{r + 1} AS (
+        SELECT nodes.node, COALESCE(ar{r + 1}.a, CAST(0e0 AS DOUBLE)) AS a
+        FROM nodes LEFT JOIN ar{r + 1} ON nodes.node = ar{r + 1}.node
+    ), at{r + 1} AS (
+        SELECT list_reduce(list_prepend(CAST(0e0 AS DOUBLE),
+                   list(a ORDER BY node)), (x, y) -> x + y) AS t
+        FROM af{r + 1}
+    ), a{r + 1} AS (
+        SELECT node, a / t AS a FROM af{r + 1} CROSS JOIN at{r + 1}
+    ), hr{r + 1} AS (
+        SELECT e.src AS node,
+               list_reduce(list_prepend(CAST(0e0 AS DOUBLE),
+                   list(a{r + 1}.a * e.w ORDER BY e.dst)), (x, y) -> x + y) AS h
+        FROM a{r + 1} JOIN e ON a{r + 1}.node = e.dst GROUP BY 1
+    ), hf{r + 1} AS (
+        SELECT nodes.node, COALESCE(hr{r + 1}.h, CAST(0e0 AS DOUBLE)) AS h
+        FROM nodes LEFT JOIN hr{r + 1} ON nodes.node = hr{r + 1}.node
+    ), ht{r + 1} AS (
+        SELECT list_reduce(list_prepend(CAST(0e0 AS DOUBLE),
+                   list(h ORDER BY node)), (x, y) -> x + y) AS t
+        FROM hf{r + 1}
+    ), h{r + 1} AS (
+        SELECT node, h / t AS h FROM hf{r + 1} CROSS JOIN ht{r + 1}
+    )""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT h{rounds}.node, h{rounds}.h AS hub,"
+        f" a{rounds}.a AS authority"
+        f"\n    FROM h{rounds} JOIN a{rounds}"
+        f" ON h{rounds}.node = a{rounds}.node\n    "
+    )
+
+
+@register(
+    "q319_hits",
+    oracle=_hits_oracle(rounds=2),
+    survey_ref="extension: HITS hubs-and-authorities (Kleinberg) over "
+    "the event-type transition graph — the mutual-reinforcement "
+    "companion to q110's PageRank; 2 unrolled rounds, each an equi-join "
+    "plus a pinned grouped fold per half-step, with the L1 normalizer "
+    "folded in node order so every double hash-matches",
+)
+def q319_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event types funnel traffic (hubs) and which receive it
+    (authorities)? HITS on the weighted transition graph: authority =
+    normalized in-weighted hub mass, hub = normalized out-weighted
+    authority mass, two unrolled mutual-reinforcement rounds from a
+    uniform hub start.
+
+    Same scale shape as q110: per round, shuffle ∝ |edges| for the two
+    half-step joins; the normalizer folds one array bounded by the
+    node-domain size (event types), broadcast back as a 1-row scalar.
+    """
+    from stock_data_pipeline_spark.operators.graph import hits_fixed
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("event_type").over(w))
+    edges = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return hits_fixed(edges, rounds=2)
+
+
+@register(
+    "q320_memorization",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), pg AS (
+        SELECT doc_id, source, u.pos AS pos, u.g AS g
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
+                       i -> struct_pack(pos := i,
+                            g := tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                                 || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5]
+                                 || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS u
+            FROM toks
+        )
+    ), ref AS (
+        SELECT DISTINCT g FROM pg WHERE source = 'src0'
+    ), ev AS (
+        SELECT doc_id, pos, g FROM pg WHERE source <> 'src0'
+    ), mem AS (
+        SELECT ev.doc_id, ev.pos FROM ev JOIN ref ON ev.g = ref.g
+    ), stats AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM ev GROUP BY 1
+    ), memstats AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_mem FROM mem GROUP BY 1
+    ), runs AS (
+        SELECT doc_id,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM mem
+    ), runlen AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rl
+        FROM runs GROUP BY doc_id, isl
+    ), longest AS (
+        SELECT doc_id, MAX(rl) AS longest FROM runlen GROUP BY 1
+    )
+    SELECT s.doc_id, s.n_grams,
+           COALESCE(m.n_mem, 0) AS n_memorized,
+           CAST(COALESCE(m.n_mem, 0) AS DOUBLE) / CAST(s.n_grams AS DOUBLE)
+               AS mem_rate,
+           COALESCE(l.longest, 0) AS longest_run
+    FROM stats s
+    LEFT JOIN memstats m ON s.doc_id = m.doc_id
+    LEFT JOIN longest l ON s.doc_id = l.doc_id
+    """,
+    survey_ref="extension: memorization / extractability audit "
+    "(Carlini-style) — per evaluation document, the fraction of its "
+    "word-8-gram positions present ANYWHERE in the reference slice, "
+    "plus the longest contiguous memorized span; grades leakage that "
+    "q77's exact and q192's Bloom contamination checks (whole-doc "
+    "membership) cannot see, and unlike q86 it is directional "
+    "(eval vs reference), not corpus-internal",
+)
+def q320_memorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each non-reference document is reconstructible from
+    the reference corpus? For every eval doc: the share of its word
+    8-gram positions whose gram occurs in ANY 'src0' document
+    (verbatim-memorization rate), and the longest run of consecutive
+    memorized positions (the extractable-span length — 30 means a
+    37-token verbatim stretch). Runs via the gaps-and-islands
+    row_number trick on memorized positions, all integers.
+
+    Scale: gram posting lists shuffle once on the gram (equi-join
+    against the DISTINCT reference set — semi-join, no fan-out); the
+    island pass windows per doc (bounded). At 100 TB you'd hash grams
+    to 64 bits first (q25's xxhash64 pattern) — string grams kept here
+    for the full value oracle."""
+    from stock_data_pipeline_spark.llm.text import tokens
+
+    doc = load_table(spark, sf_dir, "documents")
+    pg = doc.select(
+        "doc_id", "source", tokens("text").alias("__tk")
+    ).select(
+        "doc_id",
+        "source",
+        F.posexplode(dedup.ngrams_from_tokens(F.col("__tk"), 8)).alias("pos", "g"),
+    )
+    ref = pg.filter(F.col("source") == "src0").select("g").distinct()
+    ev = pg.filter(F.col("source") != "src0").select("doc_id", "pos", "g")
+    mem = ev.join(ref, "g", "left_semi").select("doc_id", "pos")
+    stats = ev.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    memstats = mem.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_mem"))
+    wruns = Window.partitionBy("doc_id").orderBy("pos")
+    runlen = (
+        mem.select(
+            "doc_id", (F.col("pos") - F.row_number().over(wruns)).alias("isl")
+        )
+        .groupBy("doc_id", "isl")
+        .agg(F.count("*").cast("long").alias("rl"))
+    )
+    longest = runlen.groupBy("doc_id").agg(F.max("rl").alias("longest"))
+    return (
+        stats.join(memstats, "doc_id", "left")
+        .join(longest, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_mem"), F.lit(0)).cast("long").alias("n_memorized"),
+            (
+                F.coalesce(F.col("n_mem"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("mem_rate"),
+            F.coalesce(F.col("longest"), F.lit(0)).cast("long").alias("longest_run"),
+        )
+    )
+
+
+def _kappa_oracle() -> str:
+    """DuckDB oracle for q321: Cohen's kappa between the gold `lang`
+    column and the q30 marker-lexicon prediction, from the exact
+    confusion counts (all marginal products stay integer)."""
+    from stock_data_pipeline_spark.llm.text import LANG_MARKERS
+
+    tk = _duck_tokens()
+    hits = {
+        lang: _LANG_HIT.format(tk=tk, lst=str(markers))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    hit_cols = ",\n               ".join(
+        f"{h} AS {lang}_hits" for lang, h in hits.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"{lang}_hits" for lang in langs) + ")"
+    whens = " ".join(f"WHEN {lang}_hits = {best} THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {hit_cols}
+        FROM documents
+    ), pred AS (
+        SELECT lang AS gold,
+               CASE WHEN {best} = 0 THEN 'und' {whens} END AS pred
+        FROM scored
+    ), conf AS (
+        SELECT gold, pred, CAST(COUNT(*) AS BIGINT) AS c FROM pred GROUP BY 1, 2
+    ), labels AS (
+        SELECT DISTINCT gold AS label FROM conf
+        UNION SELECT DISTINCT pred FROM conf
+    ), rowm AS (
+        SELECT gold AS label, CAST(SUM(c) AS BIGINT) AS n_gold
+        FROM conf GROUP BY 1
+    ), colm AS (
+        SELECT pred AS label, CAST(SUM(c) AS BIGINT) AS n_pred
+        FROM conf GROUP BY 1
+    ), diag AS (
+        SELECT gold AS label, CAST(SUM(c) AS BIGINT) AS n_agree
+        FROM conf WHERE gold = pred GROUP BY 1
+    ), marg AS (
+        SELECT l.label,
+               COALESCE(r.n_gold, 0) AS n_gold,
+               COALESCE(m.n_pred, 0) AS n_pred,
+               COALESCE(d.n_agree, 0) AS n_agree
+        FROM labels l
+        LEFT JOIN rowm r ON l.label = r.label
+        LEFT JOIN colm m ON l.label = m.label
+        LEFT JOIN diag d ON l.label = d.label
+    ), tot AS (
+        SELECT CAST(SUM(n_gold) AS BIGINT) AS n,
+               CAST(SUM(n_agree) AS BIGINT) AS agree,
+               CAST(SUM(n_gold * n_pred) AS BIGINT) AS cx
+        FROM marg
+    ), kap AS (
+        SELECT n,
+               CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+               CAST(cx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+        FROM tot
+    )
+    SELECT marg.label, marg.n_gold, marg.n_pred, marg.n_agree,
+           kap.n AS n_total, kap.po, kap.pe,
+           (kap.po - kap.pe) / (1e0 - kap.pe) AS kappa
+    FROM marg CROSS JOIN kap
+    """
+
+
+@register(
+    "q321_cohens_kappa",
+    oracle=_kappa_oracle(),
+    survey_ref="extension: Cohen's kappa — chance-corrected agreement "
+    "between the q30 lang-ID heuristic and the gold label, computed "
+    "from q125's confusion cells; the annotator-agreement statistic "
+    "every labeling pipeline reports, exact-integer marginals with "
+    "three fixed-order double divisions",
+)
+def q321_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much better than chance does the marker-lexicon language
+    identifier agree with the gold labels? Raw accuracy (q125's
+    confusion matrix) overstates agreement when one class dominates;
+    kappa = (p_o − p_e)/(1 − p_e) corrects by the agreement expected
+    from the marginals alone. Emitted per label (gold count, predicted
+    count, diagonal count) with the corpus-level p_o, p_e, kappa
+    replicated — the same one-result-set atomicity as q311/q316.
+
+    Scale: one codegen scan scores every doc (no UDF), one GROUP BY
+    (gold, pred) whose cell count is |labels|², then label-row
+    arithmetic. Marginal products stay BIGINT; p_e's n² forms in
+    doubles so the expression survives corpus counts past 3·10⁹."""
+    from stock_data_pipeline_spark.llm.text import lang_id
+
+    doc = load_table(spark, sf_dir, "documents")
+    conf = (
+        doc.select(F.col("lang").alias("gold"), lang_id("text").alias("pred"))
+        .groupBy("gold", "pred")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    labels = (
+        conf.select(F.col("gold").alias("label"))
+        .unionByName(conf.select(F.col("pred").alias("label")))
+        .distinct()
+    )
+    rowm = conf.groupBy(F.col("gold").alias("label")).agg(
+        F.sum("c").cast("long").alias("n_gold")
+    )
+    colm = conf.groupBy(F.col("pred").alias("label")).agg(
+        F.sum("c").cast("long").alias("n_pred")
+    )
+    diag = (
+        conf.filter(F.col("gold") == F.col("pred"))
+        .groupBy(F.col("gold").alias("label"))
+        .agg(F.sum("c").cast("long").alias("n_agree"))
+    )
+    marg = (
+        labels.join(rowm, "label", "left")
+        .join(colm, "label", "left")
+        .join(diag, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_gold", F.lit(0)).cast("long").alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("n_agree", F.lit(0)).cast("long").alias("n_agree"),
+        )
+    )
+    tot = marg.agg(
+        F.sum("n_gold").cast("long").alias("n"),
+        F.sum("n_agree").cast("long").alias("agree"),
+        F.sum(F.col("n_gold") * F.col("n_pred")).cast("long").alias("cx"),
+    )
+    kap = tot.select(
+        "n",
+        (F.col("agree").cast("double") / F.col("n").cast("double")).alias("po"),
+        (
+            F.col("cx").cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+        ).alias("pe"),
+    )
+    return marg.crossJoin(F.broadcast(kap)).select(
+        "label",
+        "n_gold",
+        "n_pred",
+        "n_agree",
+        F.col("n").alias("n_total"),
+        "po",
+        "pe",
+        ((F.col("po") - F.col("pe")) / (1.0 - F.col("pe"))).alias("kappa"),
+    )
+
+
+@register(
+    "q322_qini_uplift",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN CAST(l_discount AS DECIMAL(18,2)) * 100 >= 5
+                    THEN 1 ELSE 0 END AS t,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ), cells AS (
+        SELECT v, t, y, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2, 3
+    ), cum AS (
+        SELECT v, t, y, cnt,
+               COALESCE(SUM(cnt) OVER (ORDER BY v DESC, t, y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM cells
+    ), nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
+    dec AS (
+        SELECT k, (k * n) // 10 + 1 AS lo, ((k + 1) * n) // 10 AS hi
+        FROM generate_series(0, 9) AS s(k) CROSS JOIN nn
+    ), ov AS (
+        SELECT d.k, c.t, c.y,
+               least(d.hi, c.cb + c.cnt) - greatest(d.lo, c.cb + 1) + 1 AS m
+        FROM cum c JOIN dec d
+          ON c.cb + 1 <= d.hi AND c.cb + c.cnt >= d.lo
+    ), per AS (
+        SELECT k,
+               CAST(SUM(CASE WHEN t = 1 THEN m ELSE 0 END) AS BIGINT) AS nt,
+               CAST(SUM(CASE WHEN t = 0 THEN m ELSE 0 END) AS BIGINT) AS nc,
+               CAST(SUM(CASE WHEN t = 1 AND y = 1 THEN m ELSE 0 END)
+                    AS BIGINT) AS yt,
+               CAST(SUM(CASE WHEN t = 0 AND y = 1 THEN m ELSE 0 END)
+                    AS BIGINT) AS yc
+        FROM ov GROUP BY 1
+    ), cumk AS (
+        SELECT k, nt, nc, yt, yc,
+               CAST(SUM(nt) OVER (ORDER BY k) AS BIGINT) AS cnt_t,
+               CAST(SUM(nc) OVER (ORDER BY k) AS BIGINT) AS cnc,
+               CAST(SUM(yt) OVER (ORDER BY k) AS BIGINT) AS cyt,
+               CAST(SUM(yc) OVER (ORDER BY k) AS BIGINT) AS cyc
+        FROM per
+    )
+    SELECT CAST(k AS BIGINT) AS decile, nt AS n_treat, nc AS n_ctrl,
+           yt AS y_treat, yc AS y_ctrl,
+           cnt_t AS cum_n_treat, cnc AS cum_n_ctrl,
+           cyt AS cum_y_treat, cyc AS cum_y_ctrl,
+           CASE WHEN nt = 0 OR nc = 0 THEN 0e0
+                ELSE CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE)
+                     - CAST(yc AS DOUBLE) / CAST(nc AS DOUBLE)
+           END AS uplift_rate,
+           CASE WHEN cnc = 0 THEN CAST(cyt AS DOUBLE)
+                ELSE CAST(cyt AS DOUBLE)
+                     - CAST(cyc * cnt_t AS DOUBLE) / CAST(cnc AS DOUBLE)
+           END AS qini_value
+    FROM cumk
+    """,
+    survey_ref="extension: Qini uplift curve — the evaluation harness "
+    "for targeting policies (which decile of the score ordering "
+    "actually responds to treatment?); deciles are assigned by VALUE "
+    "CELLS via interval overlap against the 10 rank ranges, never a "
+    "global per-row sort, so the plan is q304-shaped and the result is "
+    "independent of row order and tie-breaking",
+)
+def q322_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift evaluation of a targeting score: order the population by
+    score (price cents, descending), cut into deciles, and per decile
+    compare the outcome rate (returns) between treated (discount ≥ 5%)
+    and control rows; the cumulative Qini value
+    Y_t(d) − Y_c(d)·N_t(d)/N_c(d) is the running incremental-outcome
+    estimate whose curve-vs-random-diagonal is how uplift models are
+    scored.
+
+    The scale trick: rows never get individual ranks. The data
+    collapses to (score, t, y) cells with exact prefix counts; each
+    cell's rank interval [cb+1, cb+cnt] is intersected with the 10
+    decile intervals (broadcast join against 10 rows) and contributes
+    its overlap SIZE — so rows with tied scores split across a decile
+    boundary deterministically by count, independent of physical order,
+    with no global row_number over the table (the q304 exact-quantile
+    discipline applied to decile assignment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.select(
+        (_dec("l_extendedprice") * 100).cast("long").alias("v"),
+        (_dec("l_discount") * 100 >= 5).cast("long").alias("t"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    ).groupBy("v", "t", "y").agg(F.count("*").cast("long").alias("cnt"))
+    wv = Window.orderBy(F.col("v").desc(), "t", "y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = cells.select(
+        "v", "t", "y", "cnt",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).cast("long").alias("cb"),
+    )
+    nn = cells.agg(F.sum("cnt").cast("long").alias("n"))
+    dec = (
+        spark.range(10)
+        .select(F.col("id").cast("long").alias("k"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "k",
+            F.expr("(k * n) div 10 + 1").alias("lo"),
+            F.expr("((k + 1) * n) div 10").alias("hi"),
+        )
+    )
+    ov = cum.join(
+        F.broadcast(dec),
+        (F.col("cb") + 1 <= F.col("hi")) & (F.col("cb") + F.col("cnt") >= F.col("lo")),
+    ).select(
+        "k", "t", "y",
+        (
+            F.least(F.col("hi"), F.col("cb") + F.col("cnt"))
+            - F.greatest(F.col("lo"), F.col("cb") + 1)
+            + 1
+        ).alias("m"),
+    )
+    per = ov.groupBy("k").agg(
+        F.sum(F.when(F.col("t") == 1, F.col("m")).otherwise(0))
+        .cast("long").alias("nt"),
+        F.sum(F.when(F.col("t") == 0, F.col("m")).otherwise(0))
+        .cast("long").alias("nc"),
+        F.sum(F.when((F.col("t") == 1) & (F.col("y") == 1), F.col("m")).otherwise(0))
+        .cast("long").alias("yt"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("y") == 1), F.col("m")).otherwise(0))
+        .cast("long").alias("yc"),
+    )
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    cumk = per.select(
+        "k", "nt", "nc", "yt", "yc",
+        F.sum("nt").over(wk).cast("long").alias("cnt_t"),
+        F.sum("nc").over(wk).cast("long").alias("cnc"),
+        F.sum("yt").over(wk).cast("long").alias("cyt"),
+        F.sum("yc").over(wk).cast("long").alias("cyc"),
+    )
+    return cumk.select(
+        F.col("k").alias("decile"),
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_ctrl"),
+        F.col("yt").alias("y_treat"),
+        F.col("yc").alias("y_ctrl"),
+        F.col("cnt_t").alias("cum_n_treat"),
+        F.col("cnc").alias("cum_n_ctrl"),
+        F.col("cyt").alias("cum_y_treat"),
+        F.col("cyc").alias("cum_y_ctrl"),
+        F.when((F.col("nt") == 0) | (F.col("nc") == 0), F.lit(0.0))
+        .otherwise(
+            F.col("yt").cast("double") / F.col("nt").cast("double")
+            - F.col("yc").cast("double") / F.col("nc").cast("double")
+        )
+        .alias("uplift_rate"),
+        F.when(F.col("cnc") == 0, F.col("cyt").cast("double"))
+        .otherwise(
+            F.col("cyt").cast("double")
+            - (F.col("cyc") * F.col("cnt_t")).cast("double")
+            / F.col("cnc").cast("double")
+        )
+        .alias("qini_value"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -369,3 +369,174 @@ def test_cmh_matches_python_replay(spark):
         assert _close(row.mh_num, num)
         assert _close(row.mh_den, den)
         assert _close(row.or_mh, num / den)
+
+
+# ---------------------------------------------------------------- q319
+
+
+def test_hits_matches_python_replay(spark):
+    raw = _rows(
+        f"""
+        WITH seq AS (
+            SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+            FROM read_parquet('{SF}/events.parquet')
+        )
+        SELECT event_type, nxt, COUNT(*) FROM seq
+        WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """
+    )
+    edges = [(s, d, int(w)) for s, d, w in raw]
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    h = {u: 1.0 / len(nodes) for u in nodes}
+    a = {}
+    for _ in range(2):
+        a = {u: 0.0 for u in nodes}
+        for s, d, w in sorted(edges, key=lambda e: (e[1], e[0])):
+            a[d] += h[s] * w
+        t = 0.0
+        for u in nodes:
+            t += a[u]
+        a = {u: a[u] / t for u in nodes}
+        h = {u: 0.0 for u in nodes}
+        for s, d, w in sorted(edges, key=lambda e: (e[0], e[1])):
+            h[s] += a[d] * w
+        t = 0.0
+        for u in nodes:
+            t += h[u]
+        h = {u: h[u] / t for u in nodes}
+    got = {r.node: r for r in REGISTRY["q319_hits"].fn(spark, SF).collect()}
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert _close(got[u].hub, h[u])
+        assert _close(got[u].authority, a[u])
+    # both score vectors are L1-normalized probability masses
+    assert _close(sum(r.hub for r in got.values()), 1.0)
+    assert _close(sum(r.authority for r in got.values()), 1.0)
+
+
+# ---------------------------------------------------------------- q320
+
+
+def test_memorization_matches_python_replay(spark):
+    docs = _rows(
+        f"SELECT doc_id, source, text FROM read_parquet('{SF}/documents.parquet')"
+    )
+    def grams(text):
+        tk = text.split()
+        return [" ".join(tk[i:i + 8]) for i in range(len(tk) - 7)]
+    ref = {g for _, src, t in docs if src == "src0" for g in grams(t)}
+    expected = {}
+    for doc_id, src, t in docs:
+        if src == "src0":
+            continue
+        gs = grams(t)
+        if not gs:
+            continue
+        flags = [g in ref for g in gs]
+        longest = run = 0
+        for f in flags:
+            run = run + 1 if f else 0
+            longest = max(longest, run)
+        expected[doc_id] = (len(gs), sum(flags), longest)
+    got = {r.doc_id: r for r in
+           REGISTRY["q320_memorization"].fn(spark, SF).collect()}
+    assert set(got) == set(expected)
+    for doc_id, (n, m, longest) in expected.items():
+        row = got[doc_id]
+        assert (row.n_grams, row.n_memorized, row.longest_run) == (n, m, longest)
+        assert _close(row.mem_rate, m / n)
+
+
+# ---------------------------------------------------------------- q321
+
+
+def test_cohens_kappa_matches_python_replay(spark):
+    from stock_data_pipeline_spark.llm.text import LANG_MARKERS
+
+    docs = _rows(
+        f"SELECT lang, text FROM read_parquet('{SF}/documents.parquet')"
+    )
+    def predict(text):
+        tk = [t for t in text.split() if t]
+        scores = {
+            lang: sum(1 for t in tk if t.lower() in set(m))
+            for lang, m in LANG_MARKERS.items()
+        }
+        best = max(scores.values())
+        if best == 0:
+            return "und"
+        return next(l for l in LANG_MARKERS if scores[l] == best)
+    conf: dict[tuple, int] = {}
+    for gold, text in docs:
+        k = (gold, predict(text))
+        conf[k] = conf.get(k, 0) + 1
+    labels = {g for g, _ in conf} | {p for _, p in conf}
+    n = sum(conf.values())
+    agree = sum(c for (g, p), c in conf.items() if g == p)
+    n_gold = {l: sum(c for (g, _), c in conf.items() if g == l) for l in labels}
+    n_pred = {l: sum(c for (_, p), c in conf.items() if p == l) for l in labels}
+    cx = sum(n_gold[l] * n_pred[l] for l in labels)
+    po, pe = agree / n, cx / (n * n)
+    kappa = (po - pe) / (1.0 - pe)
+    got = {r.label: r for r in
+           REGISTRY["q321_cohens_kappa"].fn(spark, SF).collect()}
+    assert set(got) == labels
+    for l in labels:
+        row = got[l]
+        n_agree = sum(c for (g, p), c in conf.items() if g == p == l)
+        assert (row.n_gold, row.n_pred, row.n_agree, row.n_total) == (
+            n_gold[l], n_pred[l], n_agree, n)
+        assert _close(row.po, po) and _close(row.pe, pe)
+        assert _close(row.kappa, kappa)
+    assert -1.0 <= kappa <= 1.0
+
+
+# ---------------------------------------------------------------- q322
+
+
+def test_qini_matches_rowlevel_sort_replay(spark):
+    """The engine assigns deciles by value-cell interval overlap; the
+    replay does it the naive way — materialize every row, sort by
+    (score desc, t, y), cut by index — proving the overlap algebra
+    equals true rank-range semantics."""
+    raw = _rows(
+        f"""
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+               CASE WHEN CAST(l_discount AS DECIMAL(18,2)) * 100 >= 5
+                    THEN 1 ELSE 0 END,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        FROM read_parquet('{SF}/lineitem.parquet')
+        """
+    )
+    rows = sorted(((-int(v), t, y) for v, t, y in raw))
+    n = len(rows)
+    per = {k: [0, 0, 0, 0] for k in range(10)}
+    for i, (_, t, y) in enumerate(rows):
+        # rank i+1 belongs to decile k iff k*n//10 < i+1 <= (k+1)*n//10
+        k = next(kk for kk in range(10)
+                 if kk * n // 10 < i + 1 <= (kk + 1) * n // 10)
+        s = per[k]
+        if t:
+            s[0] += 1
+            s[2] += y
+        else:
+            s[1] += 1
+            s[3] += y
+    got = {r.decile: r for r in
+           REGISTRY["q322_qini_uplift"].fn(spark, SF).collect()}
+    assert set(got) == set(per)
+    cnt_t = cnc = cyt = cyc = 0
+    for k in range(10):
+        nt, nc, yt, yc = per[k]
+        cnt_t, cnc, cyt, cyc = cnt_t + nt, cnc + nc, cyt + yt, cyc + yc
+        row = got[k]
+        assert (row.n_treat, row.n_ctrl, row.y_treat, row.y_ctrl) == (
+            nt, nc, yt, yc)
+        assert (row.cum_n_treat, row.cum_n_ctrl, row.cum_y_treat,
+                row.cum_y_ctrl) == (cnt_t, cnc, cyt, cyc)
+        up = 0.0 if nt == 0 or nc == 0 else yt / nt - yc / nc
+        qini = cyt if cnc == 0 else cyt - cyc * cnt_t / cnc
+        assert _close(row.uplift_rate, up)
+        assert _close(row.qini_value, qini)
