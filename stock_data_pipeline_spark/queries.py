@@ -22023,6 +22023,475 @@ def q322_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 32 (round 5, cont.): embedding-label diagnostics, forecast
+# decomposition, best-of-n selection, experiment planning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q323_label_centroid_confusion",
+    oracle="""
+    WITH q AS (
+        SELECT label, u.d AS dim, u.qv AS qv
+        FROM (
+            SELECT label,
+                   unnest(list_transform(generate_series(1, len(embedding)),
+                       i -> struct_pack(d := i,
+                            qv := CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                             * 1024.0) AS BIGINT)))) AS u
+            FROM embeddings
+        )
+    ), sums AS (
+        SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s
+        FROM q GROUP BY 1, 2
+    ), norms AS (
+        SELECT label, CAST(SUM(s * s) AS BIGINT) AS n2 FROM sums GROUP BY 1
+    ), counts AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1
+    ), dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+        FROM sums a JOIN sums b ON a.dim = b.dim AND a.label <= b.label
+        GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b, ca.n AS n_a, cb.n AS n_b, d.dot,
+           CAST(d.dot AS DOUBLE)
+           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS cos_sim
+    FROM dots d
+    JOIN counts ca ON d.label_a = ca.label
+    JOIN counts cb ON d.label_b = cb.label
+    JOIN norms na ON d.label_a = na.label
+    JOIN norms nb ON d.label_b = nb.label
+    """,
+    survey_ref="extension: label-centroid cosine confusion matrix — "
+    "the embedding-space diagnostic behind class-collision audits and "
+    "SemDeDup cluster sanity (labels whose centroids are near-parallel "
+    "are candidates for merging or relabeling); centroid cosine needs "
+    "no mean because the 1/n factors cancel, so the whole matrix is "
+    "exact int64 sums with one double division per pair",
+)
+def q323_label_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    (diagonal included as the 1.0 sanity row). The mean-vector cosine
+    equals the SUM-vector cosine (1/n scalars cancel), and with the
+    q80/q307 power-of-two quantization (floor(x·2¹⁰) — exact on
+    float32 inputs) every per-label per-dimension sum is exact int64,
+    making the dot products and norms order-independent integers; the
+    only doubles are one division by a product of two exact sqrts.
+
+    Scale: one posexplode shuffle to (label, dim) — map-side
+    combinable; the pairwise stage joins |labels|·dims rows on dim,
+    quadratic only in the label count (tiny), never in rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from stock_data_pipeline_spark.llm.clustering import _quantize
+
+    sums = (
+        emb.select(
+            "label", F.posexplode(_quantize(F.col("embedding"), 10)).alias("dim", "qv")
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("qv").cast("long").alias("s"))
+    )
+    norms = sums.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("n2")
+    )
+    counts = emb.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    a = sums.select(
+        F.col("label").alias("label_a"), F.col("dim").alias("dim"), F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), F.col("dim").alias("dim"), F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") <= F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2"))
+    ca = counts.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        dots.join(ca, "label_a")
+        .join(cb, "label_b")
+        .join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+            ).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "q324_brier_decomposition",
+    oracle=f"""
+    WITH scored AS ({_Q222_SCORE_SQL}
+    ), binned AS (
+        SELECT NTILE(10) OVER (ORDER BY score, doc_id) AS bin, doc_id, score, label
+        FROM scored
+    ), bins AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(score ORDER BY doc_id)), (a, b) -> a + b) / COUNT(*)
+                   AS fbar,
+               CAST(SUM(label) AS BIGINT) AS pos
+        FROM binned GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(pos) AS BIGINT) AS pp
+        FROM bins
+    ), parts AS (
+        SELECT
+            list_reduce(list_prepend(CAST(0e0 AS DOUBLE),
+                list(CAST(n AS DOUBLE)
+                     * (fbar - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (fbar - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                     ORDER BY bin)), (a, b) -> a + b) AS rel_num,
+            list_reduce(list_prepend(CAST(0e0 AS DOUBLE),
+                list(CAST(n AS DOUBLE)
+                     * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(t.pp AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                     * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(t.pp AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                     ORDER BY bin)), (a, b) -> a + b) AS res_num
+        FROM bins CROSS JOIN tot t GROUP BY t.nn, t.pp
+    ), stats AS (
+        SELECT rel_num / CAST(t.nn AS DOUBLE) AS reliability,
+               res_num / CAST(t.nn AS DOUBLE) AS resolution,
+               (CAST(t.pp AS DOUBLE) / CAST(t.nn AS DOUBLE))
+               * (1e0 - CAST(t.pp AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                   AS uncertainty,
+               t.nn AS n_total
+        FROM parts CROSS JOIN tot t
+    )
+    SELECT b.bin, b.n, b.fbar AS mean_score,
+           CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS positive_rate,
+           s.n_total, s.reliability, s.resolution, s.uncertainty,
+           s.reliability - s.resolution + s.uncertainty AS brier_binned
+    FROM bins b CROSS JOIN stats s
+    """,
+    survey_ref="extension: Murphy decomposition of the Brier score "
+    "(reliability − resolution + uncertainty) over q222's calibration "
+    "bins — the standard forecast-quality accounting that separates "
+    "miscalibration from lack of discrimination; bin means reuse "
+    "q222's pinned score folds, the two cross-bin sums fold in bin "
+    "order, and the identity is pinned by the replay test",
+)
+def q324_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why is the document scorer's Brier score what it is? The Murphy
+    decomposition over the binned forecasts: reliability (how far each
+    bin's mean forecast sits from its realized rate — calibration
+    error, lower better), resolution (how much the bins' realized
+    rates spread from the base rate — discrimination, higher better),
+    and uncertainty (the irreducible ō(1−ō)). For bin-constant
+    forecasts the three recombine EXACTLY into the binned Brier score.
+    Emitted per bin with the corpus-level decomposition replicated.
+
+    Scale: identical to q222 (one sort-bin window + one aggregate)
+    plus 10-row arithmetic; the cross-bin folds are the q178 pinned
+    pattern."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    score = (
+        0.4 * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+        + 0.3 * text.stopword_ratio(F.col("text"))
+        + 0.3 * (1.0 - text.punct_ratio(F.col("text")))
+    )
+    scored = doc.select(
+        "doc_id",
+        score.alias("score"),
+        (F.size(toks) >= 60).cast("int").alias("label"),
+    )
+    w = Window.orderBy(F.col("score"), F.col("doc_id"))
+    binned = scored.withColumn("bin", F.ntile(10).over(w))
+    bins = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("doc_id", "score"))),
+                F.lit(0.0),
+                lambda a, x: a + x["score"],
+            )
+            / F.count("*")
+        ).alias("fbar"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("pos").cast("long").alias("pp")
+    )
+    obar_k = F.col("pos").cast("double") / F.col("n").cast("double")
+    obar = F.col("pp").cast("double") / F.col("nn").cast("double")
+    rel_term = F.col("n").cast("double") * (F.col("fbar") - obar_k) * (
+        F.col("fbar") - obar_k
+    )
+    res_term = F.col("n").cast("double") * (obar_k - obar) * (obar_k - obar)
+
+    def _binfold(term: F.Column) -> F.Column:
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("bin").alias("bin"),
+                                                 term.alias("t")))),
+            F.lit(0.0),
+            lambda a, x: a + x["t"],
+        )
+
+    parts = (
+        bins.crossJoin(F.broadcast(tot))
+        .groupBy("nn", "pp")
+        .agg(
+            _binfold(rel_term).alias("rel_num"),
+            _binfold(res_term).alias("res_num"),
+        )
+    )
+    stats = parts.select(
+        (F.col("rel_num") / F.col("nn").cast("double")).alias("reliability"),
+        (F.col("res_num") / F.col("nn").cast("double")).alias("resolution"),
+        (obar * (1.0 - obar)).alias("uncertainty"),
+        F.col("nn").alias("n_total"),
+    )
+    return bins.crossJoin(F.broadcast(stats)).select(
+        "bin",
+        "n",
+        F.col("fbar").alias("mean_score"),
+        obar_k.alias("positive_rate"),
+        "n_total",
+        "reliability",
+        "resolution",
+        "uncertainty",
+        (F.col("reliability") - F.col("resolution") + F.col("uncertainty")).alias(
+            "brier_binned"
+        ),
+    )
+
+
+@register(
+    "q325_best_of_n",
+    oracle="""
+    WITH scored AS (
+        SELECT least(CAST(floor(
+                   (0.4 * least(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) / 100.0, 1.0)
+                    + 0.3 * (len(list_filter(string_split_regex(text, '\\s+'),
+                                 t -> list_contains(['the','and','of','to','a','in','is','it','that','for','on','with','as','at','by'], lower(t))))
+                             / CAST(greatest(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')), 1) AS DOUBLE))
+                    + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                                   / greatest(length(text), 1))) * 16.0
+               ) AS BIGINT), 15) AS bucket
+        FROM documents
+    ), bk AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM scored GROUP BY 1
+    ), cum AS (
+        SELECT bucket, cnt, CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS c
+        FROM bk
+    ), nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM bk),
+    fr AS (
+        SELECT bucket, cnt,
+               CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS cf,
+               CAST(c - cnt AS DOUBLE) / CAST(n AS DOUBLE) AS cf0
+        FROM cum CROSS JOIN nn
+    ), pw AS (
+        SELECT bucket, cnt, cf, cf0,
+               cf * cf AS cf2, cf0 * cf0 AS cf02
+        FROM fr
+    ), pw2 AS (
+        SELECT *, cf2 * cf2 AS cf4, cf02 * cf02 AS cf04 FROM pw
+    ), pw3 AS (
+        SELECT *, cf4 * cf4 AS cf8, cf04 * cf04 AS cf08 FROM pw2
+    ), pw4 AS (
+        SELECT *, cf8 * cf8 AS cf16, cf08 * cf08 AS cf016 FROM pw3
+    ), pw5 AS (
+        SELECT *, cf16 * cf16 AS cf32, cf016 * cf016 AS cf032 FROM pw4
+    ), ns(n_draws) AS (VALUES (1), (2), (4), (8), (16), (32))
+    SELECT CAST(ns.n_draws AS BIGINT) AS n_draws, p.bucket,
+           p.cnt AS n_docs, p.cf AS cum_frac,
+           CASE ns.n_draws
+                WHEN 1 THEN p.cf - p.cf0
+                WHEN 2 THEN p.cf2 - p.cf02
+                WHEN 4 THEN p.cf4 - p.cf04
+                WHEN 8 THEN p.cf8 - p.cf08
+                WHEN 16 THEN p.cf16 - p.cf016
+                ELSE p.cf32 - p.cf032
+           END AS p_max_bucket
+    FROM pw5 p CROSS JOIN ns
+    """,
+    survey_ref="extension: best-of-n selection curve — the "
+    "rejection-sampling/BoN analysis behind candidate-overgeneration "
+    "pipelines: P(best of n i.i.d. draws lands in quality bucket b) = "
+    "F(b)ⁿ − F(b−1)ⁿ from the empirical score CDF; the powers are "
+    "explicit repeated squarings (n ∈ {1,2,4,8,16,32}), so no pow() "
+    "and every value is a fixed IEEE product chain",
+)
+def q325_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """If you sample n candidates and keep the best-scoring one, where
+    does quality land? Bucket the q31 document score into 16 bins,
+    build the empirical CDF from exact counts, and emit the max-of-n
+    distribution P(bucket | n) = F(b)ⁿ − F(b⁻)ⁿ for n = 1,2,4,8,16,32.
+    The doubling grid means every power is a chain of squarings —
+    bit-deterministic, unlike a libm pow — and each output row is pure
+    row-local arithmetic (no cross-row double sums at all).
+
+    Scale: one codegen scan + one 16-group aggregate; the CDF window
+    runs over 16 rows; the n-grid is a 6-row broadcast cross join."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    score = (
+        0.4 * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+        + 0.3 * text.stopword_ratio(F.col("text"))
+        + 0.3 * (1.0 - text.punct_ratio(F.col("text")))
+    )
+    bk = (
+        doc.select(
+            F.least(F.floor(score * 16.0).cast("long"), F.lit(15)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bk.select(
+        "bucket", "cnt", F.sum("cnt").over(wb).cast("long").alias("c")
+    )
+    nn = bk.agg(F.sum("cnt").cast("long").alias("n"))
+    fr = cum.crossJoin(F.broadcast(nn)).select(
+        "bucket",
+        "cnt",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("cf"),
+        ((F.col("c") - F.col("cnt")).cast("double") / F.col("n").cast("double")).alias(
+            "cf0"
+        ),
+    )
+    p = fr
+    for col, src in [("cf2", "cf"), ("cf02", "cf0")]:
+        p = p.withColumn(col, F.col(src) * F.col(src))
+    for a, b in [("cf4", "cf2"), ("cf04", "cf02"), ("cf8", "cf4"), ("cf08", "cf04"),
+                 ("cf16", "cf8"), ("cf016", "cf08"), ("cf32", "cf16"),
+                 ("cf032", "cf016")]:
+        p = p.withColumn(a, F.col(b) * F.col(b))
+    ns = spark.createDataFrame([(1,), (2,), (4,), (8,), (16,), (32,)], "n_draws long")
+    pick = (
+        F.when(F.col("n_draws") == 1, F.col("cf") - F.col("cf0"))
+        .when(F.col("n_draws") == 2, F.col("cf2") - F.col("cf02"))
+        .when(F.col("n_draws") == 4, F.col("cf4") - F.col("cf04"))
+        .when(F.col("n_draws") == 8, F.col("cf8") - F.col("cf08"))
+        .when(F.col("n_draws") == 16, F.col("cf16") - F.col("cf016"))
+        .otherwise(F.col("cf32") - F.col("cf032"))
+    )
+    return p.crossJoin(F.broadcast(ns)).select(
+        "n_draws",
+        "bucket",
+        F.col("cnt").alias("n_docs"),
+        F.col("cf").alias("cum_frac"),
+        pick.alias("p_max_bucket"),
+    )
+
+
+# Standard-normal quantiles, host-computed once (scipy-free constants:
+# Φ⁻¹(0.975) and Φ⁻¹(0.8)), embedded as e-notation literals per the
+# q309 lesson — both engines parse the same 18-significant-digit text
+# to the same IEEE double.
+_Z_ALPHA_HALF = "1.95996398454005423e0"  # two-sided α = 0.05
+_Z_POWER = "8.41621233572914406e-1"  # power = 0.80
+
+
+@register(
+    "q326_ab_power_planner",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM lineitem
+    ), traffic AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_days
+        FROM orders
+    ), deltas(delta) AS (VALUES (5e-3), (1e-2), (2e-2), (5e-2)),
+    calc AS (
+        SELECT d.delta,
+               CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS p,
+               ({_Z_ALPHA_HALF} + {_Z_POWER})
+               * ({_Z_ALPHA_HALF} + {_Z_POWER}) AS zsum2,
+               CAST(t.n_orders AS DOUBLE) / CAST(t.n_days AS DOUBLE)
+                   AS orders_per_day
+        FROM deltas d CROSS JOIN base b CROSS JOIN traffic t
+    )
+    SELECT delta, p AS baseline_rate,
+           zsum2 * (p * (1e0 - p) + (p + delta) * (1e0 - p - delta))
+               / (delta * delta) AS n_per_arm,
+           CAST(ceil(zsum2 * (p * (1e0 - p) + (p + delta) * (1e0 - p - delta))
+                / (delta * delta)) AS BIGINT) AS n_per_arm_ceil,
+           orders_per_day,
+           CAST(ceil(2e0 * (zsum2 * (p * (1e0 - p)
+                                     + (p + delta) * (1e0 - p - delta))
+                            / (delta * delta)) / orders_per_day)
+                AS BIGINT) AS days_needed
+    FROM calc
+    """,
+    survey_ref="extension: A/B sample-size / power planner — the "
+    "two-proportion formula n = (z_α/2+z_β)²·[p(1−p)+(p+δ)(1−p−δ)]/δ² "
+    "fed by the corpus's own baseline rate and daily traffic; the "
+    "planning complement to q141's analysis and q247's SRM check, with "
+    "the normal quantiles as host-literal constants (q309 discipline)",
+)
+def q326_ab_power_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before running the experiment q141 analyzes: for a grid of
+    minimum detectable effects δ, how many units per arm — and at the
+    observed traffic, how many days — does an α=0.05 / power=0.80
+    two-proportion test need? Baseline rate and orders/day come from
+    the data (exact integer counts); the z constants are embedded
+    literals; everything else is fixed-order double arithmetic, so the
+    plan hash-matches.
+
+    Scale: two map-side-combinable aggregates feeding a 4-row grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).cast("long").alias("pos"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    traffic = o.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.countDistinct("o_orderdate").cast("long").alias("n_days"),
+    )
+    deltas = spark.createDataFrame(
+        [(0.005,), (0.01,), (0.02,), (0.05,)], "delta double"
+    )
+    za, zb = float(_Z_ALPHA_HALF), float(_Z_POWER)
+    zsum2 = (F.lit(za) + F.lit(zb)) * (F.lit(za) + F.lit(zb))
+    p = F.col("pos").cast("double") / F.col("n").cast("double")
+    opd = F.col("n_orders").cast("double") / F.col("n_days").cast("double")
+    calc = (
+        deltas.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(traffic))
+        .select("delta", p.alias("p"), zsum2.alias("zsum2"), opd.alias("orders_per_day"))
+    )
+    n_arm = (
+        F.col("zsum2")
+        * (
+            F.col("p") * (1.0 - F.col("p"))
+            + (F.col("p") + F.col("delta")) * (1.0 - F.col("p") - F.col("delta"))
+        )
+        / (F.col("delta") * F.col("delta"))
+    )
+    return calc.select(
+        "delta",
+        F.col("p").alias("baseline_rate"),
+        n_arm.alias("n_per_arm"),
+        F.ceil(n_arm).cast("long").alias("n_per_arm_ceil"),
+        "orders_per_day",
+        F.ceil(2.0 * n_arm / F.col("orders_per_day")).cast("long").alias("days_needed"),
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

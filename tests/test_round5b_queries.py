@@ -540,3 +540,156 @@ def test_qini_matches_rowlevel_sort_replay(spark):
         qini = cyt if cnc == 0 else cyt - cyc * cnt_t / cnc
         assert _close(row.uplift_rate, up)
         assert _close(row.qini_value, qini)
+
+
+# ---------------------------------------------------------------- q323
+
+
+def test_label_centroid_confusion_matches_python_replay(spark):
+    raw = _rows(
+        f"SELECT label, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    sums: dict[int, list[int]] = {}
+    counts: dict[int, int] = {}
+    for label, emb in raw:
+        q = [math.floor(float(x) * 1024.0) for x in emb]
+        s = sums.setdefault(label, [0] * len(q))
+        for i, v in enumerate(q):
+            s[i] += v
+        counts[label] = counts.get(label, 0) + 1
+    labels = sorted(sums)
+    got = {(r.label_a, r.label_b): r for r in
+           REGISTRY["q323_label_centroid_confusion"].fn(spark, SF).collect()}
+    assert set(got) == {(a, b) for a in labels for b in labels if a <= b}
+    for a in labels:
+        for b in labels:
+            if a > b:
+                continue
+            dot = sum(x * y for x, y in zip(sums[a], sums[b]))
+            na2 = sum(x * x for x in sums[a])
+            nb2 = sum(x * x for x in sums[b])
+            row = got[(a, b)]
+            assert (row.n_a, row.n_b, row.dot) == (counts[a], counts[b], dot)
+            assert _close(row.cos_sim, dot / (math.sqrt(na2) * math.sqrt(nb2)))
+    # diagonal is exactly 1 up to fp: cos(x, x) = 1
+    for a in labels:
+        assert _close(got[(a, a)].cos_sim, 1.0)
+
+
+# ---------------------------------------------------------------- q324
+
+
+def _scored_docs():
+    """(doc_id, score, label) via the oracle's own scoring SQL — the
+    replay then re-derives the DECOMPOSITION independently."""
+    from stock_data_pipeline_spark.queries import _Q222_SCORE_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con.execute(_Q222_SCORE_SQL).fetchall()
+
+
+def test_brier_decomposition_identity(spark):
+    docs = sorted(_scored_docs(), key=lambda r: (r[1], r[0]))
+    n = len(docs)
+    base, rem = divmod(n, 10)
+    bins = []
+    i = 0
+    for k in range(1, 11):
+        size = base + (1 if k <= rem else 0)
+        bins.append(docs[i:i + size])
+        i += size
+    fbar = [sum(s for _, s, _ in b) / len(b) for b in bins]
+    obar_k = [sum(l for _, _, l in b) / len(b) for b in bins]
+    pos = sum(l for _, _, l in docs)
+    obar = pos / n
+    rel = sum(len(b) * (f - o) ** 2 for b, f, o in zip(bins, fbar, obar_k)) / n
+    res = sum(len(b) * (o - obar) ** 2 for b, o in zip(bins, obar_k)) / n
+    unc = obar * (1 - obar)
+    rows = REGISTRY["q324_brier_decomposition"].fn(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        b = bins[r.bin - 1]
+        assert r.n == len(b)
+        assert math.isclose(r.mean_score, fbar[r.bin - 1], rel_tol=1e-9)
+        assert _close(r.positive_rate, obar_k[r.bin - 1])
+        assert math.isclose(r.reliability, rel, rel_tol=1e-9)
+        assert math.isclose(r.resolution, res, rel_tol=1e-9)
+        assert _close(r.uncertainty, unc)
+    # Murphy identity: rel - res + unc == the binned Brier score
+    # computed DIRECTLY as the mean squared error of bin-mean forecasts
+    direct = sum(
+        (f - l) ** 2 for b, f in zip(bins, fbar) for _, _, l in b
+    ) / n
+    got = rows[0].brier_binned
+    assert math.isclose(got, direct, rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------- q325
+
+
+def test_best_of_n_matches_python_replay(spark):
+    docs = _scored_docs()
+    counts: dict[int, int] = {}
+    for _, s, _ in docs:
+        b = min(math.floor(s * 16.0), 15)
+        counts[b] = counts.get(b, 0) + 1
+    n = len(docs)
+    buckets = sorted(counts)
+    got = {(r.n_draws, r.bucket): r for r in
+           REGISTRY["q325_best_of_n"].fn(spark, SF).collect()}
+    assert {b for _, b in got} == set(buckets)
+    for nd in (1, 2, 4, 8, 16, 32):
+        c = 0
+        tot_p = 0.0
+        prev_mean = None
+        for b in buckets:
+            c0 = c
+            c += counts[b]
+            p = (c / n) ** nd - (c0 / n) ** nd
+            row = got[(nd, b)]
+            assert row.n_docs == counts[b]
+            assert math.isclose(row.p_max_bucket, p, rel_tol=1e-9, abs_tol=1e-15)
+            tot_p += row.p_max_bucket
+        # each n's max-distribution is a probability mass
+        assert math.isclose(tot_p, 1.0, rel_tol=1e-9)
+    # more draws -> stochastically better bucket (E[bucket] nondecreasing)
+    means = [sum(b * got[(nd, b)].p_max_bucket for b in buckets)
+             for nd in (1, 2, 4, 8, 16, 32)]
+    assert all(a <= b + 1e-12 for a, b in zip(means, means[1:]))
+
+
+# ---------------------------------------------------------------- q326
+
+
+def test_ab_power_planner_matches_python_replay(spark):
+    (n, pos), = _rows(
+        f"""SELECT COUNT(*), SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            FROM read_parquet('{SF}/lineitem.parquet')"""
+    )
+    (n_orders, n_days), = _rows(
+        f"""SELECT COUNT(*), COUNT(DISTINCT o_orderdate)
+            FROM read_parquet('{SF}/orders.parquet')"""
+    )
+    p = pos / n
+    opd = n_orders / n_days
+    za, zb = 1.95996398454005423, 0.841621233572914406
+    zsum2 = (za + zb) * (za + zb)
+    got = {r.delta: r for r in
+           REGISTRY["q326_ab_power_planner"].fn(spark, SF).collect()}
+    assert set(got) == {0.005, 0.01, 0.02, 0.05}
+    prev = None
+    for d in (0.005, 0.01, 0.02, 0.05):
+        expect = zsum2 * (p * (1 - p) + (p + d) * (1 - p - d)) / (d * d)
+        row = got[d]
+        assert _close(row.baseline_rate, p)
+        assert math.isclose(row.n_per_arm, expect, rel_tol=1e-12)
+        assert row.n_per_arm_ceil == math.ceil(expect)
+        assert _close(row.orders_per_day, opd)
+        assert row.days_needed == math.ceil(2 * expect / opd)
+        # smaller effects need more samples
+        if prev is not None:
+            assert row.n_per_arm < prev
+        prev = row.n_per_arm
