@@ -22492,6 +22492,438 @@ def q326_ab_power_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 33 (round 5, cont.): categorical association, sequential testing,
+# survey raking
+# ---------------------------------------------------------------------------
+
+_CRAMER_PAIRS = [
+    ("prio_x_status", "prio", "status"),
+    ("prio_x_segment", "prio", "seg"),
+    ("status_x_segment", "status", "seg"),
+]
+
+
+def _cramers_oracle() -> str:
+    """DuckDB oracle for q327: χ² and Cramér's V per categorical pair,
+    over the FULL r×c grid (absent cells contribute their expected
+    count), χ² folded in (va, vb) cell order."""
+    blocks = []
+    for tag, ca, cb in _CRAMER_PAIRS:
+        blocks.append(f"""
+        SELECT '{tag}' AS pair, n_t.n,
+               list_reduce(list_prepend(CAST(0e0 AS DOUBLE),
+                   list((CAST(o AS DOUBLE)
+                         - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+                           / CAST(n_t.n AS DOUBLE))
+                        * (CAST(o AS DOUBLE)
+                           - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+                             / CAST(n_t.n AS DOUBLE))
+                        / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+                           / CAST(n_t.n AS DOUBLE))
+                        ORDER BY va, vb)), (x, y) -> x + y) AS chi2,
+               CAST((rd.k - 1) * (cd.k - 1) AS BIGINT) AS dof,
+               CAST(least(rd.k - 1, cd.k - 1) AS BIGINT) AS minrc
+        FROM (
+            SELECT r.va, c.vb, r.nr, c.nc, COALESCE(t.o, 0) AS o
+            FROM (SELECT {ca} AS va, CAST(COUNT(*) AS BIGINT) AS nr
+                  FROM j GROUP BY 1) r
+            CROSS JOIN (SELECT {cb} AS vb, CAST(COUNT(*) AS BIGINT) AS nc
+                        FROM j GROUP BY 1) c
+            LEFT JOIN (SELECT {ca} AS va, {cb} AS vb,
+                              CAST(COUNT(*) AS BIGINT) AS o
+                       FROM j GROUP BY 1, 2) t
+              ON r.va = t.va AND c.vb = t.vb
+        ) grid
+        CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j) n_t
+        CROSS JOIN (SELECT COUNT(*) AS k
+                    FROM (SELECT DISTINCT {ca} FROM j)) rd
+        CROSS JOIN (SELECT COUNT(*) AS k
+                    FROM (SELECT DISTINCT {cb} FROM j)) cd
+        GROUP BY n_t.n, rd.k, cd.k""")
+    union = "\n        UNION ALL\n".join(blocks)
+    return f"""
+    WITH j AS (
+        SELECT o.o_orderpriority AS prio, o.o_orderstatus AS status,
+               c.c_mktsegment AS seg
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), stats AS ({union}
+    )
+    SELECT pair, n, chi2, dof,
+           sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(minrc AS DOUBLE)))
+               AS cramers_v
+    FROM stats
+    """
+
+
+@register(
+    "q327_cramers_v",
+    oracle=_cramers_oracle(),
+    survey_ref="extension: categorical association profile — χ² and "
+    "Cramér's V for every attribute pair in one pass (the effect-size "
+    "companion to q205's χ² drift and q289's FD discovery: V≈1 means "
+    "a near-functional dependency, V≈0 independence); the full r×c "
+    "grid including absent cells, χ² folded in cell order",
+)
+def q327_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How strongly are the categorical attributes of the order stream
+    associated? For each pair, the χ² statistic over the COMPLETE r×c
+    grid (absent combinations contribute their full expected count —
+    dropping them understates χ², a classic profiling bug) and the
+    normalized Cramér's V = sqrt(χ²/(n·min(r−1,c−1))), which is
+    comparable across pairs with different cardinalities. Marginals
+    and observed cells are exact integers; expected counts form in
+    doubles (scale-safe past int64 products); the cell fold is pinned.
+
+    Scale: one shuffle for the base join, then per pair one
+    map-side-combinable cell aggregate; grids are |domain|² rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("seg")
+    )
+    j = o.join(c, "o_custkey").select("prio", "status", "seg")
+
+    outs = []
+    for tag, ca, cb in _CRAMER_PAIRS:
+        rm = j.groupBy(F.col(ca).alias("va")).agg(
+            F.count("*").cast("long").alias("nr")
+        )
+        cm = j.groupBy(F.col(cb).alias("vb")).agg(
+            F.count("*").cast("long").alias("nc")
+        )
+        cells = j.groupBy(F.col(ca).alias("va"), F.col(cb).alias("vb")).agg(
+            F.count("*").cast("long").alias("o")
+        )
+        n_t = j.agg(F.count("*").cast("long").alias("n"))
+        rd = rm.agg(F.count("*").alias("rk"))
+        cd = cm.agg(F.count("*").alias("ck"))
+        grid = (
+            rm.crossJoin(F.broadcast(cm))
+            .join(cells, ["va", "vb"], "left")
+            .select(
+                "va", "vb", "nr", "nc",
+                F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+            )
+        )
+        e = (
+            F.col("nr").cast("double") * F.col("nc").cast("double")
+            / F.col("n").cast("double")
+        )
+        term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+        folded = (
+            grid.crossJoin(F.broadcast(n_t))
+            .groupBy("n")
+            .agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("va").alias("va"),
+                                F.col("vb").alias("vb"),
+                                term.alias("t"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x["t"],
+                ).alias("chi2")
+            )
+        )
+        outs.append(
+            folded.crossJoin(F.broadcast(rd))
+            .crossJoin(F.broadcast(cd))
+            .select(
+                F.lit(tag).alias("pair"),
+                "n",
+                "chi2",
+                ((F.col("rk") - 1) * (F.col("ck") - 1)).cast("long").alias("dof"),
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * F.least(F.col("rk") - 1, F.col("ck") - 1).cast("double")
+                    )
+                ).alias("cramers_v"),
+            )
+        )
+    out = outs[0]
+    for more in outs[1:]:
+        out = out.unionByName(more)
+    return out
+
+
+# O'Brien–Fleming boundary constant for K=5 looks at two-sided α=0.05,
+# the standard tabulated value (Jennison & Turnbull tab. 2.1), embedded
+# as an e-notation literal per the q309/q326 discipline.
+_OBF_C5 = "2.0401e0"
+
+
+@register(
+    "q328_group_sequential",
+    oracle=f"""
+    WITH arms AS (
+        SELECT o_orderdate AS day, o_orderkey % 2 AS arm,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS conv
+        FROM orders
+    ), days AS (
+        SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+               COUNT(*) OVER () AS nd
+        FROM (SELECT DISTINCT day FROM arms)
+    ), looks AS (
+        SELECT day, CAST((rn - 1) * 5 // nd + 1 AS BIGINT) AS k FROM days
+    ), per AS (
+        SELECT l.k,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        FROM arms a JOIN looks l ON a.day = l.day GROUP BY 1
+    ), cum AS (
+        SELECT k,
+               CAST(SUM(n0) OVER (ORDER BY k) AS BIGINT) AS n0,
+               CAST(SUM(n1) OVER (ORDER BY k) AS BIGINT) AS n1,
+               CAST(SUM(c0) OVER (ORDER BY k) AS BIGINT) AS c0,
+               CAST(SUM(c1) OVER (ORDER BY k) AS BIGINT) AS c1
+        FROM per
+    ), z AS (
+        SELECT k, n0, n1, c0, c1,
+               (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               / sqrt(CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+                      * (1e0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                      * (1e0 / CAST(n0 AS DOUBLE) + 1e0 / CAST(n1 AS DOUBLE)))
+                   AS z_stat,
+               {_OBF_C5} * sqrt(5e0 / CAST(k AS DOUBLE)) AS boundary
+        FROM cum
+    )
+    SELECT k AS look, n0 AS cum_n_ctrl, n1 AS cum_n_treat,
+           c0 AS cum_conv_ctrl, c1 AS cum_conv_treat,
+           z_stat, boundary, abs(z_stat) > boundary AS crossed
+    FROM z
+    """,
+    survey_ref="extension: group-sequential monitoring (O'Brien–"
+    "Fleming, K=5) — the peeking-safe interim-analysis schedule that "
+    "completes the experimentation family (q141 analysis, q247 SRM, "
+    "q262 Wilson CI, q326 power planning): five calendar looks, "
+    "cumulative two-proportion z per look against the spending "
+    "boundary C·sqrt(K/k)",
+)
+def q328_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Can the experiment stop early without inflating false positives?
+    The order timeline is cut into 5 looks (equal spans of DISTINCT
+    days, deterministic row-number binning over the tiny day
+    dimension); at each look the cumulative two-proportion z between
+    the even/odd-orderkey arms is compared to the O'Brien–Fleming
+    boundary 2.0401·√(5/k) — very strict early, ≈2.04 at the final
+    look. Counts stay integer through the cumulative stage; z and the
+    boundary are fixed-order double arithmetic + exact sqrts.
+
+    Scale: one map-side-combinable (look, arm) aggregate after a
+    broadcast join of the day→look map; windows run over 5 rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("day"),
+        (F.col("o_orderkey") % 2).alias("arm"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("conv"),
+    )
+    days = (
+        o.select("day")
+        .distinct()
+        .select(
+            "day",
+            F.row_number().over(Window.orderBy("day")).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("nd"),
+        )
+    )
+    looks = days.select(
+        "day", F.expr("CAST((rn - 1) * 5 div nd + 1 AS BIGINT)").alias("k")
+    )
+    per = (
+        o.join(F.broadcast(looks), "day")
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long").alias("n0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long").alias("n1"),
+            F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+            .cast("long").alias("c0"),
+            F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+            .cast("long").alias("c1"),
+        )
+    )
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "k",
+        F.sum("n0").over(wk).cast("long").alias("n0"),
+        F.sum("n1").over(wk).cast("long").alias("n1"),
+        F.sum("c0").over(wk).cast("long").alias("c0"),
+        F.sum("c1").over(wk).cast("long").alias("c1"),
+    )
+    p_pool = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    z = (
+        F.col("c1").cast("double") / F.col("n1").cast("double")
+        - F.col("c0").cast("double") / F.col("n0").cast("double")
+    ) / F.sqrt(
+        p_pool
+        * (1.0 - p_pool)
+        * (1.0 / F.col("n0").cast("double") + 1.0 / F.col("n1").cast("double"))
+    )
+    boundary = F.lit(float(_OBF_C5)) * F.sqrt(5.0 / F.col("k").cast("double"))
+    return cum.select(
+        F.col("k").alias("look"),
+        F.col("n0").alias("cum_n_ctrl"),
+        F.col("n1").alias("cum_n_treat"),
+        F.col("c0").alias("cum_conv_ctrl"),
+        F.col("c1").alias("cum_conv_treat"),
+        z.alias("z_stat"),
+        boundary.alias("boundary"),
+        (F.abs(z) > boundary).alias("crossed"),
+    )
+
+
+def _raking_oracle(rounds: int = 3) -> str:
+    """DuckDB oracle for q329: unrolled iterative-proportional-fitting
+    rounds. Cell weights start at 1; each half-step rescales to one
+    margin, with the current-margin sums folded in cell order."""
+    parts = [
+        """samp AS (
+        SELECT c_nationkey AS nk, c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS s
+        FROM customer WHERE c_acctbal >= 0 GROUP BY 1, 2
+    ), tn AS (
+        SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS t
+        FROM customer GROUP BY 1
+    ), ts AS (
+        SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS t
+        FROM customer GROUP BY 1
+    ), w0 AS (
+        SELECT nk, seg, s, CAST(1e0 AS DOUBLE) AS w FROM samp
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""cn{r + 1} AS (
+        SELECT nk, list_reduce(list_prepend(CAST(0e0 AS DOUBLE),
+                   list(w * CAST(s AS DOUBLE) ORDER BY seg)),
+                   (x, y) -> x + y) AS cur
+        FROM w{r} GROUP BY 1
+    ), wn{r + 1} AS (
+        SELECT w.nk, w.seg, w.s,
+               w.w * (CAST(t.t AS DOUBLE) / c.cur) AS w
+        FROM w{r} w JOIN cn{r + 1} c ON w.nk = c.nk
+        JOIN tn t ON w.nk = t.nk
+    ), cs{r + 1} AS (
+        SELECT seg, list_reduce(list_prepend(CAST(0e0 AS DOUBLE),
+                   list(w * CAST(s AS DOUBLE) ORDER BY nk)),
+                   (x, y) -> x + y) AS cur
+        FROM wn{r + 1} GROUP BY 1
+    ), w{r + 1} AS (
+        SELECT w.nk, w.seg, w.s,
+               w.w * (CAST(t.t AS DOUBLE) / c.cur) AS w
+        FROM wn{r + 1} w JOIN cs{r + 1} c ON w.seg = c.seg
+        JOIN ts t ON w.seg = t.seg
+    )""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT w.nk AS nationkey, w.seg AS segment, w.s AS n_sample,
+           tn.t AS target_nation, ts.t AS target_segment,
+           w.w AS weight, w.w * CAST(w.s AS DOUBLE) AS weighted_count
+    FROM w{rounds} w JOIN tn ON w.nk = tn.nk JOIN ts ON w.seg = ts.seg
+    """
+    )
+
+
+@register(
+    "q329_raking_ipf",
+    oracle=_raking_oracle(rounds=3),
+    survey_ref="extension: raking / iterative proportional fitting — "
+    "the survey-weighting workhorse that reweights a biased sample "
+    "(non-negative-balance customers) to match the full population's "
+    "nation AND segment margins simultaneously; 3 unrolled IPF rounds "
+    "(the q310 unrolled-MM discipline), margin sums folded in cell "
+    "order so every weight hash-matches",
+)
+def q329_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratification when the cross-tab target is unknown but
+    the margins are: start every (nation, segment) sample cell at
+    weight 1 and alternately rescale to the nation margins then the
+    segment margins (3 rounds — IPF converges geometrically, and the
+    fixed unroll keeps the plan pure algebra, no driver loop). Sample
+    cell counts and both target margins are exact integers; each
+    rescale is one fold over a margin's cells plus one multiply.
+
+    Scale: margins and cells are |domains|-sized aggregates off one
+    scan each; every IPF step is arithmetic on the ≤ r·c cell table —
+    the 100 TB cost is the two base aggregates, nothing else."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    samp = (
+        cust.filter(F.col("bal") >= 0)
+        .groupBy("nk", "seg")
+        .agg(F.count("*").cast("long").alias("s"))
+    )
+    tn = cust.groupBy("nk").agg(F.count("*").cast("long").alias("tn"))
+    ts = cust.groupBy("seg").agg(F.count("*").cast("long").alias("ts"))
+    w = samp.select("nk", "seg", "s", F.lit(1.0).alias("w"))
+
+    def _fold(order_col: str) -> F.Column:
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).alias("o"),
+                        (F.col("w") * F.col("s").cast("double")).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["t"],
+        )
+
+    for _ in range(3):
+        cn = w.groupBy("nk").agg(_fold("seg").alias("cur"))
+        w = (
+            w.join(cn, "nk")
+            .join(F.broadcast(tn), "nk")
+            .select(
+                "nk", "seg", "s",
+                (F.col("w") * (F.col("tn").cast("double") / F.col("cur"))).alias("w"),
+            )
+        )
+        cs = w.groupBy("seg").agg(_fold("nk").alias("cur"))
+        w = (
+            w.join(cs, "seg")
+            .join(F.broadcast(ts), "seg")
+            .select(
+                "nk", "seg", "s",
+                (F.col("w") * (F.col("ts").cast("double") / F.col("cur"))).alias("w"),
+            )
+        )
+    return (
+        w.join(F.broadcast(tn), "nk")
+        .join(F.broadcast(ts), "seg")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.col("seg").alias("segment"),
+            F.col("s").alias("n_sample"),
+            F.col("tn").alias("target_nation"),
+            F.col("ts").alias("target_segment"),
+            F.col("w").alias("weight"),
+            (F.col("w") * F.col("s").cast("double")).alias("weighted_count"),
+        )
+    )
+
+
 def _externally_verified() -> set[str]:
     """Query names with a green row in any committed driver
     ``CORRECTNESS_r*.json``. Green = full value-hash MATCH, or a

@@ -693,3 +693,131 @@ def test_ab_power_planner_matches_python_replay(spark):
         if prev is not None:
             assert row.n_per_arm < prev
         prev = row.n_per_arm
+
+
+# ---------------------------------------------------------------- q327
+
+
+def test_cramers_v_matches_python_replay(spark):
+    raw = _rows(
+        f"""
+        SELECT o.o_orderpriority, o.o_orderstatus, c.c_mktsegment
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON o.o_custkey = c.c_custkey
+        """
+    )
+    cols = {"prio": 0, "status": 1, "seg": 2}
+    pairs = [("prio_x_status", "prio", "status"),
+             ("prio_x_segment", "prio", "seg"),
+             ("status_x_segment", "status", "seg")]
+    got = {r.pair: r for r in REGISTRY["q327_cramers_v"].fn(spark, SF).collect()}
+    assert set(got) == {t for t, _, _ in pairs}
+    n = len(raw)
+    for tag, ca, cb in pairs:
+        ia, ib = cols[ca], cols[cb]
+        from collections import Counter
+        cells = Counter((r[ia], r[ib]) for r in raw)
+        rm = Counter(r[ia] for r in raw)
+        cm = Counter(r[ib] for r in raw)
+        chi2 = 0.0
+        for va in sorted(rm):
+            for vb in sorted(cm):
+                e = rm[va] * cm[vb] / n
+                o = cells.get((va, vb), 0)
+                chi2 += (o - e) ** 2 / e
+        row = got[tag]
+        assert row.n == n
+        assert math.isclose(row.chi2, chi2, rel_tol=1e-9)
+        assert row.dof == (len(rm) - 1) * (len(cm) - 1)
+        v = math.sqrt(chi2 / (n * min(len(rm) - 1, len(cm) - 1)))
+        assert math.isclose(row.cramers_v, v, rel_tol=1e-9)
+        assert 0.0 <= row.cramers_v <= 1.0 + 1e-12
+
+
+# ---------------------------------------------------------------- q328
+
+
+def test_group_sequential_matches_python_replay(spark):
+    raw = _rows(
+        f"""
+        SELECT o_orderdate, o_orderkey % 2,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        FROM read_parquet('{SF}/orders.parquet')
+        """
+    )
+    days = sorted({d for d, _, _ in raw})
+    nd = len(days)
+    look = {d: (i * 5) // nd + 1 for i, d in enumerate(days)}
+    per = {k: [0, 0, 0, 0] for k in range(1, 6)}
+    for d, arm, conv in raw:
+        s = per[look[d]]
+        if arm == 0:
+            s[0] += 1
+            s[2] += conv
+        else:
+            s[1] += 1
+            s[3] += conv
+    got = {r.look: r for r in
+           REGISTRY["q328_group_sequential"].fn(spark, SF).collect()}
+    assert set(got) == set(per)
+    n0 = n1 = c0 = c1 = 0
+    prev_boundary = None
+    for k in range(1, 6):
+        a0, a1, b0, b1 = per[k]
+        n0, n1, c0, c1 = n0 + a0, n1 + a1, c0 + b0, c1 + b1
+        row = got[k]
+        assert (row.cum_n_ctrl, row.cum_n_treat, row.cum_conv_ctrl,
+                row.cum_conv_treat) == (n0, n1, c0, c1)
+        p = (c0 + c1) / (n0 + n1)
+        z = (c1 / n1 - c0 / n0) / math.sqrt(p * (1 - p) * (1 / n0 + 1 / n1))
+        b = 2.0401 * math.sqrt(5 / k)
+        assert math.isclose(row.z_stat, z, rel_tol=1e-12)
+        assert math.isclose(row.boundary, b, rel_tol=1e-12)
+        assert row.crossed == (abs(z) > b)
+        # O'Brien-Fleming boundaries tighten monotonically
+        if prev_boundary is not None:
+            assert row.boundary < prev_boundary
+        prev_boundary = row.boundary
+
+
+# ---------------------------------------------------------------- q329
+
+
+def test_raking_matches_python_replay_and_margins(spark):
+    raw = _rows(
+        f"SELECT c_nationkey, c_mktsegment, c_acctbal FROM read_parquet('{SF}/customer.parquet')"
+    )
+    from collections import Counter
+    samp = Counter((nk, seg) for nk, seg, bal in raw if bal >= 0)
+    tn = Counter(nk for nk, _, _ in raw)
+    ts = Counter(seg for _, seg, _ in raw)
+    w = {cell: 1.0 for cell in samp}
+    for _ in range(3):
+        for nk in sorted({c[0] for c in w}):
+            cur = sum(w[c] * samp[c] for c in sorted(w) if c[0] == nk)
+            for c in w:
+                if c[0] == nk:
+                    w[c] *= tn[nk] / cur
+        for seg in sorted({c[1] for c in w}):
+            cur = sum(w[c] * samp[c] for c in sorted(w) if c[1] == seg)
+            for c in w:
+                if c[1] == seg:
+                    w[c] *= ts[seg] / cur
+    got = {(r.nationkey, r.segment): r for r in
+           REGISTRY["q329_raking_ipf"].fn(spark, SF).collect()}
+    assert set(got) == set(samp)
+    for cell, cnt in samp.items():
+        row = got[cell]
+        assert row.n_sample == cnt
+        assert (row.target_nation, row.target_segment) == (tn[cell[0]], ts[cell[1]])
+        assert math.isclose(row.weight, w[cell], rel_tol=1e-9)
+        assert math.isclose(row.weighted_count, row.weight * cnt, rel_tol=1e-12)
+    # after the final segment step, segment margins are matched EXACTLY
+    # (up to fp) and nation margins nearly (IPF converging)
+    for seg in ts:
+        tot = sum(r.weighted_count for (nk, s), r in got.items() if s == seg)
+        assert math.isclose(tot, ts[seg], rel_tol=1e-9)
+    for nk in tn:
+        tot = sum(r.weighted_count for (n2, s), r in got.items() if n2 == nk)
+        assert math.isclose(tot, tn[nk], rel_tol=0.05)
