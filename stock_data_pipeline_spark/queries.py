@@ -21609,6 +21609,7 @@ def q319_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q320_memorization",
+    headline=True,  # new plan family: directional containment + islands
     oracle="""
     WITH toks AS (
         SELECT doc_id, source,
@@ -21866,6 +21867,7 @@ def q321_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q322_qini_uplift",
+    headline=True,  # new plan family: cell-interval decile assignment
     oracle="""
     WITH base AS (
         SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
@@ -22921,6 +22923,284 @@ def q329_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").alias("weight"),
             (F.col("w") * F.col("s").cast("double")).alias("weighted_count"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 34 (round 5, cont.): curriculum ordering, sketch-vs-exact
+# quantiles, DP-histogram mechanism
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q330_curriculum_interleave",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, least(n_chars // 400, 3) AS bucket
+        FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id)
+                AS BIGINT) AS rank_in_bucket,
+           CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+                * 4 + bucket AS BIGINT) AS position
+    FROM b
+    """,
+    survey_ref="extension: curriculum / interleaved training order — "
+    "the deterministic data-ordering pass before sequence packing "
+    "(q76): difficulty buckets emitted round-robin so every stride of "
+    "4 positions mixes all difficulty levels; a pure rank computation "
+    "(no shuffle beyond the bucket partition), reproducible across "
+    "runs and engines",
+)
+def q330_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document its position in an interleaved curriculum:
+    bucket by length (a difficulty proxy, fixed 400-char strides capped
+    at 4 buckets), rank within each bucket by doc_id, and interleave
+    round-robin — position = (rank−1)·4 + bucket — so consecutive
+    training batches always mix difficulties instead of sweeping easy
+    to hard in one monotone pass (the failure mode interleaving
+    exists to prevent). Every value is an integer; the ordering is a
+    pure function of (doc_id, n_chars).
+
+    Scale: one window per bucket partition (each bucket's rank stream
+    is independent — partition-parallel); no global sort, no shuffle
+    beyond the bucket hash."""
+    doc = load_table(spark, sf_dir, "documents")
+    b = doc.select(
+        "doc_id",
+        F.least(F.expr("n_chars div 400"), F.lit(3)).cast("long").alias("bucket"),
+    )
+    wb = Window.partitionBy("bucket").orderBy("doc_id")
+    rn = F.row_number().over(wb).cast("long")
+    return b.select(
+        "doc_id",
+        "bucket",
+        rn.alias("rank_in_bucket"),
+        ((rn - 1) * 4 + F.col("bucket")).cast("long").alias("position"),
+    )
+
+
+_SQ_SPECS = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10),
+             ("p99", 99, 100)]
+_SQ_SPECS_SQL = ", ".join(f"('{l}', {n}, {d})" for l, n, d in _SQ_SPECS)
+
+
+@register(
+    "q331_sampled_quantiles",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               ({_mix31_sql("l_orderkey * 8 + l_linenumber")}) % 64 = 0
+                   AS in_sample
+        FROM lineitem
+    ), fc AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS ct FROM v GROUP BY 1
+    ), fcum AS (
+        SELECT cents, ct,
+               COALESCE(SUM(ct) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM fc
+    ), fn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    sc AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS ct FROM v
+        WHERE in_sample GROUP BY 1
+    ), scum AS (
+        SELECT cents, ct,
+               COALESCE(SUM(ct) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM sc
+    ), sn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v WHERE in_sample),
+    specs(label, num, den) AS (VALUES {_SQ_SPECS_SQL}),
+    fex AS (
+        SELECT s.label, f.cents AS exact_cents
+        FROM specs s CROSS JOIN fn
+        JOIN fcum f ON f.cb < (s.num * fn.n + s.den - 1) // s.den
+                   AND (s.num * fn.n + s.den - 1) // s.den <= f.cb + f.ct
+    ), sex AS (
+        SELECT s.label, f.cents AS est_cents
+        FROM specs s CROSS JOIN sn
+        JOIN scum f ON f.cb < (s.num * sn.n + s.den - 1) // s.den
+                   AND (s.num * sn.n + s.den - 1) // s.den <= f.cb + f.ct
+    )
+    SELECT fex.label, sn.n AS n_sample, fn.n AS n_total,
+           sex.est_cents, fex.exact_cents,
+           abs(sex.est_cents - fex.exact_cents) AS abs_err_cents,
+           CAST(abs(sex.est_cents - fex.exact_cents) AS DOUBLE)
+               / CAST(fex.exact_cents AS DOUBLE) AS rel_err
+    FROM fex JOIN sex ON fex.label = sex.label
+    CROSS JOIN fn CROSS JOIN sn
+    """,
+    survey_ref="extension: sketch-vs-exact quantile audit — a "
+    "deterministic 1/64 hash sample (the mergeable, coordinator-free "
+    "sampling every quantile sketch reduces to) estimates the quantile "
+    "grid and is scored IN THE SAME PLAN against the exact q304-style "
+    "answer, emitting the absolute and relative error per quantile — "
+    "the accuracy contract a sketch deployment documents",
+)
+def q331_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What error does a 1/64 deterministic hash sample introduce into
+    the price-quantile grid? Both branches use the same exact-rank
+    discipline (per-distinct-value counts, prefix sums, rank r =
+    ⌈q·n⌉ located by cb < r ≤ cb+ct); the sample membership is a
+    portable integer mixer on the row key, so the 'sketch' is
+    reproducible anywhere. Output: estimated vs exact value per
+    quantile with abs/relative error — the audit that justifies (or
+    rejects) replacing q304's two-pass exact scan with a one-pass
+    sample at 100 TB.
+
+    Scale: the sample branch shrinks 64× before its prefix sum; both
+    windows run over distinct values only (q308's shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        (_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+        (
+            F.pmod(
+                _mix31_col(F.col("l_orderkey") * 8 + F.col("l_linenumber")),
+                F.lit(64).cast("long"),
+            )
+            == 0
+        ).alias("in_sample"),
+    )
+
+    def branch(df: DataFrame):
+        c = df.groupBy("cents").agg(F.count("*").cast("long").alias("ct"))
+        wv = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+        cum = c.select(
+            "cents", "ct", F.coalesce(F.sum("ct").over(wv), F.lit(0)).alias("cb")
+        )
+        n = df.agg(F.count("*").cast("long").alias("n"))
+        return cum, n
+
+    fcum, fn = branch(v)
+    scum, sn = branch(v.filter(F.col("in_sample")))
+    specs = spark.createDataFrame(_SQ_SPECS, "label string, num long, den long")
+
+    def locate(cum: DataFrame, n: DataFrame, out: str) -> DataFrame:
+        rank = F.expr("(num * n + den - 1) div den")
+        return (
+            specs.crossJoin(F.broadcast(n))
+            .select("label", rank.alias("rank"))
+            .join(
+                cum,
+                (F.col("cb") < F.col("rank"))
+                & (F.col("rank") <= F.col("cb") + F.col("ct")),
+            )
+            .select("label", F.col("cents").alias(out))
+        )
+
+    fex = locate(fcum, fn, "exact_cents")
+    sex = locate(scum, sn, "est_cents")
+    return (
+        fex.join(sex, "label")
+        .crossJoin(F.broadcast(fn.select(F.col("n").alias("n_total"))))
+        .crossJoin(F.broadcast(sn.select(F.col("n").alias("n_sample"))))
+        .select(
+            "label",
+            "n_sample",
+            "n_total",
+            "est_cents",
+            "exact_cents",
+            F.abs(F.col("est_cents") - F.col("exact_cents")).alias("abs_err_cents"),
+            (
+                F.abs(F.col("est_cents") - F.col("exact_cents")).cast("double")
+                / F.col("exact_cents").cast("double")
+            ).alias("rel_err"),
+        )
+    )
+
+
+def _two_sided_geometric_cum(alpha: float, kmax: int = 8) -> list[str]:
+    """Host-computed CDF thresholds of the two-sided geometric
+    distribution P(K=k) ∝ α^|k| on k ∈ [−kmax, kmax] (the discrete
+    Laplace / geometric mechanism of Ghosh-Roughgarden-Sundararajan),
+    renormalized to the truncated support and emitted as e-notation
+    literals (q309 discipline)."""
+    ks = list(range(-kmax, kmax + 1))
+    mass = [alpha ** abs(k) for k in ks]
+    tot = sum(mass)
+    cum, acc = [], 0.0
+    for m in mass[:-1]:  # last bucket is the ELSE arm
+        acc += m / tot
+        cum.append(f"{acc:.17e}")
+    return cum
+
+
+_DP_ALPHA = 0.36787944117144233  # e^{-1}: two-sided geometric at eps=1
+_DP_CUM = _two_sided_geometric_cum(_DP_ALPHA)
+
+
+def _dp_noise_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k - 8}" for k, c in enumerate(_DP_CUM)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+def _dp_noise_col(u: F.Column) -> F.Column:
+    out = F.lit(8)
+    for k, c in reversed(list(enumerate(_DP_CUM))):
+        out = F.when(u < F.lit(float(c)), F.lit(k - 8)).otherwise(out)
+    return out
+
+
+@register(
+    "q332_dp_histogram",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM customer GROUP BY 1
+    ), u AS (
+        SELECT nationkey, n_true,
+               CAST(({_mix31_sql("nationkey * 7919 + 17")}) AS DOUBLE)
+                   / 2147483648e0 AS uu
+        FROM h
+    )
+    SELECT nationkey, n_true,
+           CAST({_dp_noise_sql("uu")} AS BIGINT) AS noise,
+           CAST(greatest(n_true + {_dp_noise_sql("uu")}, 0) AS BIGINT)
+               AS n_released
+    FROM u
+    """,
+    survey_ref="extension: differential-privacy histogram mechanism — "
+    "the geometric (discrete-Laplace) mechanism of Ghosh et al. at "
+    "ε=1 over per-nation counts, with the noise drawn from a "
+    "DETERMINISTIC portable hash through host-literal inverse-CDF "
+    "thresholds (q309's Poisson trick applied to the two-sided "
+    "geometric) so the released histogram is engine-reproducible; "
+    "n_true is emitted alongside for the oracle/audit — a production "
+    "release would project it away and use a secret seed",
+)
+def q332_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ε=1 geometric mechanism over the customers-per-nation
+    histogram: each count is perturbed by two-sided geometric noise
+    (P(K=k) ∝ e^{−|k|}, truncated at ±8 which carries ~1−1e-7 of the
+    mass) and clamped at zero. The 'randomness' is the q224 integer
+    mixer seeded by the category key, pushed through 16 shared
+    e-notation CDF literals — so both engines release identical
+    histograms, which is what makes the mechanism testable here (a
+    deployment would key the mixer with a secret salt and drop
+    n_true).
+
+    Scale: one map-side-combinable aggregate plus row-local noise —
+    the mechanism adds zero shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    h = cust.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(
+        F.count("*").cast("long").alias("n_true")
+    )
+    uu = _mix31_col(F.col("nationkey") * 7919 + 17).cast("double") / F.lit(
+        2147483648.0
+    )
+    noise = _dp_noise_col(uu).cast("long")
+    return h.select(
+        "nationkey",
+        "n_true",
+        noise.alias("noise"),
+        F.greatest(F.col("n_true") + noise, F.lit(0).cast("long"))
+        .cast("long")
+        .alias("n_released"),
     )
 
 

@@ -821,3 +821,104 @@ def test_raking_matches_python_replay_and_margins(spark):
     for nk in tn:
         tot = sum(r.weighted_count for (n2, s), r in got.items() if n2 == nk)
         assert math.isclose(tot, tn[nk], rel_tol=0.05)
+
+
+# ---------------------------------------------------------------- q330
+
+
+def test_curriculum_interleave_matches_python_replay(spark):
+    docs = _rows(
+        f"SELECT doc_id, n_chars FROM read_parquet('{SF}/documents.parquet')"
+    )
+    buckets: dict[int, list[int]] = {}
+    for doc_id, n_chars in docs:
+        buckets.setdefault(min(n_chars // 400, 3), []).append(doc_id)
+    expected = {}
+    for b, ids in buckets.items():
+        for r, doc_id in enumerate(sorted(ids), 1):
+            expected[doc_id] = (b, r, (r - 1) * 4 + b)
+    got = {r.doc_id: r for r in
+           REGISTRY["q330_curriculum_interleave"].fn(spark, SF).collect()}
+    assert {d: (r.bucket, r.rank_in_bucket, r.position)
+            for d, r in got.items()} == expected
+    # positions are globally unique, and within any aligned stride of 4
+    # the bucket ids are distinct (round-robin property)
+    positions = sorted(r.position for r in got.values())
+    assert len(set(positions)) == len(positions)
+    by_pos = {r.position: r.bucket for r in got.values()}
+    for p, b in by_pos.items():
+        assert p % 4 == b
+
+
+# ---------------------------------------------------------------- q331
+
+
+def test_sampled_quantiles_matches_python_replay(spark):
+    def mix31(u):
+        m = 2147483647
+        a = (u * 48271 + 11) % m
+        b = ((a ^ (a >> 16)) * 69621) % m
+        return b ^ (b >> 16)
+
+    raw = _rows(
+        f"""SELECT l_orderkey, l_linenumber,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM read_parquet('{SF}/lineitem.parquet')"""
+    )
+    full = sorted(c for _, _, c in raw)
+    samp = sorted(c for ok, ln, c in raw if mix31(ok * 8 + ln) % 64 == 0)
+    specs = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10),
+             ("p99", 99, 100)]
+    got = {r.label: r for r in
+           REGISTRY["q331_sampled_quantiles"].fn(spark, SF).collect()}
+    assert set(got) == {l for l, _, _ in specs}
+    for label, num, den in specs:
+        rf = (num * len(full) + den - 1) // den
+        rs = (num * len(samp) + den - 1) // den
+        exact, est = full[rf - 1], samp[rs - 1]
+        row = got[label]
+        assert (row.n_total, row.n_sample) == (len(full), len(samp))
+        assert (row.exact_cents, row.est_cents) == (exact, est)
+        assert row.abs_err_cents == abs(est - exact)
+        assert _close(row.rel_err, abs(est - exact) / exact)
+
+
+# ---------------------------------------------------------------- q332
+
+
+def test_dp_histogram_matches_python_replay(spark):
+    import math as _m
+
+    def mix31(u):
+        m = 2147483647
+        a = (u * 48271 + 11) % m
+        b = ((a ^ (a >> 16)) * 69621) % m
+        return b ^ (b >> 16)
+
+    raw = _rows(
+        f"SELECT CAST(c_nationkey AS BIGINT), COUNT(*) FROM read_parquet('{SF}/customer.parquet') GROUP BY 1"
+    )
+    alpha = _m.exp(-1)
+    ks = list(range(-8, 9))
+    mass = [alpha ** abs(k) for k in ks]
+    tot = sum(mass)
+    got = {r.nationkey: r for r in
+           REGISTRY["q332_dp_histogram"].fn(spark, SF).collect()}
+    assert set(got) == {nk for nk, _ in raw}
+    noises = []
+    for nk, n_true in raw:
+        u = mix31(nk * 7919 + 17) / 2147483648.0
+        acc, noise = 0.0, 8
+        for k, m2 in zip(ks, mass):
+            acc += m2 / tot
+            if u < float(f"{acc:.17e}") and k < 8:
+                noise = k
+                break
+        row = got[nk]
+        assert row.n_true == n_true
+        assert row.noise == noise
+        assert row.n_released == max(n_true + noise, 0)
+        noises.append(noise)
+    # the deterministic draws behave like the mechanism: zero-centred
+    # support actually exercised on both sides
+    assert min(noises) < 0 < max(noises)
