@@ -63,10 +63,18 @@ def ngrams_from_tokens(toks, n: int = 2):
     """
     if n == 1:
         return toks
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    # guard the short-document case EXPLICITLY: sequence(1, 0) is the
+    # DESCENDING array [1, 0] in Spark (not empty), and slice(toks, 0, n)
+    # then throws INVALID_PARAMETER_VALUE.START — so a single < n-token
+    # document would abort the whole job. DuckDB's generate_series(1, 0)
+    # is empty, which is also the correct semantics: zero n-grams.
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_ngrams(text_col, n: int = 2):

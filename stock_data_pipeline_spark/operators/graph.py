@@ -121,6 +121,9 @@ def hits_fixed(
     node domain, not by |edges|). Nodes with no in-edges get authority
     0; no out-edges, hub 0 — surfaced, not dropped.
     """
+    if rounds < 1:
+        raise ValueError("hits_fixed needs rounds >= 1 (authorities are "
+                         "undefined before the first half-step)")
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))

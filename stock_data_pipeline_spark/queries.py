@@ -20645,20 +20645,27 @@ def q311_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(1 - is_f) AS BIGINT) AS nb,
                CAST(SUM((1 - is_f) * q) AS BIGINT) AS sb,
                CAST(SUM((1 - is_f) * q * q) AS BIGINT) AS ssb
-        FROM stats_src GROUP BY 1
+        FROM joined GROUP BY 1
     ), tests AS (
         SELECT brand, na, nb,
                (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
                 - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
                * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
                   - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
-               / (CAST(na * ssa - sa * sa AS DOUBLE)
-                      / CAST(na * na * (na - 1) AS DOUBLE)
-                  + CAST(nb * ssb - sb * sb AS DOUBLE)
-                      / CAST(nb * nb * (nb - 1) AS DOUBLE)) AS z2
+               / ((CAST(na AS DOUBLE) * CAST(ssa AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                      / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)
+                         * CAST(na - 1 AS DOUBLE))
+                  + (CAST(nb AS DOUBLE) * CAST(ssb AS DOUBLE)
+                     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                      / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                         * CAST(nb - 1 AS DOUBLE))) AS z2
         FROM stats
         WHERE na >= 2 AND nb >= 2
-          AND na * ssa - sa * sa + nb * ssb - sb * sb > 0
+          AND CAST(na AS DOUBLE) * CAST(ssa AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+              + CAST(nb AS DOUBLE) * CAST(ssb AS DOUBLE)
+              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0e0
     ), ranked AS (
         SELECT brand, na, nb, z2,
                CASE WHEN z2 <= 1e0 THEN 1e0 ELSE 1e0 / z2 END AS p,
@@ -20676,7 +20683,7 @@ def q311_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(r AS BIGINT) AS p_rank, m AS m_tests,
            r <= COALESCE(kstar, 0) AS discovery
     FROM cut
-    """.replace("FROM stats_src", "FROM joined"),
+    """,
     survey_ref="extension: Benjamini–Hochberg FDR control over a family "
     "of per-brand two-sample tests — the multiple-testing step every "
     "metrics platform needs after q141's single A/B test; p-values are "
@@ -20688,8 +20695,10 @@ def q312_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m simultaneous hypothesis tests (one per part brand: does mean
     order quantity differ between finished 'F' and open 'O' line
     items?) with Benjamini–Hochberg false-discovery-rate control at
-    α = 0.1. Per test, a Welch z² from exact integer sums (n·Σx²−(Σx)²
-    stays BIGINT); the p-value is the two-sided Chebyshev bound
+    α = 0.1. Per test, a Welch z² from exact integer sums; the moment
+    combinations n·Σx²−(Σx)² and n²(n−1) are formed in DOUBLES (the
+    q316 N³ discipline — int64 would overflow once a brand holds ~2.1M
+    rows); the p-value is the two-sided Chebyshev bound
     min(1, 1/z²) — deliberately distribution-free AND transcendental-
     free, so both engines produce bit-identical doubles. BH step-up:
     sort p ascending (brand tiebreak), find the largest rank r with
@@ -20725,21 +20734,17 @@ def q312_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = F.col("sa").cast("double") / F.col("na").cast("double") - F.col(
         "sb"
     ).cast("double") / F.col("nb").cast("double")
-    se2 = (F.col("na") * F.col("ssa") - F.col("sa") * F.col("sa")).cast("double") / (
-        F.col("na") * F.col("na") * (F.col("na") - 1)
-    ).cast("double") + (F.col("nb") * F.col("ssb") - F.col("sb") * F.col("sb")).cast(
-        "double"
-    ) / (F.col("nb") * F.col("nb") * (F.col("nb") - 1)).cast("double")
+    na_d, sa_d, ssa_d = (F.col(c).cast("double") for c in ("na", "sa", "ssa"))
+    nb_d, sb_d, ssb_d = (F.col(c).cast("double") for c in ("nb", "sb", "ssb"))
+    se2 = (na_d * ssa_d - sa_d * sa_d) / (
+        na_d * na_d * (F.col("na") - 1).cast("double")
+    ) + (nb_d * ssb_d - sb_d * sb_d) / (
+        nb_d * nb_d * (F.col("nb") - 1).cast("double")
+    )
     tests = st.filter(
         (F.col("na") >= 2)
         & (F.col("nb") >= 2)
-        & (
-            F.col("na") * F.col("ssa")
-            - F.col("sa") * F.col("sa")
-            + F.col("nb") * F.col("ssb")
-            - F.col("sb") * F.col("sb")
-            > 0
-        )
+        & (na_d * ssa_d - sa_d * sa_d + nb_d * ssb_d - sb_d * sb_d > 0.0)
     ).select("brand", "na", "nb", (delta * delta / se2).alias("z2"))
     p = F.when(F.col("z2") <= 1.0, F.lit(1.0)).otherwise(1.0 / F.col("z2"))
     ranked = tests.select(
@@ -21411,17 +21416,20 @@ def q317_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base GROUP BY 1
     ), pooled AS (
         SELECT list_reduce(list_prepend(CAST(0e0 AS DOUBLE),
-                   list(CAST(a * d AS DOUBLE) / CAST(n AS DOUBLE)
+                   list(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                        / CAST(n AS DOUBLE)
                         ORDER BY brand)), (x, y) -> x + y) AS mh_num,
                list_reduce(list_prepend(CAST(0e0 AS DOUBLE),
-                   list(CAST(b * c AS DOUBLE) / CAST(n AS DOUBLE)
+                   list(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                        / CAST(n AS DOUBLE)
                         ORDER BY brand)), (x, y) -> x + y) AS mh_den
         FROM strata
     )
     SELECT s.brand, s.a AS n_exp_ret, s.b AS n_exp_keep,
            s.c AS n_unexp_ret, s.d AS n_unexp_keep,
-           CASE WHEN s.b * s.c = 0 THEN NULL
-                ELSE CAST(s.a * s.d AS DOUBLE) / CAST(s.b * s.c AS DOUBLE)
+           CASE WHEN s.b = 0 OR s.c = 0 THEN NULL
+                ELSE CAST(s.a AS DOUBLE) * CAST(s.d AS DOUBLE)
+                     / (CAST(s.b AS DOUBLE) * CAST(s.c AS DOUBLE))
            END AS or_stratum,
            p.mh_num, p.mh_den, p.mh_num / p.mh_den AS or_mh
     FROM strata s CROSS JOIN pooled p
@@ -21440,9 +21448,10 @@ def q318_cmh_pooled_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mantel–Haenszel estimator pools them as
     Σ_k(a_k·d_k/n_k) / Σ_k(b_k·c_k/n_k) — robust to brand-level
     confounding that a marginal odds ratio (the q293 trap) absorbs.
-    Per-stratum cells are exact integer conditional sums; each
-    stratum's term is one double division, and the cross-stratum sums
-    fold in brand order on both engines (G doubles, order pinned).
+    Per-stratum cells are exact integer conditional sums; the a·d and
+    b·c products form in DOUBLES (at 100 TB a stratum holds ~2.4e10
+    rows — int64 products would overflow, the q327 discipline), and
+    the cross-stratum sums fold in brand order on both engines.
     Degenerate strata (a zero off-diagonal) report a NULL per-stratum
     OR but still contribute their defined term to the pooled sums —
     exactly why CMH exists.
@@ -21480,10 +21489,12 @@ def q318_cmh_pooled_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pooled = strata.agg(
         _fold(
-            (F.col("a") * F.col("d")).cast("double") / F.col("n").cast("double")
+            F.col("a").cast("double") * F.col("d").cast("double")
+            / F.col("n").cast("double")
         ).alias("mh_num"),
         _fold(
-            (F.col("b") * F.col("c")).cast("double") / F.col("n").cast("double")
+            F.col("b").cast("double") * F.col("c").cast("double")
+            / F.col("n").cast("double")
         ).alias("mh_den"),
     )
     return strata.crossJoin(F.broadcast(pooled)).select(
@@ -21492,10 +21503,10 @@ def q318_cmh_pooled_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("n_exp_keep"),
         F.col("c").alias("n_unexp_ret"),
         F.col("d").alias("n_unexp_keep"),
-        F.when(F.col("b") * F.col("c") == 0, F.lit(None).cast("double"))
+        F.when((F.col("b") == 0) | (F.col("c") == 0), F.lit(None).cast("double"))
         .otherwise(
-            (F.col("a") * F.col("d")).cast("double")
-            / (F.col("b") * F.col("c")).cast("double")
+            F.col("a").cast("double") * F.col("d").cast("double")
+            / (F.col("b").cast("double") * F.col("c").cast("double"))
         )
         .alias("or_stratum"),
         "mh_num",
@@ -21768,12 +21779,14 @@ def _kappa_oracle() -> str:
     ), tot AS (
         SELECT CAST(SUM(n_gold) AS BIGINT) AS n,
                CAST(SUM(n_agree) AS BIGINT) AS agree,
-               CAST(SUM(n_gold * n_pred) AS BIGINT) AS cx
+               list_reduce(list_prepend(CAST(0e0 AS DOUBLE),
+                   list(CAST(n_gold AS DOUBLE) * CAST(n_pred AS DOUBLE)
+                        ORDER BY label)), (x, y) -> x + y) AS cx
         FROM marg
     ), kap AS (
         SELECT n,
                CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
-               CAST(cx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+               cx / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
         FROM tot
     )
     SELECT marg.label, marg.n_gold, marg.n_pred, marg.n_agree,
@@ -21803,8 +21816,9 @@ def q321_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one codegen scan scores every doc (no UDF), one GROUP BY
     (gold, pred) whose cell count is |labels|², then label-row
-    arithmetic. Marginal products stay BIGINT; p_e's n² forms in
-    doubles so the expression survives corpus counts past 3·10⁹."""
+    arithmetic. Marginals stay BIGINT; the marginal PRODUCTS and p_e's
+    n² form in doubles (an int64 product overflows at the same ~3·10⁹
+    corpus bound), summed in pinned label order."""
     from stock_data_pipeline_spark.llm.text import lang_id
 
     doc = load_table(spark, sf_dir, "documents")
@@ -21843,13 +21857,27 @@ def q321_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = marg.agg(
         F.sum("n_gold").cast("long").alias("n"),
         F.sum("n_agree").cast("long").alias("agree"),
-        F.sum(F.col("n_gold") * F.col("n_pred")).cast("long").alias("cx"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("label").alias("label"),
+                        (
+                            F.col("n_gold").cast("double")
+                            * F.col("n_pred").cast("double")
+                        ).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["t"],
+        ).alias("cx"),
     )
     kap = tot.select(
         "n",
         (F.col("agree").cast("double") / F.col("n").cast("double")).alias("po"),
         (
-            F.col("cx").cast("double")
+            F.col("cx")
             / (F.col("n").cast("double") * F.col("n").cast("double"))
         ).alias("pe"),
     )
@@ -22085,7 +22113,11 @@ def q323_label_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: one posexplode shuffle to (label, dim) — map-side
     combinable; the pairwise stage joins |labels|·dims rows on dim,
-    quadratic only in the label count (tiny), never in rows."""
+    quadratic only in the label count (tiny), never in rows. The int64
+    exactness holds while per-label sums stay under ~3·10⁹ in absolute
+    value (n_label·2^quant_bits); past that, lower quant_bits by the
+    excess — cosine is scale-invariant, so coarser quantization only
+    perturbs, never breaks, the similarity."""
     emb = load_table(spark, sf_dir, "embeddings")
     from stock_data_pipeline_spark.llm.clustering import _quantize
 
@@ -22278,18 +22310,11 @@ def q324_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q325_best_of_n",
-    oracle="""
-    WITH scored AS (
-        SELECT least(CAST(floor(
-                   (0.4 * least(len(list_filter(string_split_regex(text, '\\s+'),
-                                    t -> t <> '')) / 100.0, 1.0)
-                    + 0.3 * (len(list_filter(string_split_regex(text, '\\s+'),
-                                 t -> list_contains(['the','and','of','to','a','in','is','it','that','for','on','with','as','at','by'], lower(t))))
-                             / CAST(greatest(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')), 1) AS DOUBLE))
-                    + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                                   / greatest(length(text), 1))) * 16.0
-               ) AS BIGINT), 15) AS bucket
-        FROM documents
+    oracle=f"""
+    WITH scored0 AS ({_Q222_SCORE_SQL}
+    ), scored AS (
+        SELECT least(CAST(floor(score * 16.0) AS BIGINT), 15) AS bucket
+        FROM scored0
     ), bk AS (
         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM scored GROUP BY 1
     ), cum AS (

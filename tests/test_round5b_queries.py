@@ -15,6 +15,7 @@ import math
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from stock_data_pipeline_spark.queries import REGISTRY
 
@@ -922,3 +923,41 @@ def test_dp_histogram_matches_python_replay(spark):
     # the deterministic draws behave like the mechanism: zero-centred
     # support actually exercised on both sides
     assert min(noises) < 0 < max(noises)
+
+
+# ------------------------------------------------- review-pass fixes
+
+
+def test_ngrams_short_document_yields_empty_not_crash(spark):
+    """sequence(1, 0) in Spark is the DESCENDING [1, 0], so an unguarded
+    n-gram build crashes on any sub-n-token document (found in the
+    round-5 self review). The guard must yield ZERO grams — DuckDB
+    generate_series semantics — and leave normal docs untouched."""
+    from stock_data_pipeline_spark.llm import dedup as dd
+    from stock_data_pipeline_spark.llm.text import tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    ).select("doc_id", tokens("text").alias("tk"))
+    out = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", dd.ngrams_from_tokens(F.col("tk"), 8).alias("g")
+        ).collect()
+    }
+    assert out[1] == [] and out[2] == []
+    assert out[3] == [
+        "one two three four five six seven eight",
+        "two three four five six seven eight nine",
+    ]
+
+
+def test_hits_rejects_zero_rounds(spark):
+    from stock_data_pipeline_spark.operators.graph import hits_fixed
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], "src string, dst string, weight long"
+    )
+    with pytest.raises(ValueError, match="rounds"):
+        hits_fixed(edges, rounds=0)
