@@ -4,7 +4,7 @@ cos/sin (`_ptrig_stage`/`_ptrig_ctes`) and erfc (`_erfc_poly` × pexp).
 Two properties, separately:
 1. CROSS-ENGINE BIT-EQUALITY — Spark and DuckDB produce the identical
    double for every phase ratio the engine ever evaluates (exhaustive:
-   all 434 (r, p) pairs with 2 ≤ p ≤ 30, 0 ≤ r < p). This is the
+   all 464 (r, p) pairs with 2 ≤ p ≤ 30, 0 ≤ r < p). This is the
    property the oracles rely on.
 2. SEMANTIC ACCURACY — the Taylor/A&S polynomials track the host's
    libm within their documented bounds (trig ≲ 1e-12 absolute over

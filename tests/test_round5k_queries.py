@@ -149,7 +149,10 @@ def test_permutation_test_matches_python_replay(spark):
     for r in (1, 7, 199):
         sa = na = sb = nb = 0
         for rid, q, _ in raw:
-            if ((rid * 2654435761 + r * 40503) % 4294967296) % 2 == 1:
+            # bit 45 of the squared 31-bit affine hash — affine bits
+            # (low or high) degenerate, see the q369 docstring
+            h1 = (rid * 2654435761 + r * 40503) % 2147483648
+            if (h1 * h1) % 70368744177664 >= 35184372088832:
                 sa += q
                 na += 1
             else:
@@ -164,6 +167,11 @@ def test_permutation_test_matches_python_replay(spark):
     n_tot = ona + onb
     for row in got.values():
         assert abs(row.n_a - n_tot / 2) < 0.1 * n_tot
+    # the permutation null must be non-degenerate: many distinct
+    # labelings → many distinct perm_diff values (the low-bit bug
+    # produced exactly ONE value across all 199 rounds)
+    distinct_diffs = {round(r.perm_diff, 15) for r in got.values()}
+    assert len(distinct_diffs) >= 150
     # a p-value is derivable and in (0, 1]
     p = (1 + sum(r.exceeds for r in got.values())) / 200
     assert 0.0 < p <= 1.0
