@@ -59,11 +59,17 @@ def run() -> tuple[dict, dict]:
     # (observed: a 3 s query stalling to 13 s with all tasks crawling —
     # box-level contention, not the plan; a whole-suite rerun has moved
     # 22.5 s ↔ 29 s with zero code change); the minimum over repeated
-    # runs reflects the plan, not transient load
+    # runs reflects the plan, not transient load. r06 (VERDICT item 3):
+    # besides the min, record per-query median-of-last-3 and the 1-min
+    # loadavg sampled at measurement time, so a reader can separate
+    # contention (loadavg high, median >> min) from plan change
+    # (fingerprint diff non-empty) without a quiet-box rerun.
     timings: dict[str, float] = {}
     plans: dict[str, dict[str, int]] = {}
+    noise: dict[str, dict] = {}
+    loadavg_start = round(os.getloadavg()[0], 2)
     for name, fn in _q.headline_queries().items():
-        best = None
+        runs: list[float] = []
         df = None
         for _ in range(4):
             # time construction + execution: for iterative queries (q66)
@@ -72,9 +78,17 @@ def run() -> tuple[dict, dict]:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        # median of the last 3 runs (first repeat can still carry
+        # residual JIT despite the sf0.001 warmup)
+        median = sorted(runs[1:])[1]
+        noise[name] = {
+            "runs": [round(r, 3) for r in runs],
+            "best": round(min(runs), 3),
+            "median": round(median, 3),
+            "loadavg_1m": round(os.getloadavg()[0], 2),
+        }
         plans[name] = _plan_fingerprint(spark, name, fn, df, sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -84,7 +98,32 @@ def run() -> tuple[dict, dict]:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-    }, plans
+        "median_total": round(sum(n["median"] for n in noise.values()), 3),
+        "loadavg_1m": [loadavg_start, round(os.getloadavg()[0], 2)],
+    }, plans, noise
+
+
+def _fingerprint_diff(
+    old: dict[str, dict[str, int]], new: dict[str, dict[str, int]]
+) -> dict[str, dict]:
+    """Machine-readable plan delta vs the previously committed
+    BENCH_PLANS.json: {query: {counter: [old, new]}} for every changed
+    counter, plus added/removed headliners. Empty dict = every plan is
+    structurally identical to last round, so any wall-clock movement is
+    environment, not code (VERDICT r05, next-round item 3)."""
+    diff: dict[str, dict] = {}
+    for name in sorted(set(old) | set(new)):
+        if name not in old:
+            diff[name] = {"added": new[name]}
+        elif name not in new:
+            diff[name] = {"removed": old[name]}
+        elif old[name] != new[name]:
+            diff[name] = {
+                k: [old[name].get(k), new[name].get(k)]
+                for k in sorted(set(old[name]) | set(new[name]))
+                if old[name].get(k) != new[name].get(k)
+            }
+    return diff
 
 
 # Queries that RUN jobs inside fn() (to-convergence iteration): never
@@ -166,11 +205,35 @@ if __name__ == "__main__":
     # inlined into this line (6 KB, truncated mid-string → unparseable).
     # Fingerprints now go to a committed sidecar file plus an EARLIER
     # stdout line, never the last one.
-    result, plans = run()
-    plans_path = Path(__file__).resolve().parent / "BENCH_PLANS.json"
+    repo = Path(__file__).resolve().parent
+    plans_path = repo / "BENCH_PLANS.json"
+    try:
+        prior_plans = json.loads(plans_path.read_text())
+    except (OSError, ValueError):
+        prior_plans = {}
+    result, plans, noise = run()
+    fp_diff = _fingerprint_diff(prior_plans, plans)
     try:
         plans_path.write_text(json.dumps(plans, indent=1, sort_keys=True) + "\n")
+        (repo / "BENCH_NOISE.json").write_text(
+            json.dumps(
+                {
+                    "sf": result["sf"],
+                    "loadavg_1m": result["loadavg_1m"],
+                    "per_query": noise,
+                    "fingerprint_diff": fp_diff,
+                },
+                indent=1,
+                sort_keys=True,
+            )
+            + "\n"
+        )
     except OSError:
-        pass  # read-only checkout: the stdout line below still carries them
+        pass  # read-only checkout: the stdout lines below still carry them
     print(json.dumps({"plans": plans}))
+    print(json.dumps({"noise": noise, "fingerprint_diff": fp_diff}))
+    # Final line stays compact (driver keeps a ~2 KB stdout tail): the
+    # diff rides along only when it fits, else just its size.
+    diff_json = json.dumps(fp_diff, sort_keys=True)
+    result["fingerprint_diff"] = fp_diff if len(diff_json) <= 300 else len(fp_diff)
     print(json.dumps(result))
