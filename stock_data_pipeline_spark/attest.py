@@ -70,12 +70,31 @@ def build_attestation(spark, sf_dir: str) -> dict:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
-    vanilla = "--vanilla" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    vanilla = "--vanilla" in flags
+    # r05 verdict item 7: an attestation stamped at a non-final commit
+    # (or over uncommitted edits) describes code the judge can't check
+    # out. Refuse a dirty tree unless explicitly overridden, so the
+    # end-of-round refresh is mechanically forced to be the last
+    # commit's literal content.
+    repo_root = Path(__file__).resolve().parent.parent
+    dirty = subprocess.run(
+        ["git", "-C", str(repo_root), "status", "--porcelain", "-uno"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    if dirty and "--allow-dirty" not in flags:
+        print(
+            "attest: refusing to run on a dirty tree (the artifact must "
+            "describe a committed state). Commit first, or pass "
+            "--allow-dirty for a throwaway run:\n" + dirty,
+            file=sys.stderr,
+        )
+        sys.exit(2)
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     # distinct defaults per mode — `--vanilla` without an explicit out
     # path must never silently overwrite the engine attestation
-    default_name = "ORACLE_VANILLA_r05.json" if vanilla else "ORACLE_LOCAL_r05.json"
+    default_name = "ORACLE_VANILLA_r06.json" if vanilla else "ORACLE_LOCAL_r06.json"
     out_path = Path(args[1]) if len(args) > 1 else (
         Path(__file__).resolve().parent.parent / default_name
     )
@@ -97,6 +116,7 @@ if __name__ == "__main__":
         spark = ensure_engine_confs(get_session("oracle-attest", cpus=8))
     att = build_attestation(spark, sf_dir)
     att["session"] = "vanilla (no engine confs — driver-like)" if vanilla else "engine"
+    att["tree_dirty"] = bool(dirty)
     out_path.write_text(json.dumps(att, indent=1, sort_keys=True) + "\n")
     s = att["summary"]
     print(f"wrote {out_path}: {s['match']} MATCH / {s['rows_only']} rows-only / {s['fail']} FAIL")
