@@ -496,3 +496,288 @@ def audio_frame_energy(media: DataFrame, frame_bytes: int = 32) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=AUDIO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Tier-3b: GIF with a REAL LZW codec (r05 verdict item 9 — stdlib only).
+# The synthesizer emits spec-valid GIF89a files (header, logical screen
+# descriptor, 4-entry global color table, image descriptor, variable-
+# width LSB-first LZW stream in 255-byte sub-blocks, trailer); the
+# decoder walks the same container and runs a full GIF-LZW decompressor
+# (code-width growth, CLEAR resets, the prev+first-char unseen-code
+# case). The q394 oracle recomputes every decoded raster byte
+# closed-form from the pixel/palette formulas, so a MATCH certifies the
+# actual LZW round trip. The bit packing is anchored to the spec by a
+# hand-computed bitstream vector in tests/test_gif.py, not just by
+# encoder/decoder self-consistency.
+
+_GIF_NCOLORS = 4  # min LZW code size 2 — width growth kicks in early
+
+
+def _gif_palette(i: int) -> tuple[int, int, int]:
+    return ((i * 53 + 11) % 256, (i * 97 + 23) % 256, (i * 193 + 47) % 256)
+
+
+def _gif_pixel(x: int, y: int) -> int:
+    return (x * 5 + y * 11) % _GIF_NCOLORS
+
+
+def _lzw_encode(pixels: list[int], min_code: int = 2) -> bytes:
+    """GIF-variant LZW: variable code width starting min_code+1,
+    LSB-first bit packing, CLEAR emitted up front and again on table
+    overflow (4096)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return {(i,): i for i in range(1 << min_code)}, eoi + 1, min_code + 1
+
+    table, next_free, width = fresh()
+    emit(clear, width)
+    seq: tuple[int, ...] = ()
+    for s in pixels:
+        cand = seq + (s,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_free
+        next_free += 1
+        # the NEXT emitted code may reference any entry < next_free:
+        # widen as soon as next_free exceeds the current width's range
+        if next_free > (1 << width) and width < 12:
+            width += 1
+        seq = (s,)
+        if next_free == 4096:
+            emit(clear, width)
+            table, next_free, width = fresh()
+    if seq:
+        emit(table[seq], width)
+        # the decoder appends a table entry after this final code too
+        # (it cannot know EOI follows) — mirror its growth check or the
+        # EOI is written one bit narrower than the decoder reads it
+        next_free += 1
+        if next_free > (1 << width) and width < 12:
+            width += 1
+    emit(eoi, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code: int = 2) -> list[int] | None:
+    """Full GIF-LZW decompression (inverse of _lzw_encode, but written
+    against the spec: handles the unseen-code prev+prev[0] case and
+    CLEAR resets). Returns None on malformed streams (code beyond
+    table, missing EOI)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    pos = 0
+    bitbuf = 0
+    nbits = 0
+    out: list[int] = []
+    table: list[tuple[int, ...]] = []
+    width = min_code + 1
+    prev: tuple[int, ...] | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [(i,) for i in range(1 << min_code)] + [(), ()]
+        width = min_code + 1
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return None  # ran out of bits before EOI
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table) or code >= clear:
+                return None  # first code must be a literal
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)  # the KwKwK case
+            table.append(entry)
+        else:
+            return None  # code beyond table: corrupt stream
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        out.extend(entry)
+        prev = entry
+
+
+def synthesize_gif(width: int, height: int) -> bytes:
+    """A spec-valid GIF89a: 4-color global table from _gif_palette,
+    pixel indices from _gif_pixel, REAL LZW-compressed raster in
+    255-byte sub-blocks."""
+    import struct
+
+    gct = b"".join(bytes(_gif_palette(i)) for i in range(_GIF_NCOLORS))
+    # packed: GCT present (0x80) | color resolution 1 (0x10) | GCT size
+    # 2^(1+1)=4 entries (0x01)
+    lsd = struct.pack("<HHBBB", width, height, 0x91, 0, 0)
+    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    pixels = [_gif_pixel(x, y) for y in range(height) for x in range(width)]
+    lzw = _lzw_encode(pixels)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return b"GIF89a" + lsd + gct + img_desc + bytes([2]) + bytes(blocks) + b"\x3B"
+
+
+def decode_gif_raster(data: bytes) -> bytes | None:
+    """Tier-3b real GIF decode (stdlib only): validate the container,
+    read the global color table, reassemble the LZW stream from its
+    sub-blocks, decompress, and palette-map to the top-down row-major
+    RGB raster. Returns None for malformed payloads (bad signature,
+    truncated structures, interlaced or locally-tabled images we never
+    emit, LZW stream errors, pixel-count mismatch)."""
+    import struct
+
+    if len(data) < 13 or data[:6] not in (b"GIF89a", b"GIF87a"):
+        return None
+    width, height, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    if not packed & 0x80:
+        return None  # no global color table
+    ncol = 2 << (packed & 0x07)
+    pos = 13
+    if pos + 3 * ncol > len(data):
+        return None
+    palette = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(ncol)]
+    pos += 3 * ncol
+    if pos >= len(data) or data[pos] != 0x2C:
+        return None  # extensions unsupported (never emitted)
+    if pos + 10 > len(data):
+        return None
+    _, left, top, iw, ih, ipacked = struct.unpack("<BHHHHB", data[pos : pos + 10])
+    pos += 10
+    if (left, top) != (0, 0) or (iw, ih) != (width, height) or ipacked & 0xC0:
+        return None  # offset/interlace/local-table: not ours
+    if pos >= len(data):
+        return None
+    min_code = data[pos]
+    pos += 1
+    if not 2 <= min_code <= 8:
+        return None
+    lzw = bytearray()
+    while True:
+        if pos >= len(data):
+            return None
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            break
+        if pos + n > len(data):
+            return None
+        lzw += data[pos : pos + n]
+        pos += n
+    if pos >= len(data) or data[pos] != 0x3B:
+        return None  # missing trailer
+    indices = _lzw_decode(bytes(lzw), min_code)
+    if indices is None or len(indices) != width * height:
+        return None
+    if any(i >= ncol for i in indices):
+        return None
+    raster = bytearray()
+    for i in indices:
+        raster += bytes(palette[i])
+    return bytes(raster)
+
+
+def synthesize_gifs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media table of REAL GIF files: width = id%11+1,
+    height = id%5+1 (different dimension formulas than the PNG/BMP
+    family so the two tiers can't mask each other)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            payloads = [synthesize_gif(i % 11 + 1, i % 5 + 1) for i in ids]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+GIF_PIXEL_SCHEMA = (
+    "doc_id long, width int, height int, n_raster_bytes long, "
+    "byte_sum long, byte_xor long, pos_weighted_sum long"
+)
+
+
+def decode_gif_pixels(media: DataFrame) -> DataFrame:
+    """Tier-3b decode over the media table: real LZW decompression per
+    payload, reduced to the q301-style exact integer stats (count /
+    sum / xor / position-weighted sum — the last pins byte order, so a
+    wrong code-width rule or palette order cannot match). Undecodable
+    payloads emit NULL stats; only fixed-width integers cross the
+    Arrow boundary back."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "n_raster_bytes",
+                "byte_sum", "byte_xor", "pos_weighted_sum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                raster = decode_gif_raster(data)
+                out["doc_id"].append(doc_id)
+                if raster is None:
+                    for k in ("width", "height", "n_raster_bytes", "byte_sum",
+                              "byte_xor", "pos_weighted_sum"):
+                        out[k].append(None)
+                    continue
+                import struct
+
+                w, h = struct.unpack("<HH", data[6:10])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_raster_bytes"].append(len(raster))
+                out["byte_sum"].append(sum(raster))
+                x = 0
+                for b in raster:
+                    x ^= b
+                out["byte_xor"].append(x)
+                out["pos_weighted_sum"].append(
+                    sum((i + 1) * b for i, b in enumerate(raster))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "n_raster_bytes": pd.array(out["n_raster_bytes"], dtype="Int64"),
+                    "byte_sum": pd.array(out["byte_sum"], dtype="Int64"),
+                    "byte_xor": pd.array(out["byte_xor"], dtype="Int64"),
+                    "pos_weighted_sum": pd.array(out["pos_weighted_sum"], dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=GIF_PIXEL_SCHEMA)

@@ -3917,3 +3917,69 @@ def q301_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_SEP = "\x1f"  # token joiner inside the fold accumulator (not in data)
+
+
+@register(
+    "q394_gif_lzw_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 11 + 1 AS BIGINT) AS w,
+               CAST(doc_id % 5 + 1 AS BIGINT) AS h
+        FROM documents
+    ), byte_idx AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(CAST(0 AS BIGINT), 3 * w * h - 1)) AS idx
+        FROM dims
+    ), vals AS (
+        SELECT doc_id, w, h, idx,
+               (((idx // 3) % w) * 5 + ((idx // 3) // w) * 11) % 4 AS i
+        FROM byte_idx
+    ), px AS (
+        SELECT doc_id, w, h, idx,
+               CASE idx % 3
+                    WHEN 0 THEN (i * 53 + 11) % 256
+                    WHEN 1 THEN (i * 97 + 23) % 256
+                    ELSE (i * 193 + 47) % 256
+               END AS b
+        FROM vals
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_raster_bytes,
+           CAST(SUM(b) AS BIGINT) AS byte_sum,
+           CAST(bit_xor(b) AS BIGINT) AS byte_xor,
+           CAST(SUM((idx + 1) * b) AS BIGINT) AS pos_weighted_sum
+    FROM px GROUP BY doc_id, w, h
+    """,
+    survey_ref="multimodal tier-3b REAL GIF-LZW decode (r05 verdict "
+    "item 9): spec-valid GIF89a containers with a genuine LZW "
+    "compressor on the synthesis side and a full variable-width LZW "
+    "decompressor (code growth, CLEAR resets, KwKwK case) on the "
+    "decode side, stdlib only; the oracle recomputes every decoded "
+    "raster byte closed-form, so a MATCH certifies the codec round "
+    "trip byte-for-byte",
+)
+def q394_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode round trip: every document gets a REAL GIF89a
+    payload (4-color global table, LZW-compressed raster in 255-byte
+    sub-blocks), and the tier-3b decoder must recover the exact
+    top-down RGB raster from the bytes alone — running an actual LZW
+    decompression with variable code widths, not a lookup of the
+    synthesis formula. Verified by content stats (count/sum/xor) plus
+    the position-weighted sum that pins byte order, so a wrong
+    code-width rule, palette order, or row direction cannot match.
+    The LZW bit packing is anchored to the GIF spec by a hand-computed
+    bitstream vector in tests/test_gif.py.
+
+    Scale: same shape as q301 — one mapInPandas pass, only fixed-width
+    integer stats cross the Arrow boundary back; decode of a 100 TB
+    media corpus is embarrassingly parallel over row groups."""
+    from stock_data_pipeline_spark.llm.multimodal import (
+        decode_gif_pixels,
+        synthesize_gifs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_gif_pixels(synthesize_gifs(docs, "doc_id"))
