@@ -3921,6 +3921,7 @@ _BPE_SEP = "\x1f"  # token joiner inside the fold accumulator (not in data)
 
 @register(
     "q394_gif_lzw_decode",
+    headline=True,
     oracle="""
     WITH dims AS (
         SELECT doc_id,

@@ -3667,6 +3667,7 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q391_tpch_q11_important_stock",
+    headline=True,
     oracle=f"""
     WITH {_PARTSUPP_CTE},
     nsupp AS (
