@@ -39,10 +39,27 @@ from stock_data_pipeline_spark import queries as _q  # noqa: E402
 from stock_data_pipeline_spark.session import ensure_engine_confs, get_session  # noqa: E402
 
 
-def run() -> tuple[dict, dict]:
+def _task_cpu_ns(spark) -> int:
+    """Total executor task CPU time (ns) accumulated by this session,
+    summed over all stages in the app status store. CPU time is the
+    contention-immune bench metric (r06 VERDICT item 3): co-tenant load
+    inflates wall-clock up to ±60% on identical code but leaves task
+    CPU nearly flat, so the 2× perf gate keys on this. Per-query cost =
+    delta across the query's runs. The session is created with
+    ``spark.ui.retainedStages`` high enough that no stage is evicted
+    mid-bench (eviction would make deltas undercount)."""
+    sc = spark.sparkContext
+    darr = sc._gateway.new_array(sc._jvm.double, 0)
+    stages = sc._jsc.sc().statusStore().stageList(None, False, False, darr, None)
+    return sum(stages.apply(i).executorCpuTime() for i in range(stages.size()))
+
+
+def run() -> tuple[dict, dict, dict]:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = ensure_engine_confs(get_session("bench"))
+    spark = ensure_engine_confs(
+        get_session("bench", extra_confs={"spark.ui.retainedStages": "50000"})
+    )
 
     # Warm the JVM/codegen paths each query actually uses by running it
     # once at the smallest SF — first execution of higher-order-function
@@ -65,28 +82,36 @@ def run() -> tuple[dict, dict]:
     # contention (loadavg high, median >> min) from plan change
     # (fingerprint diff non-empty) without a quiet-box rerun.
     timings: dict[str, float] = {}
+    cpu_s: dict[str, float] = {}
     plans: dict[str, dict[str, int]] = {}
     noise: dict[str, dict] = {}
     loadavg_start = round(os.getloadavg()[0], 2)
     for name, fn in _q.headline_queries().items():
         runs: list[float] = []
+        cpu_runs: list[float] = []
         df = None
         for _ in range(4):
             # time construction + execution: for iterative queries (q66)
             # the real work happens inside fn() (checkpointed rounds) —
             # timing only the final write would under-report them
             t0 = time.perf_counter()
+            c0 = _task_cpu_ns(spark)
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
+            cpu_runs.append((_task_cpu_ns(spark) - c0) / 1e9)
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
         # median of the last 3 runs (first repeat can still carry
         # residual JIT despite the sf0.001 warmup)
         median = sorted(runs[1:])[1]
+        # CPU: median of the last 3 too — JIT compilation of generated
+        # code rides on the first run's task threads
+        cpu_s[name] = round(sorted(cpu_runs[1:])[1], 3)
         noise[name] = {
             "runs": [round(r, 3) for r in runs],
             "best": round(min(runs), 3),
             "median": round(median, 3),
+            "cpu_runs": [round(c, 3) for c in cpu_runs],
             "loadavg_1m": round(os.getloadavg()[0], 2),
         }
         plans[name] = _plan_fingerprint(spark, name, fn, df, sf_dir)
@@ -98,6 +123,12 @@ def run() -> tuple[dict, dict]:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # keyed by the query's qID prefix (q66_dup_clusters → q66) and
+        # rounded to 2 decimals so the FINAL stdout line stays inside
+        # the driver's ~2 KB tail; full-name full-precision per-run CPU
+        # lives in BENCH_NOISE.json
+        "cpu_s": {n.split("_", 1)[0]: round(v, 2) for n, v in cpu_s.items()},
+        "cpu_total_s": round(sum(cpu_s.values()), 3),
         "median_total": round(sum(n["median"] for n in noise.values()), 3),
         "loadavg_1m": [loadavg_start, round(os.getloadavg()[0], 2)],
     }, plans, noise
@@ -233,7 +264,11 @@ if __name__ == "__main__":
     print(json.dumps({"plans": plans}))
     print(json.dumps({"noise": noise, "fingerprint_diff": fp_diff}))
     # Final line stays compact (driver keeps a ~2 KB stdout tail): the
-    # diff rides along only when it fits, else just its size.
+    # diff rides along only when it fits, else a fixed-shape marker
+    # ({"truncated": N} — a dict either way, r06 ADVICE; the full diff
+    # is always on the earlier stdout line and in BENCH_NOISE.json).
     diff_json = json.dumps(fp_diff, sort_keys=True)
-    result["fingerprint_diff"] = fp_diff if len(diff_json) <= 300 else len(fp_diff)
+    result["fingerprint_diff"] = (
+        fp_diff if len(diff_json) <= 300 else {"truncated": len(fp_diff)}
+    )
     print(json.dumps(result))

@@ -79,8 +79,11 @@ if __name__ == "__main__":
     # end-of-round refresh is mechanically forced to be the last
     # commit's literal content.
     repo_root = Path(__file__).resolve().parent.parent
+    # -uall, not -uno (r06 ADVICE): the queries package imports every
+    # module under it, so an UNTRACKED file can change registry
+    # behavior — it must count as dirty too.
     dirty = subprocess.run(
-        ["git", "-C", str(repo_root), "status", "--porcelain", "-uno"],
+        ["git", "-C", str(repo_root), "status", "--porcelain", "-uall"],
         capture_output=True, text=True,
     ).stdout.strip()
     if dirty and "--allow-dirty" not in flags:

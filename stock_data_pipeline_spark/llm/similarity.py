@@ -99,6 +99,32 @@ def portable_plane_weights(
     return out
 
 
+def xxhash_plane_weights(
+    num_tables: int, num_planes: int, dim: int
+) -> list[list[list[float]]]:
+    """The EXACT weights the hashed (:func:`_plane_weight`) path
+    computes, pre-evaluated driver-side: ``pmod(xxhash64('plane', t,
+    p, i), 2^20) / 2^19 - 1`` via the bit-exact Python port of Spark's
+    xxhash64 (functions/xx64.py, pinned against Spark in
+    tests/test_xx64.py). The weights are a pure function of the
+    indices — data-independent — so embedding them as literals in a
+    DuckDB oracle gives the xxhash64 ANN twin (q29) a full value
+    oracle with zero Spark-side change (r06 VERDICT item 4). Dyadic
+    rationals: ``repr`` round-trips exactly through any SQL parser."""
+    from stock_data_pipeline_spark.functions.xx64 import spark_xxhash64
+
+    return [
+        [
+            [
+                (spark_xxhash64("plane", t, p, i) % (1 << 20)) / float(1 << 19) - 1.0
+                for i in range(dim)
+            ]
+            for p in range(num_planes)
+        ]
+        for t in range(num_tables)
+    ]
+
+
 def _table_signature(vec: Column, table: Column, num_planes: int) -> Column:
     """LSH bucket for one table: ``num_planes`` sign bits of
     ⟨random plane, vec⟩ packed into a long. The per-dimension weight is

@@ -16,9 +16,18 @@ prefix computation into:
 
 The bucket expression must be a non-decreasing function of the
 leading sort key (rows that tie on the full sort key always share a
-bucket, and bucket order equals sort order). It only shapes the
-physical plan — results are bit-identical to the single-task global
-window, so DuckDB oracles written against ``ROW_NUMBER() OVER (ORDER
+bucket, and bucket order equals sort order), with ``order_by`` given
+as plain ascending columns (no ``desc()`` specs — the stitch compares
+bucket aggregates by the same ascending order). Under that contract
+the helpers are bit-identical to the single-task global window —
+including NULLs (r06 ADVICE): a NULL lagged value stays NULL (the
+stitch keys on each bucket's FIRST ROW, not on value nullness), a
+running sum over an all-NULL prefix stays NULL exactly where the
+global window's would, and a NULL bucket key (from a NULL leading
+sort key) is kept via null-safe joins and sorts first, matching
+Spark's ASC NULLS FIRST window order (DuckDB oracles over nullable
+sort keys must spell ``NULLS FIRST`` — its ASC default is NULLS
+LAST). So DuckDB oracles written against ``ROW_NUMBER() OVER (ORDER
 BY ...)`` keep matching unchanged. Bucket-grain choice trades skew
 for offset-table size; callers pick a grain that yields O(100-10k)
 buckets at their data scale.
@@ -38,18 +47,36 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _B = "__rank_bucket"
+_BR = "__rank_bucket_r"
 
 
-def _offsets(df: DataFrame, bucket: Column, agg: Column, off_name: str) -> DataFrame:
+def _stitch(local: DataFrame, offs: DataFrame) -> DataFrame:
+    """Broadcast-join the tiny per-bucket table back onto the local
+    results. NULL-SAFE on the bucket key: a NULL bucket (NULL leading
+    sort key) is a real bucket — Spark windows order ASC NULLS FIRST,
+    so it holds the globally-first rows — and a plain equi-join would
+    silently drop it (r06 ADVICE)."""
+    return local.join(
+        F.broadcast(offs.withColumnRenamed(_B, _BR)),
+        F.col(_B).eqNullSafe(F.col(_BR)),
+    ).drop(_BR)
+
+
+def _offsets(
+    df: DataFrame, bucket: Column, agg: Column, off_name: str, zero: bool = True
+) -> DataFrame:
     """Per-bucket aggregate ``agg`` -> exclusive prefix ``off_name``
-    over buckets in ascending bucket order. One row per non-empty
-    bucket; the unpartitioned window runs over this aggregated table
-    only."""
+    over buckets in ascending (NULLS FIRST) bucket order. One row per
+    non-empty bucket; the unpartitioned window runs over this
+    aggregated table only. ``zero=False`` keeps the first bucket's
+    (and any all-NULL prefix's) offset as SQL NULL instead of 0 — the
+    shape running-sum needs for NULL-faithful stitching."""
     per_bucket = df.withColumn(_B, bucket).groupBy(_B).agg(agg.alias("__bagg"))
     w = Window.orderBy(_B).rowsBetween(Window.unboundedPreceding, -1)
-    return per_bucket.select(
-        _B, F.coalesce(F.sum("__bagg").over(w), F.lit(0)).alias(off_name)
-    )
+    off = F.sum("__bagg").over(w)
+    if zero:
+        off = F.coalesce(off, F.lit(0))
+    return per_bucket.select(_B, off.alias(off_name))
 
 
 def bucketed_row_number(
@@ -63,7 +90,7 @@ def bucketed_row_number(
     )
     offs = _offsets(df, bucket, F.count(F.lit(1)), "__off")
     return (
-        local.join(F.broadcast(offs), _B)
+        _stitch(local, offs)
         .withColumn(out, (F.col("__lrn") + F.col("__off")).cast("long"))
         .drop(_B, "__lrn", "__off")
     )
@@ -78,7 +105,10 @@ def bucketed_running_sum(
 ) -> DataFrame:
     """``SUM(value) OVER (ORDER BY *order_by ROWS UNBOUNDED PRECEDING
     TO CURRENT ROW)`` as ``out``: within-bucket running sum plus the
-    prior buckets' total."""
+    prior buckets' total. NULL-faithful (r06 ADVICE): SQL running SUM
+    is NULL exactly until the first non-NULL value, so the local and
+    offset sides combine additively only where both are non-NULL —
+    never coalescing a legitimate leading-NULL run to 0."""
     local = (
         df.withColumn(_B, bucket)
         .withColumn("__v", value)
@@ -91,10 +121,19 @@ def bucketed_running_sum(
             ),
         )
     )
-    offs = _offsets(df.withColumn("__v", value), bucket, F.sum("__v"), "__off")
+    offs = _offsets(df.withColumn("__v", value), bucket, F.sum("__v"), "__off", zero=False)
+    # SUM-over-prefix algebra: NULL ⊕ x = x, x ⊕ NULL = x, NULL ⊕ NULL
+    # = NULL — i.e. add where both sides saw a value, else pass the one
+    # that did (matches the global window, which ignores NULLs and is
+    # NULL only while NO non-NULL value has been seen yet).
+    combined = (
+        F.when(F.col("__lcum").isNull(), F.col("__off"))
+        .when(F.col("__off").isNull(), F.col("__lcum"))
+        .otherwise(F.col("__lcum") + F.col("__off"))
+    )
     return (
-        local.join(F.broadcast(offs), _B)
-        .withColumn(out, F.col("__lcum") + F.col("__off"))
+        _stitch(local, offs)
+        .withColumn(out, combined)
         .drop(_B, "__v", "__lcum", "__off")
     )
 
@@ -107,15 +146,23 @@ def bucketed_lag(
     out: str = "prev",
 ) -> DataFrame:
     """``LAG(value) OVER (ORDER BY *order_by)`` as ``out``: within-
-    bucket lag, with each bucket's first row stitched to the PREVIOUS
-    non-empty bucket's last value via the tiny bucket table."""
+    bucket lag, with each bucket's FIRST ROW stitched to the previous
+    non-empty bucket's last value via the tiny bucket table.
+
+    The stitch is STRUCTURAL (r06 ADVICE): it keys on per-bucket
+    ``row_number() == 1``, not on the lagged value being NULL — so a
+    mid-bucket row whose predecessor legitimately holds NULL keeps
+    NULL, exactly like the global window. ``max_by`` is null-value-
+    faithful in Spark (returns the value at the max ordering even when
+    that value is NULL), so an all-NULL-tail bucket also hands NULL
+    to the next bucket's first row, matching LAG's offset-1 (not
+    last-non-NULL) semantics."""
+    w_local = Window.partitionBy(_B).orderBy(*order_by)
     local = (
         df.withColumn(_B, bucket)
         .withColumn("__v", value)
-        .withColumn(
-            "__lprev",
-            F.lag("__v").over(Window.partitionBy(_B).orderBy(*order_by)),
-        )
+        .withColumn("__lprev", F.lag("__v").over(w_local))
+        .withColumn("__brn", F.row_number().over(w_local))
     )
     # last value of each bucket = value at the bucket's max sort key
     per_bucket = (
@@ -127,10 +174,13 @@ def bucketed_lag(
     prior = per_bucket.select(
         _B, F.lag("__last").over(Window.orderBy(_B)).alias("__prior_last")
     )
+    stitched = F.when(F.col("__brn") == 1, F.col("__prior_last")).otherwise(
+        F.col("__lprev")
+    )
     return (
-        local.join(F.broadcast(prior), _B)
-        .withColumn(out, F.coalesce(F.col("__lprev"), F.col("__prior_last")))
-        .drop(_B, "__v", "__lprev", "__prior_last")
+        _stitch(local, prior)
+        .withColumn(out, stitched)
+        .drop(_B, "__v", "__lprev", "__brn", "__prior_last")
     )
 
 

@@ -827,12 +827,183 @@ def q25_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs_prefix(doc, "doc_id", "text", n=3, threshold=0.8)
 
 
+def _minhash_xx_oracle(n: int = 3, num_perm: int = 64, bands: int = 16) -> str:
+    """Generate the DuckDB oracle for the xxhash64 MinHash-LSH fast
+    twin (q26): same shingles, Spark's exact xxhash64>>33 shingle hash
+    (functions/xx64.xx64_sql_string_u31 — a generated single-expression
+    SQL port verified bit-exact against Spark), same permutation
+    constants and minima. One semantic note: Spark's band key is
+    ``murmur3(slice)`` while the oracle joins on the slice VALUES
+    themselves — identical candidate sets unless murmur3 collides on
+    distinct slices (the MATCH at both gate scales certifies no
+    collision there; at corpus scale a collision adds ~N²·2⁻³²
+    spurious candidates, which downstream exact verification
+    removes)."""
+    from stock_data_pipeline_spark.functions.xx64 import xx64_sql_string_u31
+    from stock_data_pipeline_spark.llm.dedup import _MERSENNE_31, _perm_constants
+
+    r = num_perm // bands
+    consts = _perm_constants(num_perm)
+    min_cols = ",\n               ".join(
+        f"MIN((h * {a} + {b}) % {_MERSENNE_31}) AS h{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_selects = []
+    for bidx in range(bands):
+        key = " || ',' || ".join(
+            f"CAST(h{j} AS VARCHAR)" for j in range(bidx * r, bidx * r + r)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bidx} AS band_idx, {key} AS band_key FROM sig"
+        )
+    bands_sql = "\n            UNION ALL ".join(band_selects)
+    ngram = " || ' ' || ".join(f"tk[i+{k}]" for k in range(n)).replace("tk[i+0]", "tk[i]")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(tk) - {n - 1}, 0)),
+                                         i -> {ngram})) AS sh
+            FROM toks
+        )
+    ), shh AS (
+        SELECT doc_id, {xx64_sql_string_u31("sh")} AS h
+        FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {min_cols}
+        FROM shh GROUP BY doc_id
+    ), bands AS (
+        {bands_sql}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+def _simhash_xx_oracle(max_hamming: int = 3, bits: int = 64) -> str:
+    """Generate the DuckDB oracle for the xxhash64 SimHash fast twin
+    (q27): vote *i* is bit *i* of Spark's exact xxhash64(token)
+    (generated single-expression SQL, unsigned HUGEINT form — bit i =
+    (u // 2^i) % 2, which equals Spark's arithmetic-shift-and-mask on
+    the signed value for every i). Fingerprints ride as two 32-bit
+    halves like the portable twin's oracle (DuckDB BIGINT << throws on
+    1<<63)."""
+    from stock_data_pipeline_spark.functions.xx64 import xx64_sql_string
+
+    vote_cols = ",\n               ".join(
+        f"SUM(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    lo = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    hi = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << (j - 32)} ELSE 0 END)" for j in range(32, 64))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+        FROM documents
+    ), th AS (
+        SELECT doc_id, {xx64_sql_string("tok")} AS h
+        FROM toks
+    ), sig AS (
+        SELECT doc_id,
+               {vote_cols}
+        FROM th GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id, CAST({lo} AS BIGINT) AS lo, CAST({hi} AS BIGINT) AS hi FROM sig
+    ), blocks AS (
+        SELECT doc_id, 0 AS block_idx, lo % 65536 AS bv FROM fp
+        UNION ALL SELECT doc_id, 1, lo // 65536 FROM fp
+        UNION ALL SELECT doc_id, 2, hi % 65536 FROM fp
+        UNION ALL SELECT doc_id, 3, hi // 65536 FROM fp
+    ), cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM blocks a JOIN blocks b ON a.block_idx = b.block_idx AND a.bv = b.bv
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT cand.id_a, cand.id_b,
+               CAST(bit_count(xor(fa.lo, fb.lo)) + bit_count(xor(fa.hi, fb.hi)) AS INTEGER) AS hamming
+        FROM cand
+        JOIN fp fa ON fa.doc_id = cand.id_a
+        JOIN fp fb ON fb.doc_id = cand.id_b
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+def _ann_lsh_oracle(
+    num_planes: int = 3, num_tables: int = 10, dim: int = 64, k: int = 10,
+    ws: list | None = None,
+) -> str:
+    """Generate the DuckDB oracle for hyperplane-LSH ANN: identical
+    dyadic weight literals are embedded here and in the Spark plan, so
+    signature bits, buckets, candidates, and rerank scores all
+    reproduce exactly. The bucket is Σ sign-bit·2^(planes−1−p) — the
+    same integer Spark's acc*2+bit fold computes. ``ws`` defaults to
+    the portable splitmix weights (q74); q29 passes the
+    xxhash64-derived weights (similarity.xxhash_plane_weights — the
+    exact values Spark's hashed ``_plane_weight`` path computes,
+    pre-evaluated through the bit-exact Python xxhash64 port), giving
+    the fast twin the same full value oracle (r06 VERDICT item 4)."""
+    from stock_data_pipeline_spark.llm.similarity import portable_plane_weights
+
+    if ws is None:
+        ws = portable_plane_weights(num_tables, num_planes, dim)
+    rows = []
+    for t in range(num_tables):
+        for p in range(num_planes):
+            lst = ", ".join(repr(w) for w in ws[t][p])
+            rows.append(f"({t}, {1 << (num_planes - 1 - p)}, [{lst}])")
+    values = ",\n            ".join(rows)
+
+    def bucketed(side: str, idc: str, vc: str) -> str:
+        return f"""
+        SELECT {idc}, table_idx,
+               SUM(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(generate_series(1, {dim}), i -> wv[i] * CAST({vc}[i] AS DOUBLE))),
+                       (a, b) -> a + b) >= 0 THEN pw ELSE 0 END) AS bucket
+        FROM {side} CROSS JOIN w GROUP BY 1, 2"""
+
+    return f"""
+    WITH w(table_idx, pw, wv) AS (
+        VALUES {values}
+    ), c AS (
+        SELECT vec_id AS match_id, embedding AS cv FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), cb AS ({bucketed("c", "match_id", "cv")}
+    ), qb AS ({bucketed("q", "query_id", "qv")}
+    ), cand AS (
+        SELECT DISTINCT query_id, match_id
+        FROM cb JOIN qb ON cb.table_idx = qb.table_idx AND cb.bucket = qb.bucket
+        WHERE query_id <> match_id
+    ), scored AS (
+        SELECT query_id, match_id,
+               {_duck_cos("qv", "cv")} AS score
+        FROM cand JOIN q USING (query_id) JOIN c USING (match_id)
+    )
+    SELECT query_id, match_id, score, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, match_id ASC) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 @register(
     "q26_minhash_lsh",
-    oracle=None,  # xxhash64 has no cross-engine twin → rows-only check;
-    # recall-vs-exact-Jaccard is asserted in tests/test_llm.py instead
+    # full value oracle since r07: Spark's xxhash64 is reproduced as a
+    # generated single-expression DuckDB port (functions/xx64.py) — no
+    # UDF registration, runs on the driver's bare connection
+    oracle=_minhash_xx_oracle(n=3, num_perm=64, bands=16),
     headline=True,
-    survey_ref="extension: MinHash+LSH near-dup candidates",
+    survey_ref="extension: MinHash+LSH near-dup candidates (xxhash64 "
+    "fast path; value-oracled via the SQL xxhash64 port since r07)",
 )
 def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
@@ -841,9 +1012,10 @@ def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q27_simhash_pairs",
-    oracle=None,  # xxhash64-based — rows-only check; q73 is the
-    # portable-hash twin with a FULL value oracle
-    survey_ref="extension: SimHash near-dup (hamming ≤ 3)",
+    oracle=_simhash_xx_oracle(max_hamming=3),  # full value oracle since
+    # r07 via the SQL xxhash64 port; q73 remains the portable-hash twin
+    survey_ref="extension: SimHash near-dup (hamming ≤ 3; xxhash64 "
+    "fast path, value-oracled since r07)",
 )
 def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
@@ -890,10 +1062,17 @@ def q28_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q29_ann_lsh_topk",
-    oracle=None,  # LSH bucketing is hash-seeded (xxhash64) — rows-only;
-    # recall vs q28's exact top-k is asserted in tests/test_llm.py;
-    # q74 is the literal-weight twin with a FULL value oracle
-    survey_ref="extension: hyperplane-LSH ANN (the 100 TB scale path)",
+    # full value oracle since r07: the hashed plane weights are a pure
+    # function of (table, plane, dim) indices, pre-evaluated through
+    # the bit-exact Python xxhash64 port and inlined as dyadic literals
+    # (exactly the q74 oracle shape with the fast path's weights);
+    # recall vs q28's exact top-k additionally asserted in tests
+    oracle=_ann_lsh_oracle(
+        num_planes=3, num_tables=10, dim=64, k=10,
+        ws=similarity.xxhash_plane_weights(10, 3, 64),
+    ),
+    survey_ref="extension: hyperplane-LSH ANN (the 100 TB scale path; "
+    "value-oracled since r07 via pre-evaluated xxhash64 weights)",
 )
 def q29_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN. Parameters calibrated to this fixture's weak
@@ -2406,57 +2585,6 @@ def _simhash_oracle(max_hamming: int = 3, bits: int = 64) -> str:
         JOIN fp fa ON fa.doc_id = cand.id_a
         JOIN fp fb ON fb.doc_id = cand.id_b
     ) WHERE hamming <= {max_hamming}
-    """
-
-
-def _ann_lsh_oracle(num_planes: int = 3, num_tables: int = 10, dim: int = 64, k: int = 10) -> str:
-    """Generate the DuckDB oracle for portable-weight hyperplane-LSH
-    ANN: the identical dyadic weight literals are embedded here and in
-    the Spark plan (similarity.portable_plane_weights), so signature
-    bits, buckets, candidates, and rerank scores all reproduce exactly.
-    The bucket is Σ sign-bit·2^(planes−1−p) — the same integer Spark's
-    acc*2+bit fold computes."""
-    from stock_data_pipeline_spark.llm.similarity import portable_plane_weights
-
-    ws = portable_plane_weights(num_tables, num_planes, dim)
-    rows = []
-    for t in range(num_tables):
-        for p in range(num_planes):
-            lst = ", ".join(repr(w) for w in ws[t][p])
-            rows.append(f"({t}, {1 << (num_planes - 1 - p)}, [{lst}])")
-    values = ",\n            ".join(rows)
-
-    def bucketed(side: str, idc: str, vc: str) -> str:
-        return f"""
-        SELECT {idc}, table_idx,
-               SUM(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                       list_transform(generate_series(1, {dim}), i -> wv[i] * CAST({vc}[i] AS DOUBLE))),
-                       (a, b) -> a + b) >= 0 THEN pw ELSE 0 END) AS bucket
-        FROM {side} CROSS JOIN w GROUP BY 1, 2"""
-
-    return f"""
-    WITH w(table_idx, pw, wv) AS (
-        VALUES {values}
-    ), c AS (
-        SELECT vec_id AS match_id, embedding AS cv FROM embeddings
-    ), q AS (
-        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
-    ), cb AS ({bucketed("c", "match_id", "cv")}
-    ), qb AS ({bucketed("q", "query_id", "qv")}
-    ), cand AS (
-        SELECT DISTINCT query_id, match_id
-        FROM cb JOIN qb ON cb.table_idx = qb.table_idx AND cb.bucket = qb.bucket
-        WHERE query_id <> match_id
-    ), scored AS (
-        SELECT query_id, match_id,
-               {_duck_cos("qv", "cv")} AS score
-        FROM cand JOIN q USING (query_id) JOIN c USING (match_id)
-    )
-    SELECT query_id, match_id, score, rank FROM (
-        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY score DESC, match_id ASC) AS INTEGER) AS rank
-        FROM scored
-    ) WHERE rank <= {k}
     """
 
 

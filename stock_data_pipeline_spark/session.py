@@ -17,10 +17,14 @@ def get_session(
     app_name: str = "stock_data_pipeline_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
     ``SPARK_GRAFT_CPUS`` (driver contract) overrides core count.
+    ``extra_confs``: creation-time confs that cannot be set at runtime
+    (e.g. ``spark.ui.retainedStages`` for the bench's CPU-time
+    accounting) — ignored if a session already exists in-process.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -39,6 +43,8 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
