@@ -263,3 +263,93 @@ def test_stream_dedup_batch_twin_keeps_first(spark):
     )
     got = {r["event_id"]: r["user_id"] for r in stream_dedup(df, ["event_id"]).collect()}
     assert got == {1: 101, 2: 102}
+
+
+def test_stateful_checkpoint_recovery(spark, tmp_path):
+    """Restart recovery for applyInPandasWithState (r06 VERDICT item 8):
+    stop the query, add new source files, restart from the SAME
+    checkpoint — per-user state must carry across the restart (no
+    losses), the already-committed source files must NOT be reprocessed
+    (no dupes), and the final totals must equal the batch twin over all
+    input. This is the day-one 100-TB streaming property: a stateful
+    job that cannot resume its state store is a batch job with extra
+    steps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stock_data_pipeline_spark.streaming.stateful import running_totals_per_user
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def put(name: str, rows: list[tuple[int, float]]) -> None:
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "value": pa.array([r[1] for r in rows], pa.float64()),
+                }
+            ),
+            in_dir / name,
+        )
+
+    def run(query_name: str) -> list:
+        # foreachBatch, not the memory sink: memory does not support
+        # checkpoint recovery (AnalysisException on restart) — exactly
+        # the property under test
+        collected: list = []
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        q = (
+            running_totals_per_user(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _bid: collected.extend(df.collect()))
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return collected
+
+    # phase 1: two files, run to completion, stop
+    put("f1.parquet", [(1, 10.0), (2, 5.0)])
+    put("f2.parquet", [(1, 2.0)])
+    run1 = run("rt_recovery_run1")
+    last1 = {}
+    for r in run1:  # update mode: later rows supersede
+        last1[r["user_id"]] = (r["events_seen"], r["value_sum"])
+    assert last1 == {1: (2, 12.0), 2: (1, 5.0)}
+
+    # phase 2: new files appear while the query is DOWN, then restart
+    # from the same checkpoint
+    put("f3.parquet", [(1, 1.0), (2, 1.0)])
+    put("f4.parquet", [(1, 4.0), (2, 2.0)])
+    run2 = run("rt_recovery_run2")
+
+    # no losses: state resumed, so counts/sums continue from phase 1
+    last2 = {}
+    for r in run2:
+        last2[r["user_id"]] = (r["events_seen"], r["value_sum"])
+    assert last2 == {1: (4, 17.0), 2: (3, 8.0)}
+
+    # no dupes: f1/f2 must not be reprocessed after restart — every
+    # user-1 total emitted in run 2 already includes the full phase-1
+    # state (12.0); a replayed phase-1 file would emit 10.0/12.0 again
+    # or inflate events_seen beyond 4
+    u1_sums = sorted(r["value_sum"] for r in run2 if r["user_id"] == 1)
+    assert u1_sums == [13.0, 17.0]
+    assert all(r["events_seen"] <= 4 for r in run2 if r["user_id"] == 1)
+
+    # batch twin equivalence over the union of all files
+    batch = (
+        spark.read.parquet(str(in_dir))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    twin = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
+    assert twin == last2
