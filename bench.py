@@ -39,27 +39,41 @@ from stock_data_pipeline_spark import queries as _q  # noqa: E402
 from stock_data_pipeline_spark.session import ensure_engine_confs, get_session  # noqa: E402
 
 
-def _task_cpu_ns(spark) -> int:
-    """Total executor task CPU time (ns) accumulated by this session,
-    summed over all stages in the app status store. CPU time is the
-    contention-immune bench metric (r06 VERDICT item 3): co-tenant load
-    inflates wall-clock up to ±60% on identical code but leaves task
-    CPU nearly flat, so the 2× perf gate keys on this. Per-query cost =
-    delta across the query's runs. The session is created with
-    ``spark.ui.retainedStages`` high enough that no stage is evicted
-    mid-bench (eviction would make deltas undercount)."""
-    sc = spark.sparkContext
-    darr = sc._gateway.new_array(sc._jvm.double, 0)
-    stages = sc._jsc.sc().statusStore().stageList(None, False, False, darr, None)
-    return sum(stages.apply(i).executorCpuTime() for i in range(stages.size()))
+def _jvm_pid(spark) -> int:
+    """The local-mode JVM's OS pid, via the PUBLIC RuntimeMXBean name
+    ("pid@host"). The com.sun OperatingSystemMXBean getProcessCpuTime
+    route is blocked by JDK-17 module access through py4j reflection."""
+    name = (
+        spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        .getRuntimeMXBean().getName()
+    )
+    return int(name.split("@")[0])
+
+
+def _jvm_cpu_s(pid: int) -> float:
+    """JVM process CPU seconds (utime+stime, all threads) from
+    /proc/<pid>/stat — the contention-immune bench metric (r06 VERDICT
+    item 3): co-tenant load inflates wall-clock up to ±60% on identical
+    code but leaves CPU consumed nearly flat, so the 2× perf gate keys
+    on this. ~35 µs per sample, O(1).
+
+    Measurement lesson (r07): the first cut summed executorCpuTime over
+    AppStatusStore.stageList — O(retained stages) py4j round-trips per
+    sample, which grew to ~240 ms by late bench and, sitting INSIDE the
+    timed window, inflated total wall ~40% with byte-identical plan
+    fingerprints. Process CPU additionally includes JIT/GC (honest
+    engine cost); Python-worker CPU (Arrow-batched stages) is outside
+    the JVM and not counted — same blind spot stage task-CPU had."""
+    with open(f"/proc/{pid}/stat") as f:
+        parts = f.read().rsplit(") ", 1)[1].split()
+    return (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK")
 
 
 def run() -> tuple[dict, dict, dict]:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = ensure_engine_confs(
-        get_session("bench", extra_confs={"spark.ui.retainedStages": "50000"})
-    )
+    spark = ensure_engine_confs(get_session("bench"))
+    pid = _jvm_pid(spark)
 
     # Warm the JVM/codegen paths each query actually uses by running it
     # once at the smallest SF — first execution of higher-order-function
@@ -95,10 +109,10 @@ def run() -> tuple[dict, dict, dict]:
             # the real work happens inside fn() (checkpointed rounds) —
             # timing only the final write would under-report them
             t0 = time.perf_counter()
-            c0 = _task_cpu_ns(spark)
+            c0 = _jvm_cpu_s(pid)
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            cpu_runs.append((_task_cpu_ns(spark) - c0) / 1e9)
+            cpu_runs.append(_jvm_cpu_s(pid) - c0)
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
         # median of the last 3 runs (first repeat can still carry

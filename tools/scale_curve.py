@@ -47,13 +47,12 @@ SCALES = [
 
 
 def main(out_path: str) -> None:
-    from bench import _task_cpu_ns
+    from bench import _jvm_cpu_s, _jvm_pid
     from stock_data_pipeline_spark.queries import REGISTRY
     from stock_data_pipeline_spark.session import ensure_engine_confs, get_session
 
-    spark = ensure_engine_confs(
-        get_session("scale-curve", extra_confs={"spark.ui.retainedStages": "50000"})
-    )
+    spark = ensure_engine_confs(get_session("scale-curve"))
+    pid = _jvm_pid(spark)
     results: dict[str, dict] = {}
     for name in QUERIES:
         fn = REGISTRY[name].fn
@@ -64,9 +63,9 @@ def main(out_path: str) -> None:
             best_wall, best_cpu = None, None
             for rep in range(3):  # rep 0 = warmup at this scale
                 t0 = time.perf_counter()
-                c0 = _task_cpu_ns(spark)
+                c0 = _jvm_cpu_s(pid)
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                cpu = (_task_cpu_ns(spark) - c0) / 1e9
+                cpu = _jvm_cpu_s(pid) - c0
                 wall = time.perf_counter() - t0
                 if rep == 0:
                     continue
