@@ -256,56 +256,72 @@ def pq_adc_topk(
     scoring a corpus vector is m table lookups instead of a
     full-dimension dot product.
 
-    Plan shape: the per-query distance tables are |Q|·m·k rows (a
-    crossJoin against the BROADCAST k-row codebook — queries never
-    shuffle for table construction); scoring joins the corpus code
-    column to the distance table on the code id. The final fold adds
-    subspace terms in sorted-subspace order (bit-reproducible), and
-    top-k is a (dist, vec_id) window per query.
+    Plan shape (r07 restructure): the per-query distance tables are
+    |Q|·k rows per subspace (a crossJoin against the BROADCAST k-row
+    codebook — queries never shuffle for table construction); the m
+    per-subspace code assignments equi-join on vec_id into ONE N-row
+    code table (co-partitioned — each assignment window already hashed
+    on vec_id), which fans out to |Q|·N scored rows through a single
+    broadcast join on code_0, then picks up the remaining m−1 subspace
+    distances via 1:1 broadcast joins on (query_id, code_s). The ADC
+    sum is plain left-to-right column addition from a 0.0 seed in
+    subspace order — bit-identical to the historical sorted-struct
+    fold, without materializing m·|Q|·N union rows or aggregating
+    |Q|·N groups. Top-k is a (dist, vec_id) window per query.
+
+    Fan-out guard: the code table is explicitly repartitioned to
+    ``defaultParallelism`` partitions before the multiplying join.
+    AQE sizes post-shuffle partitions by SHUFFLE BYTES and cannot see
+    that the next join multiplies every row |Q|-fold — left alone it
+    coalesces the small code exchange to one partition and the entire
+    |Q|·N expansion plus the top-k window's map side runs in a single
+    task (measured r07 at the 10× fixture: one 21 s task holding >half
+    the query's wall). An explicit partition count is exempt from AQE
+    coalescing, and cores-proportional (not bytes-proportional) is the
+    right size for a CPU-bound fan-out stage at any corpus scale.
 
     This is the memory-bound scale path that pairs with q28's exact
     scan and q53's IVF: IVF prunes the candidate set, PQ-ADC makes
     scoring each candidate O(m) lookups on 4-byte codes."""
-    per_s_scores = []
+    codes = None
+    dtabs: list[DataFrame] = []
     for s in range(m):
         pts = _subspace_pts(df, id_col, vec_col, s, sub_dim, quant_bits)
         assigned, cents = _lloyd_rounds(
             pts, k, rounds, train=_train_sample(pts, train_mod)
         )
-        corpus_codes = assigned.filter(F.col("vec_id") % query_mod != 0).select(
-            "vec_id", F.col("cid").alias("code")
+        part = assigned.filter(F.col("vec_id") % query_mod != 0).select(
+            "vec_id", F.col("cid").alias(f"code_{s}")
         )
+        codes = part if codes is None else codes.join(part, "vec_id")
         queries = pts.filter(F.col("vec_id") % query_mod == 0).select(
             F.col("vec_id").alias("query_id"), "qv"
         )
-        dtab = queries.crossJoin(F.broadcast(cents)).select(
-            "query_id",
-            F.col("cid").alias("code"),
-            _sq_dist(F.col("qv"), F.col("cv")).alias("d2"),
-        )
-        # dtab is |Q|·k rows — BROADCAST it; letting this compile to a
-        # sort-merge join would shuffle the whole corpus on a k-valued
-        # key (16 distinct values: maximal skew for zero benefit)
-        per_s_scores.append(
-            corpus_codes.join(F.broadcast(dtab), "code").select(
-                "query_id", "vec_id", F.lit(s).alias("s"), "d2"
+        # |Q|·k rows — BROADCAST at the scoring joins; letting those
+        # compile to sort-merge would shuffle the whole corpus on a
+        # k-valued key (16 distinct values: maximal skew, zero benefit)
+        dtabs.append(
+            queries.crossJoin(F.broadcast(cents)).select(
+                "query_id",
+                F.col("cid").alias(f"code_{s}"),
+                _sq_dist(F.col("qv"), F.col("cv")).alias(f"d2_{s}"),
             )
         )
-    scores = per_s_scores[0]
-    for part in per_s_scores[1:]:
-        scores = scores.unionByName(part)
-    summed = scores.groupBy("query_id", "vec_id").agg(
-        F.aggregate(
-            F.sort_array(F.collect_list(F.struct("s", "d2"))),
-            F.lit(0.0),
-            lambda a, x: a + x["d2"],
-        ).alias("adc_dist")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    expanded = codes.repartition(par, "vec_id").join(
+        F.broadcast(dtabs[0]), f"code_{0}"
     )
+    for s in range(1, m):
+        expanded = expanded.join(F.broadcast(dtabs[s]), ["query_id", f"code_{s}"])
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.col(f"d2_{s}")
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
     return (
-        summed.withColumn("rank", F.row_number().over(w))
+        expanded.withColumn("adc_dist", adc)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("query_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank"))
     )
@@ -369,43 +385,52 @@ def ivf_pq_topk(
         .filter(F.col("__pn") <= nprobe)
         .select("query_id", F.col("cid").alias("list_id"))
     )
-    cand = probed.join(corpus_lists, "list_id").select("query_id", "vec_id")
-
-    per_s_scores = []
+    # r07 restructure (same shape as pq_adc_topk): build ONE N-row
+    # corpus table carrying list_id + all m code columns (every join on
+    # vec_id — co-partitioned after the coarse assignment's exchange),
+    # fan out ONCE through the broadcast probe table, then pick up the
+    # m per-subspace distances via 1:1 broadcast joins. No m-way union,
+    # no |cand|-group collect_list aggregation; the ADC sum is plain
+    # left-to-right addition from a 0.0 seed in subspace order —
+    # bit-identical to the historical sorted-struct fold. The explicit
+    # ``defaultParallelism`` repartition before the probe join is the
+    # fan-out guard: AQE sizes the corpus exchange by bytes and cannot
+    # see the ~|Q|·nprobe/n_lists row multiplication behind the join.
+    corpus_side = corpus_lists
+    dtabs: list[DataFrame] = []
     for s in range(m):
         pts = _subspace_pts(df, id_col, vec_col, s, sub_dim, quant_bits)
         assigned, cents = _lloyd_rounds(
             pts, k, rounds, train=_train_sample(pts, train_mod)
         )
-        codes = assigned.select("vec_id", F.col("cid").alias("code"))
+        corpus_side = corpus_side.join(
+            assigned.select("vec_id", F.col("cid").alias(f"code_{s}")), "vec_id"
+        )
         sub_queries = pts.filter(F.col("vec_id") % query_mod == 0).select(
             F.col("vec_id").alias("query_id"), "qv"
         )
-        dtab = sub_queries.crossJoin(F.broadcast(cents)).select(
-            "query_id",
-            F.col("cid").alias("code"),
-            _sq_dist(F.col("qv"), F.col("cv")).alias("d2"),
+        dtabs.append(
+            sub_queries.crossJoin(F.broadcast(cents)).select(
+                "query_id",
+                F.col("cid").alias(f"code_{s}"),
+                _sq_dist(F.col("qv"), F.col("cv")).alias(f"d2_{s}"),
+            )
         )
-        per_s_scores.append(
-            cand.join(codes, "vec_id")
-            .join(F.broadcast(dtab), ["query_id", "code"])
-            .select("query_id", "vec_id", F.lit(s).alias("s"), "d2")
-        )
-    scores = per_s_scores[0]
-    for part in per_s_scores[1:]:
-        scores = scores.unionByName(part)
-    summed = scores.groupBy("query_id", "vec_id").agg(
-        F.aggregate(
-            F.sort_array(F.collect_list(F.struct("s", "d2"))),
-            F.lit(0.0),
-            lambda a, x: a + x["d2"],
-        ).alias("adc_dist")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    expanded = corpus_side.repartition(par, "vec_id").join(
+        F.broadcast(probed), "list_id"
     )
+    for s in range(m):
+        expanded = expanded.join(F.broadcast(dtabs[s]), ["query_id", f"code_{s}"])
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.col(f"d2_{s}")
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
     return (
-        summed.withColumn("rank", F.row_number().over(w))
+        expanded.withColumn("adc_dist", adc)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("query_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank"))
     )

@@ -322,7 +322,15 @@ def ivf_flat_topk(
 
     corpus_lists = assign(corpus, "match_id", "__mvec", 1)       # each vector in 1 list
     query_probes = assign(queries, "query_id", "__qvec", nprobe)  # each query probes nprobe
-    cands = corpus_lists.join(query_probes, "list_id").select(
+    # Fan-out guard (r07, same as pq_adc_topk): the probe join multiplies
+    # every corpus row by ~|Q|·nprobe/nlist, but AQE sizes the corpus
+    # exchange by its own bytes and would coalesce it to a handful of
+    # tasks that then run the whole exact-cosine rerank. An explicit
+    # cores-proportional partition count is exempt from AQE coalescing.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    cands = corpus_lists.repartition(par, "match_id").join(
+        F.broadcast(query_probes), "list_id"
+    ).select(
         "query_id", "__qvec", "match_id", "__mvec"
     )
     if exclude_self:
