@@ -307,8 +307,16 @@ def pq_adc_topk(
                 _sq_dist(F.col("qv"), F.col("cv")).alias(f"d2_{s}"),
             )
         )
+    # The guard key is COMPOSITE (vec_id, code_0) on purpose: the code
+    # table's join output is already hashpartitioning(vec_id, N), so a
+    # same-key same-count repartition is elided as redundant by the
+    # planner — and the surviving ENSURE_REQUIREMENTS exchanges ARE
+    # AQE-coalescible, which silently re-serializes the fan-out. A
+    # different partitioning expression survives as REPARTITION_BY_NUM,
+    # the one shuffle origin AQE never coalesces (verified in the
+    # executed-plan string; pinned by tests/test_fanout_guard.py).
     par = df.sparkSession.sparkContext.defaultParallelism
-    expanded = codes.repartition(par, "vec_id").join(
+    expanded = codes.repartition(par, "vec_id", f"code_{0}").join(
         F.broadcast(dtabs[0]), f"code_{0}"
     )
     for s in range(1, m):
@@ -416,8 +424,12 @@ def ivf_pq_topk(
                 _sq_dist(F.col("qv"), F.col("cv")).alias(f"d2_{s}"),
             )
         )
+    # Composite guard key (see pq_adc_topk): a bare vec_id repartition
+    # is elided against the upstream vec_id partitioning and the
+    # remaining ENSURE_REQUIREMENTS exchange gets AQE-coalesced;
+    # (vec_id, list_id) survives as non-coalescible REPARTITION_BY_NUM.
     par = df.sparkSession.sparkContext.defaultParallelism
-    expanded = corpus_side.repartition(par, "vec_id").join(
+    expanded = corpus_side.repartition(par, "vec_id", "list_id").join(
         F.broadcast(probed), "list_id"
     )
     for s in range(m):

@@ -325,10 +325,14 @@ def ivf_flat_topk(
     # Fan-out guard (r07, same as pq_adc_topk): the probe join multiplies
     # every corpus row by ~|Q|·nprobe/nlist, but AQE sizes the corpus
     # exchange by its own bytes and would coalesce it to a handful of
-    # tasks that then run the whole exact-cosine rerank. An explicit
-    # cores-proportional partition count is exempt from AQE coalescing.
+    # tasks that then run the whole exact-cosine rerank. The partition
+    # count is explicit (REPARTITION_BY_NUM — the one shuffle origin AQE
+    # never coalesces) and the key is COMPOSITE: a bare match_id
+    # repartition would be elided as redundant against the assignment
+    # window's match_id partitioning, leaving only a coalescible
+    # ENSURE_REQUIREMENTS exchange.
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    cands = corpus_lists.repartition(par, "match_id").join(
+    cands = corpus_lists.repartition(par, "match_id", "list_id").join(
         F.broadcast(query_probes), "list_id"
     ).select(
         "query_id", "__qvec", "match_id", "__mvec"
