@@ -45,3 +45,24 @@ def test_fanout_guard_survives_planning(spark, name):
         "the corpus-side exchange ahead of the row-multiplying broadcast "
         "join is AQE-coalescible again (see module docstring)"
     )
+
+
+@pytest.mark.parametrize("name", GUARDED)
+def test_results_invariant_to_partition_counts(spark, name):
+    """The guard count is ``defaultParallelism`` — a value that DIFFERS
+    across clusters — so the operators' RESULTS must not depend on how
+    many partitions the fan-out runs in (nor on the session's shuffle
+    partition count). Top-k ties break on (distance, vec_id), which
+    makes the output a pure function of the data; this pins that a
+    future edit doesn't sneak partition-dependent state (e.g. a
+    first-row-per-partition seed) into the ANN stack."""
+    fn = REGISTRY[name].fn
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = sorted(map(tuple, fn(spark, SF).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        high = sorted(map(tuple, fn(spark, SF).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert low == high, f"{name}: results depend on the partition count"
