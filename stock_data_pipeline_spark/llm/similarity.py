@@ -301,6 +301,13 @@ def ivf_flat_topk(
     broadcast the result; the plan shape is identical). Assignment is
     one scan with broadcast centroids; the probe join is an equi-join on
     list id — never |corpus|×|queries|.
+
+    Contract: the QUERY side must be broadcastable (|Q|·nprobe rows ×
+    one vector each). The probe join pins ``F.broadcast`` deliberately —
+    the alternative the static planner picks for two unknown-size sides
+    is a sort-merge join shuffling the whole corpus on the nlist-valued
+    list id (maximal skew). A corpus-scale query batch needs a different
+    shape entirely: salt the list id and bucket-join both sides.
     """
     cents = (
         corpus.orderBy(id_col).limit(nlist)
