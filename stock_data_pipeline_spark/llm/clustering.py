@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stock_data_pipeline_spark.llm.fanout import fanout_partitions
 from stock_data_pipeline_spark.llm.similarity import _fold_sum
 
 
@@ -247,6 +248,7 @@ def pq_adc_topk(
     quant_bits: int = 10,
     topk: int = 10,
     train_mod: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance-computation top-k over PQ codes: queries
     (``id % query_mod == 0``) keep their raw (quantized) subvectors;
@@ -282,7 +284,22 @@ def pq_adc_topk(
 
     This is the memory-bound scale path that pairs with q28's exact
     scan and q53's IVF: IVF prunes the candidate set, PQ-ADC makes
-    scoring each candidate O(m) lookups on 4-byte codes."""
+    scoring each candidate O(m) lookups on 4-byte codes.
+
+    Contract (same as :func:`~stock_data_pipeline_spark.llm.similarity.
+    ivf_flat_topk`): the QUERY side must be broadcastable — the per-
+    subspace distance tables are |Q|·k rows each and the scoring joins
+    pin ``F.broadcast`` on them deliberately. ``query_mod`` makes |Q|
+    corpus-PROPORTIONAL (≈N/query_mod), so at billion-vector scale the
+    tables outgrow the broadcast limit; a corpus-scale query batch
+    needs the bucketed shape instead (see
+    :func:`~stock_data_pipeline_spark.llm.similarity.
+    ivf_flat_topk_bucketed` for the pattern: salt the join key, shuffle
+    both sides, broadcast nothing).
+
+    ``num_partitions`` overrides the fan-out guard's partition count
+    (default 2×defaultParallelism via :func:`..fanout.fanout_partitions`;
+    results are partition-count-invariant)."""
     codes = None
     dtabs: list[DataFrame] = []
     for s in range(m):
@@ -315,7 +332,7 @@ def pq_adc_topk(
     # different partitioning expression survives as REPARTITION_BY_NUM,
     # the one shuffle origin AQE never coalesces (verified in the
     # executed-plan string; pinned by tests/test_fanout_guard.py).
-    par = df.sparkSession.sparkContext.defaultParallelism
+    par = fanout_partitions(df, num_partitions)
     expanded = codes.repartition(par, "vec_id", f"code_{0}").join(
         F.broadcast(dtabs[0]), f"code_{0}"
     )
@@ -349,6 +366,7 @@ def ivf_pq_topk(
     quant_bits: int = 10,
     topk: int = 10,
     train_mod: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """The billion-scale ANN production composition: IVF coarse pruning
     + PQ asymmetric-distance scoring (IVF-PQ, Jégou et al. 2011 §V).
@@ -372,6 +390,18 @@ def ivf_pq_topk(
     Determinism: both quantizers use the exact-integer Lloyd rounds
     (q80 discipline); the ADC fold adds subspace terms in sorted order;
     coarse-probe and final top-k ties break on (distance, id).
+
+    Contract (r07 ADVICE): the QUERY side must be broadcastable — the
+    probe table (|Q|·nprobe rows) and the m distance tables (|Q|·k rows
+    each) all pin ``F.broadcast``, and ``query_mod`` makes |Q| grow
+    linearly with the corpus (≈N/query_mod). At the docstring's
+    billion-vector scale those broadcasts exceed the driver/broadcast
+    limit; a corpus-scale query batch needs the bucketed shape
+    (:func:`~stock_data_pipeline_spark.llm.similarity.
+    ivf_flat_topk_bucketed`): salt the list id, shuffle-join both
+    sides, broadcast nothing. ``num_partitions`` overrides the fan-out
+    guard count (default 2×defaultParallelism; results are
+    partition-count-invariant).
     """
     pts_full = df.select(
         F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col), quant_bits).alias("qv")
@@ -428,7 +458,7 @@ def ivf_pq_topk(
     # is elided against the upstream vec_id partitioning and the
     # remaining ENSURE_REQUIREMENTS exchange gets AQE-coalesced;
     # (vec_id, list_id) survives as non-coalescible REPARTITION_BY_NUM.
-    par = df.sparkSession.sparkContext.defaultParallelism
+    par = fanout_partitions(df, num_partitions)
     expanded = corpus_side.repartition(par, "vec_id", "list_id").join(
         F.broadcast(probed), "list_id"
     )

@@ -16,6 +16,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stock_data_pipeline_spark.llm.fanout import fanout_partitions
+
 
 def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -280,35 +282,22 @@ def ann_lsh_topk(
     )
 
 
-def ivf_flat_topk(
+def _ivf_assignments(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    nlist: int = 16,
-    nprobe: int = 4,
-    exclude_self: bool = True,
-) -> DataFrame:
-    """IVF-flat ANN: partition the corpus into ``nlist`` inverted lists
-    by nearest centroid; each query probes only its ``nprobe`` closest
-    lists and reranks exactly inside them. The other classic scale path
-    next to LSH (:func:`ann_lsh_topk`): cost drops from |corpus| to
-    ~|corpus|·nprobe/nlist per query, recall rises with ``nprobe``.
-
-    Centroids here are the first ``nlist`` corpus vectors (deterministic,
-    no RNG/iteration state — production would run k-means|| and
-    broadcast the result; the plan shape is identical). Assignment is
-    one scan with broadcast centroids; the probe join is an equi-join on
-    list id — never |corpus|×|queries|.
-
-    Contract: the QUERY side must be broadcastable (|Q|·nprobe rows ×
-    one vector each). The probe join pins ``F.broadcast`` deliberately —
-    the alternative the static planner picks for two unknown-size sides
-    is a sort-merge join shuffling the whole corpus on the nlist-valued
-    list id (maximal skew). A corpus-scale query batch needs a different
-    shape entirely: salt the list id and bucket-join both sides.
-    """
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    nprobe: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF stage: deterministic first-``nlist`` centroids, each
+    corpus vector assigned to its 1 nearest list, each query to its
+    ``nprobe`` nearest. One scan per side against the BROADCAST
+    centroids (nlist rows — broadcastable at any corpus scale; a
+    production k-means|| result has the same shape). Factored out so
+    :func:`ivf_flat_topk` (broadcast probe) and
+    :func:`ivf_flat_topk_bucketed` (salted shuffle probe) provably
+    share assignment semantics — they differ ONLY in the join shape."""
     cents = (
         corpus.orderBy(id_col).limit(nlist)
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cvec"))
@@ -329,21 +318,12 @@ def ivf_flat_topk(
 
     corpus_lists = assign(corpus, "match_id", "__mvec", 1)       # each vector in 1 list
     query_probes = assign(queries, "query_id", "__qvec", nprobe)  # each query probes nprobe
-    # Fan-out guard (r07, same as pq_adc_topk): the probe join multiplies
-    # every corpus row by ~|Q|·nprobe/nlist, but AQE sizes the corpus
-    # exchange by its own bytes and would coalesce it to a handful of
-    # tasks that then run the whole exact-cosine rerank. The partition
-    # count is explicit (REPARTITION_BY_NUM — the one shuffle origin AQE
-    # never coalesces) and the key is COMPOSITE: a bare match_id
-    # repartition would be elided as redundant against the assignment
-    # window's match_id partitioning, leaving only a coalescible
-    # ENSURE_REQUIREMENTS exchange.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    cands = corpus_lists.repartition(par, "match_id", "list_id").join(
-        F.broadcast(query_probes), "list_id"
-    ).select(
-        "query_id", "__qvec", "match_id", "__mvec"
-    )
+    return corpus_lists, query_probes
+
+
+def _ivf_rerank_topk(cands: DataFrame, k: int, exclude_self: bool) -> DataFrame:
+    """Shared IVF tail: exact cosine over candidate pairs, (score desc,
+    match_id asc) tie-broken top-k per query."""
     if exclude_self:
         cands = cands.filter(F.col("query_id") != F.col("match_id"))
     scored = cands.withColumn("score", cosine(F.col("__qvec"), F.col("__mvec")))
@@ -353,6 +333,130 @@ def ivf_flat_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "score", "rank")
     )
+
+
+def ivf_flat_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """IVF-flat ANN: partition the corpus into ``nlist`` inverted lists
+    by nearest centroid; each query probes only its ``nprobe`` closest
+    lists and reranks exactly inside them. The other classic scale path
+    next to LSH (:func:`ann_lsh_topk`): cost drops from |corpus| to
+    ~|corpus|·nprobe/nlist per query, recall rises with ``nprobe``.
+
+    Centroids here are the first ``nlist`` corpus vectors (deterministic,
+    no RNG/iteration state — production would run k-means|| and
+    broadcast the result; the plan shape is identical). Assignment is
+    one scan with broadcast centroids; the probe join is an equi-join on
+    list id — never |corpus|×|queries|.
+
+    Contract: the QUERY side must be broadcastable (|Q|·nprobe rows ×
+    one vector each). The probe join pins ``F.broadcast`` deliberately —
+    the alternative the static planner picks for two unknown-size sides
+    is a sort-merge join shuffling the whole corpus on the nlist-valued
+    list id (maximal skew). A corpus-scale query batch needs a different
+    shape entirely: salt the list id and bucket-join both sides —
+    implemented as :func:`ivf_flat_topk_bucketed` (r08), which returns
+    the SAME rows with no broadcast on the probe path.
+
+    ``num_partitions`` overrides the fan-out guard's partition count
+    (default 2×defaultParallelism via :func:`.fanout.fanout_partitions`;
+    results are partition-count-invariant).
+    """
+    corpus_lists, query_probes = _ivf_assignments(
+        corpus, queries, id_col, vec_col, nlist, nprobe
+    )
+    # Fan-out guard (r07, same as pq_adc_topk): the probe join multiplies
+    # every corpus row by ~|Q|·nprobe/nlist, but AQE sizes the corpus
+    # exchange by its own bytes and would coalesce it to a handful of
+    # tasks that then run the whole exact-cosine rerank. The partition
+    # count is explicit (REPARTITION_BY_NUM — the one shuffle origin AQE
+    # never coalesces) and the key is COMPOSITE: a bare match_id
+    # repartition would be elided as redundant against the assignment
+    # window's match_id partitioning, leaving only a coalescible
+    # ENSURE_REQUIREMENTS exchange.
+    par = fanout_partitions(corpus, num_partitions)
+    cands = corpus_lists.repartition(par, "match_id", "list_id").join(
+        F.broadcast(query_probes), "list_id"
+    ).select(
+        "query_id", "__qvec", "match_id", "__mvec"
+    )
+    return _ivf_rerank_topk(cands, k, exclude_self)
+
+
+def ivf_flat_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+    n_salt: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """IVF-flat ANN for CORPUS-SCALE query batches (r07 VERDICT item 3):
+    row-identical to :func:`ivf_flat_topk` (shared assignment + rerank
+    helpers, same tie-breaks), but the probe join broadcasts NOTHING —
+    the shape that survives when |Q| is data-sized and
+    ``ivf_flat_topk``'s mandatory ``F.broadcast(query_probes)`` would
+    OOM the driver.
+
+    The naive alternative — a plain shuffle join on ``list_id`` — is
+    the worst join in the engine: the key has only ``nlist`` distinct
+    values, so at most ``nlist`` reducers do all the rerank work and a
+    hot list is a straggler by construction. Instead the list id is
+    SALTED (same discipline as ``operators/skew.salted_join``):
+
+    - corpus rows get ``__salt = pmod(xxhash64(match_id), n_salt)`` —
+      one deterministic sub-key each, NO replication of the big side;
+    - query probes explode ×``n_salt`` (the probe table is the smaller
+      side even when |Q| ≈ |corpus|, since replication is per probe
+      row, i.e. |Q|·nprobe·n_salt ids+vectors);
+    - both sides repartition to an explicit count on the composite
+      ``(list_id, __salt)`` key — REPARTITION_BY_NUM on BOTH inputs, so
+      the sort-merge join reuses the exchanges (no extra
+      ENSURE_REQUIREMENTS shuffle) and AQE can neither coalesce the
+      exchanges ahead of the rerank fan-out (the r07 trap) nor needs
+      its skew-join splitter: key cardinality is ``nlist × n_salt``
+      with each hot list spread uniformly by the corpus-id hash.
+
+    Every (query, corpus) pair sharing a probed list meets exactly
+    once — at the corpus row's salt, which the exploded query side
+    always carries — so the candidate set is exactly
+    ``ivf_flat_topk``'s. ``n_salt`` defaults to ceil(guard partitions /
+    nlist), the smallest spread that can occupy every core; results
+    are invariant to ``n_salt`` and to partition counts (pinned by
+    tests/test_fanout_guard.py-style plan + equality tests).
+    """
+    corpus_lists, query_probes = _ivf_assignments(
+        corpus, queries, id_col, vec_col, nlist, nprobe
+    )
+    par = fanout_partitions(corpus, num_partitions)
+    if n_salt is None:
+        n_salt = max(1, -(-par // nlist))
+    salted_c = corpus_lists.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("match_id")), F.lit(n_salt)).cast("int")
+    )
+    salted_q = query_probes.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(s).cast("int") for s in range(n_salt)])),
+    )
+    cands = (
+        salted_c.repartition(par, "list_id", "__salt")
+        .join(salted_q.repartition(par, "list_id", "__salt"), ["list_id", "__salt"])
+        .select("query_id", "__qvec", "match_id", "__mvec")
+    )
+    return _ivf_rerank_topk(cands, k, exclude_self)
 
 
 def embedding_neardup_pairs(

@@ -1702,10 +1702,18 @@ def q52_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert(existing, updates, ["o_orderkey"])
 
 
-def _ivf_oracle(nlist: int = 16, nprobe: int = 6, k: int = 10) -> str:
+def _ivf_oracle(
+    nlist: int = 16,
+    nprobe: int = 6,
+    k: int = 10,
+    query_pred: str = "vec_id < 5",
+) -> str:
     """DuckDB oracle for IVF-flat ANN — the whole pipeline is
     deterministic (first-nlist centroids, exact cosine folds,
-    tie-broken ranks), so every stage is mechanical ANSI SQL."""
+    tie-broken ranks), so every stage is mechanical ANSI SQL.
+    ``query_pred`` selects the query batch; the oracle is physical-
+    shape-blind, so it also oracles the salted/bucketed probe variant
+    (q395) — the salt provably never changes the candidate set."""
     return f"""
     WITH cents AS (
         SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
@@ -1713,7 +1721,7 @@ def _ivf_oracle(nlist: int = 16, nprobe: int = 6, k: int = 10) -> str:
     ), c AS (
         SELECT vec_id AS match_id, embedding AS cv FROM embeddings
     ), q AS (
-        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE {query_pred}
     ), ca AS (
         SELECT match_id, cv, list_id FROM (
             SELECT match_id, cv, cent_id AS list_id,

@@ -17,10 +17,12 @@ from ._p1_parity_corpus import (
     _dec,
     _duck_cos,
     _duck_tokens,
+    _ivf_oracle,
     _lang_oracle,
     load_events,
     load_table,
     register,
+    similarity,
     text,
 )
 from ._p6_llm_eval import _math, _pln_ctes, _pln_stage
@@ -3854,3 +3856,30 @@ def q393_tpch_q20_promotion_stock(spark: SparkSession, sf_dir: str) -> DataFrame
     return supp.join(
         F.broadcast(cand), supp["s_suppkey"] == cand["ps_suppkey"]
     ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q395_ann_ivf_bucketed",
+    oracle=_ivf_oracle(nlist=16, nprobe=4, k=8, query_pred="vec_id % 7 = 0"),
+    survey_ref="extension: corpus-scale IVF-flat ANN (r07 VERDICT item "
+    "3) — the salted/bucketed probe-join shape that replaces "
+    "ivf_flat_topk's mandatory query-side broadcast when the query "
+    "batch is data-sized; row-identical semantics, so it shares the "
+    "IVF value oracle (the salt never changes the candidate set)",
+)
+def q395_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat top-k with a CORPUS-SCALE query batch (~1/7 of the
+    corpus — far past any broadcastability assumption): exercises
+    ``ivf_flat_topk_bucketed``, whose probe join salts the
+    nlist-valued list id and shuffle-joins both sides behind explicit
+    REPARTITION_BY_NUM exchanges — no broadcast anywhere on the probe
+    path, no corpus shuffle keyed on bare list_id (nlist distinct
+    values = nlist reducers = built-in straggler), AQE-coalesce-proof
+    ahead of the rerank fan-out. Plan shape pinned by
+    tests/test_fanout_guard.py; equality with ivf_flat_topk pinned by
+    tests/test_llm.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 7 == 0)
+    return similarity.ivf_flat_topk_bucketed(
+        emb, queries, k=8, nlist=16, nprobe=4
+    )

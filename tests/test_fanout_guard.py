@@ -22,32 +22,82 @@ coalesces. Two regressions this test pins:
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from stock_data_pipeline_spark.queries import REGISTRY
 
 SF = "/root/testdata/sf0.001"
 
-GUARDED = [
-    "q194_pq_adc_topk",   # llm/clustering.pq_adc_topk
-    "q198_ivf_pq_topk",   # llm/clustering.ivf_pq_topk
-    "q53_ann_ivf_topk",   # llm/similarity.ivf_flat_topk
-]
+# query -> (expected composite guard key, expected number of
+# REPARTITION_BY_NUM exchanges hashing exactly that key). Pinning the
+# KEY, not just the marker (r07 ADVICE): a future unrelated
+# explicit-count repartition elsewhere in a plan would keep a bare
+# "marker present" assertion green while the actual guard ahead of the
+# fan-out join disappears.
+GUARDED = {
+    "q194_pq_adc_topk": (("vec_id", "code_0"), 1),   # llm/clustering.pq_adc_topk
+    "q198_ivf_pq_topk": (("vec_id", "list_id"), 1),  # llm/clustering.ivf_pq_topk
+    "q53_ann_ivf_topk": (("match_id", "list_id"), 1),  # llm/similarity.ivf_flat_topk
+    # bucketed variant (r08): BOTH probe-join inputs carry the guard on
+    # the salted composite key — corpus side and exploded query side.
+    "q395_ann_ivf_bucketed": (("list_id", "__salt"), 2),
+}
 
 
-@pytest.mark.parametrize("name", GUARDED)
+def _guard_exchanges(plan: str, key: tuple[str, ...]) -> int:
+    cols = r",\s*".join(rf"{re.escape(c)}#\d+L?" for c in key)
+    pat = rf"Exchange hashpartitioning\({cols},\s*\d+\), REPARTITION_BY_NUM"
+    return len(re.findall(pat, plan))
+
+
+@pytest.mark.parametrize("name", sorted(GUARDED))
 def test_fanout_guard_survives_planning(spark, name):
+    key, want = GUARDED[name]
     plan = (
         REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "REPARTITION_BY_NUM" in plan, (
-        f"{name}: the fan-out guard repartition was optimized away — "
-        "the corpus-side exchange ahead of the row-multiplying broadcast "
+    got = _guard_exchanges(plan, key)
+    assert got >= want, (
+        f"{name}: expected >= {want} REPARTITION_BY_NUM exchange(s) hashing "
+        f"{key}, found {got} — the fan-out guard repartition was optimized "
+        "away or its key changed; the exchange ahead of the row-multiplying "
         "join is AQE-coalescible again (see module docstring)"
     )
 
 
-@pytest.mark.parametrize("name", GUARDED)
+def test_bucketed_probe_join_broadcasts_nothing(spark):
+    """q395's contract is the ABSENCE of a mandatory broadcast: the
+    STATIC plan (pre-AQE — AQE legitimately converts small sides to
+    broadcast at test scale) must join the salted probe inputs with a
+    shuffle join on (list_id, __salt), and the only static broadcasts
+    are the nlist-row centroid attaches. A corpus shuffle keyed on bare
+    list_id (nlist distinct values) must not exist either."""
+    static = (
+        REGISTRY["q395_ann_ivf_bucketed"]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert re.search(
+        r"SortMergeJoin \[list_id#\d+L?, __salt#\d+", static
+    ) or re.search(
+        r"ShuffledHashJoin \[list_id#\d+L?, __salt#\d+", static
+    ), "probe join is no longer a shuffle join on the salted composite key"
+    # the two centroid attaches are BroadcastNestedLoopJoin (crossJoin of
+    # a broadcast nlist-row side); no BroadcastHashJoin may appear — that
+    # would mean a side of the probe path got a mandatory broadcast back
+    assert "BroadcastHashJoin" not in static, (
+        "static plan re-acquired a mandatory broadcast on the probe path"
+    )
+    assert not re.search(
+        r"Exchange hashpartitioning\(list_id#\d+L?,\s*\d+\)", static
+    ), "corpus shuffles on bare nlist-valued list_id — straggler by construction"
+
+
+@pytest.mark.parametrize("name", sorted(GUARDED))
 def test_results_invariant_to_partition_counts(spark, name):
     """The guard count is ``defaultParallelism`` — a value that DIFFERS
     across clusters — so the operators' RESULTS must not depend on how

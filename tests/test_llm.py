@@ -149,6 +149,30 @@ def test_ivf_recall_vs_exact(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_bucketed_equals_broadcast_shape(spark):
+    """ivf_flat_topk_bucketed is a PHYSICAL variant only: same rows as
+    ivf_flat_topk for any parameterization, invariant to n_salt (the
+    salt spreads the probe join; every candidate pair still meets
+    exactly once, at the corpus row's salt). r07 VERDICT item 3."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 7 == 0)
+    base = sorted(
+        map(tuple, similarity.ivf_flat_topk(emb, queries, k=8, nlist=16, nprobe=4).collect())
+    )
+    assert len(base) > 0
+    for n_salt in (None, 1, 3):
+        got = sorted(
+            map(
+                tuple,
+                similarity.ivf_flat_topk_bucketed(
+                    emb, queries, k=8, nlist=16, nprobe=4, n_salt=n_salt
+                ).collect(),
+            )
+        )
+        assert got == base, f"bucketed shape diverged at n_salt={n_salt}"
+
+
 def test_frame_sampling_shape(spark):
     from stock_data_pipeline_spark.llm import multimodal
 
