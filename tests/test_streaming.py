@@ -353,3 +353,106 @@ def test_stateful_checkpoint_recovery(spark, tmp_path):
     )
     twin = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
     assert twin == last2
+
+
+def test_watermark_eviction_matches_batch_cutoff_twin(spark, tmp_path):
+    """The last untested streaming property (r07 VERDICT item 7): the
+    rows a watermarked APPEND-mode stream DROPS as too-late are exactly
+    the rows a batch twin filtered by the same cutoff drops — i.e. the
+    stream's finalized windows equal tumbling_window_agg over (all rows
+    minus the late arrival), and do NOT equal the batch over all rows.
+
+    Construction (1 h windows, 10 min watermark, maxFilesPerTrigger=1
+    so each file is its own micro-batch and the watermark advances
+    between them). The timing subtlety this pins: a late row merges as
+    long as its window's STATE still exists — eviction happens at the
+    END of the batch in which the watermark first exceeds the window
+    end — so "dropped" means arriving in a batch strictly AFTER the
+    eviction batch (verified empirically before writing this test: the
+    same 00:30 row lands one file earlier and it MERGES):
+    - file 1 fills windows [00:00) and [01:00) and carries a 03:00 row;
+    - file 2 is on-time data only; the watermark entering this batch is
+      02:50, so both early windows are emitted and their state evicted
+      at its end;
+    - file 3 re-delivers a 00:30 row (state gone, watermark 08:50 →
+      DROPPED by the state-store save, no duplicate emission) plus an
+      on-time 09:20 row;
+    - file 4 is a 23:00 sentinel whose only job is to push the final
+      watermark past every compared window end so append mode emits
+      them all (its own never-finalized window is excluded from both
+      sides of the comparison)."""
+    cols = ["ts", "event_type", "value"]
+    files = [
+        [
+            ("2024-01-01 00:10:00", "click", 1.0),
+            ("2024-01-01 00:20:00", "click", 2.0),
+            ("2024-01-01 00:40:00", "view", 3.0),
+            ("2024-01-01 01:10:00", "click", 4.0),
+            ("2024-01-01 03:00:00", "view", 5.0),
+        ],
+        [
+            ("2024-01-01 03:10:00", "view", 6.0),
+            ("2024-01-01 09:00:00", "click", 7.0),
+        ],
+        [
+            ("2024-01-01 00:30:00", "click", 100.0),  # late: dropped
+            ("2024-01-01 09:20:00", "click", 9.0),
+        ],
+        [("2024-01-01 23:00:00", "view", 8.0)],  # watermark sentinel
+    ]
+    src = tmp_path / "src"
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, cols).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append" if i else "overwrite").parquet(str(src))
+        import time as _t
+
+        _t.sleep(1.1)  # FileStreamSource orders batches by mtime
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        tumbling_window_agg(stream, "1 hour", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_eviction")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    "SELECT * FROM wm_eviction WHERE window_start < '2024-01-01 23:00:00'"
+                ).collect(),
+            )
+        )
+    finally:
+        q.stop()
+
+    def batch_twin(rows):
+        df = spark.createDataFrame(rows, cols).withColumn("ts", F.to_timestamp("ts"))
+        return sorted(
+            map(
+                tuple,
+                tumbling_window_agg(df, "1 hour")
+                .filter(F.col("window_start") < "2024-01-01 23:00:00")
+                .collect(),
+            )
+        )
+
+    all_rows = [r for f in files for r in f]
+    kept_rows = [r for r in all_rows if r[2] != 100.0]
+    assert got == batch_twin(kept_rows), (
+        "stream's finalized windows diverge from the batch twin over "
+        "the non-late rows — watermark eviction is not the cutoff filter"
+    )
+    # guard against vacuity: the late row WAS genuinely dropped (a batch
+    # over every row gives a different [00:00) window)
+    assert got != batch_twin(all_rows), (
+        "late row survived eviction — the watermark never dropped it"
+    )
