@@ -105,10 +105,39 @@ def _straggler(spark, before: set[int]) -> dict:
     return worst
 
 
+def _last_sql_id(spark) -> int:
+    try:
+        execs = _rest(spark, "/sql?length=1&offset=0&details=false")
+        return max((e["id"] for e in execs), default=-1)
+    except Exception:
+        return -1
+
+
+def _skew_splits(spark, after_id: int) -> bool:
+    """True iff any SQL execution newer than ``after_id`` ran a
+    skew-split join. Read from the REST planDescription of the WRITE's
+    own QueryExecution — ``df._jdf.queryExecution()`` is a different,
+    never-executed QueryExecution (the noop save plans its own), so its
+    AdaptiveSparkPlan stays isFinalPlan=false and reports the
+    pre-execution template, never the runtime skew decision."""
+    try:
+        execs = _rest(spark, "/sql?length=200&offset=0&details=true&planDescription=true")
+    except Exception:
+        return False
+    for e in execs:
+        if e.get("id", -1) <= after_id:
+            continue
+        plan = e.get("planDescription", "")
+        if "skew=true" in plan or "skewed=" in plan:
+            return True
+    return False
+
+
 def _run(spark, fn, sf_dir: str, pid) -> dict:
     from bench import _jvm_cpu_s
 
     before = _stage_ids(spark)
+    sql_before = _last_sql_id(spark)
     t0 = time.perf_counter()
     c0 = _jvm_cpu_s(pid)
     df = fn(spark, sf_dir)
@@ -117,8 +146,7 @@ def _run(spark, fn, sf_dir: str, pid) -> dict:
         "wall_s": round(time.perf_counter() - t0, 2),
         "cpu_s": round(_jvm_cpu_s(pid) - c0, 2),
         "straggler": _straggler(spark, before),
-        "skew_splits": "skew=true"
-        in df._jdf.queryExecution().executedPlan().toString(),
+        "skew_splits": _skew_splits(spark, sql_before),
     }
     return out
 
