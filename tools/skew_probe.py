@@ -106,8 +106,11 @@ def _straggler(spark, before: set[int]) -> dict:
 
 
 def _last_sql_id(spark) -> int:
+    # /sql returns executions in ASCENDING id order — length=1 would
+    # return the OLDEST (id 0) forever, making every run after the
+    # app's first skew split read as split. Fetch all, take the max.
     try:
-        execs = _rest(spark, "/sql?length=1&offset=0&details=false")
+        execs = _rest(spark, "/sql?length=100000&offset=0&details=false")
         return max((e["id"] for e in execs), default=-1)
     except Exception:
         return -1
@@ -121,7 +124,11 @@ def _skew_splits(spark, after_id: int) -> bool:
     AdaptiveSparkPlan stays isFinalPlan=false and reports the
     pre-execution template, never the runtime skew decision."""
     try:
-        execs = _rest(spark, "/sql?length=200&offset=0&details=true&planDescription=true")
+        # ascending id order again: a small length window would pin to
+        # the app's OLDEST executions and miss the run just finished.
+        execs = _rest(
+            spark, "/sql?length=100000&offset=0&details=true&planDescription=true"
+        )
     except Exception:
         return False
     for e in execs:
