@@ -91,3 +91,115 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join splitting (r08): the probe (tools/skew_probe.py,
+# SKEW_r08.json) measured WHEN Spark's skew splitter can and cannot
+# save a hot-key shuffle join; these tests pin both behaviors so a
+# session-conf or Spark-version change that silently disables the
+# mitigation fails loudly. Synthetic data instead of the .scale
+# fixtures: the shapes (join→agg-on-other-key vs join→agg-on-join-key)
+# are what decide splitting, not the table.
+# ---------------------------------------------------------------------------
+
+_SKEW_CONFS = {
+    # fixture-ratio thresholds: same skew-to-median RATIO production
+    # defaults (256m/64m/5.0) encode, scaled to a ~10 MB test shuffle
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    # production shape: neither side of a 100 TB fact join broadcasts
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _skewed_fact_dim(spark):
+    # 1.9M rows on ONE key + md5 pad so the hot partition's SHUFFLED
+    # bytes stay above threshold after column pruning + lz4 (a constant
+    # key column alone compresses to nothing and can never trip a
+    # byte-based splitter)
+    fact = (
+        spark.range(0, 2_000_000)
+        .withColumn(
+            "k",
+            F.when(F.col("id") < 1_900_000, F.lit(0)).otherwise(F.col("id") % 100),
+        )
+        .withColumn("pad", F.md5(F.col("id").cast("string")))
+    )
+    dim = (
+        spark.range(0, 100)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k") * 2)
+    )
+    return fact, dim
+
+
+def _with_confs(spark, confs):
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return saved
+
+
+def _restore(spark, saved):
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def _final_plan(df) -> str:
+    # collect() executes THIS DataFrame's QueryExecution, so its
+    # AdaptiveSparkPlan is finalized — a noop write would plan its own
+    # QE and leave this one an unexecuted template (the skew-probe bug)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_aqe_skew_split_fires_on_agg_off_join_key(spark):
+    """q01 shape — join on k, aggregate on a DIFFERENT key: nothing
+    downstream reuses the join's hash distribution, so at fixture-ratio
+    thresholds the splitter must fire."""
+    fact, dim = _skewed_fact_dim(spark)
+    saved = _with_confs(spark, _SKEW_CONFS)
+    try:
+        j = (
+            fact.join(dim, "k")
+            .groupBy((F.col("id") % 13).alias("g"))
+            .agg(F.sum(F.length("pad") + F.col("v")).alias("s"))
+        )
+        plan = _final_plan(j)
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        _restore(spark, saved)
+
+
+def test_aqe_skew_split_blocked_by_distribution_reuse(spark):
+    """q90 shape — aggregate ON the join key: hashpartitioning(k)
+    satisfies the final agg's ClusteredDistribution, the exchange is
+    elided, and OptimizeSkewedJoin REVERTS rather than break that
+    reuse. The splitter never fires at ANY threshold (first assert —
+    the trap), and forceOptimizeSkewedJoin=true is the documented
+    mitigation: split anyway, pay one extra exchange (second assert)."""
+    fact, dim = _skewed_fact_dim(spark)
+    saved = _with_confs(spark, _SKEW_CONFS)
+    try:
+        def agg_on_join_key():
+            return (
+                fact.join(dim, "k")
+                .groupBy("k")
+                .agg(F.sum(F.length("pad") + F.col("v")).alias("s"))
+            )
+
+        assert "skew=true" not in _final_plan(agg_on_join_key())
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        try:
+            plan = _final_plan(agg_on_join_key())
+            assert "skew=true" in plan, plan[:2000]
+        finally:
+            spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+    finally:
+        _restore(spark, saved)

@@ -7,10 +7,16 @@ headliners on the zipf(1.2) fixture (tools/make_scale_fixture.py
 - the straggler profile of the worst stage (max task time vs median,
   via the Spark UI REST API — the only place per-task durations live);
 - whether AQE's skew-join splitter fired (``skew=true`` in the final
-  SMJ of the executed plan), both at default thresholds and with the
+  SMJ of the executed plan), at default thresholds, with the
   thresholds scaled to the fixture (a 256 MB skewedPartitionThreshold
   can never trip on a ~100 MB fixture; production data trips it at the
-  SAME ratio these scaled values reproduce).
+  SAME ratio these scaled values reproduce), with broadcast disabled
+  (the production shuffle-join shape), and with
+  ``forceOptimizeSkewedJoin`` — the last matters because plans that
+  aggregate ON the join key (q90: groupBy(l_orderkey) after the
+  l_orderkey SMJ) reuse the join's hash distribution, and
+  OptimizeSkewedJoin reverts rather than break that reuse, so the
+  splitter NEVER fires on them regardless of thresholds.
 
 The queries and their skew exposure:
 - q01/q90: lineitem⋈orders on l_orderkey — the zipf target; SMJ, so
@@ -199,6 +205,21 @@ def main(out_path: str) -> None:
                     spark.conf.set(k, v)
                 row["skewed_smj"] = _run(spark, fn, SKEWED, pid)
                 print(f"{name} [skewed_smj]: {row['skewed_smj']}", flush=True)
+                # aggregate-on-join-key plans (q90 groups by l_orderkey
+                # right after the l_orderkey SMJ) reuse the join's hash
+                # distribution — OptimizeSkewedJoin REVERTS rather than
+                # break that reuse, so the splitter silently never fires
+                # no matter the thresholds. forceOptimizeSkewedJoin=true
+                # is Spark's answer: split anyway, pay one extra
+                # exchange before the final agg.
+                spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+                try:
+                    row["skewed_forced"] = _run(spark, fn, SKEWED, pid)
+                    print(f"{name} [skewed_forced]: {row['skewed_forced']}", flush=True)
+                finally:
+                    spark.conf.set(
+                        "spark.sql.adaptive.forceOptimizeSkewedJoin", "false"
+                    )
             finally:
                 for k, v in saved_b.items():
                     if v is not None:
