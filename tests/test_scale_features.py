@@ -203,3 +203,64 @@ def test_aqe_skew_split_blocked_by_distribution_reuse(spark):
             spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
     finally:
         _restore(spark, saved)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall floors (r08): pinned on the committed RECALL_r08.json
+# artifact (tools/ann_recall.py) — recall that collapses with corpus
+# growth is a silent quality regression no value-hash oracle can catch.
+# Artifact-based so the pins are deterministic; they fire when the
+# artifact is regenerated after an operator change. See SCALE.md §15.
+# ---------------------------------------------------------------------------
+
+
+def _recall_artifact():
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent.parent / "RECALL_r08.json"
+    if not p.exists():
+        import pytest
+
+        pytest.skip("RECALL_r08.json not committed at this checkout")
+    return json.loads(p.read_text())
+
+
+def test_ann_recall_floors_hold_at_every_scale():
+    rec = _recall_artifact()
+    scales = [k for k in rec if not k.startswith("pq_budget")]
+    assert len(scales) >= 2, "need at least two scales to speak about growth"
+    for sf in scales:
+        row = rec[sf]
+        assert row["lsh_q29"] >= 0.80, (sf, row)
+        assert row["ivf_q53"] >= 0.85, (sf, row)
+        # tighter budget (nprobe 4/16) — the floor is lower but must
+        # not erode as cells densify
+        assert row["ivf_bucketed_q395"] >= 0.45, (sf, row)
+
+
+def test_ann_recall_does_not_collapse_with_corpus_growth():
+    """The largest corpus must not lose more than 10 recall points vs
+    the smallest for the budgeted operators (LSH/IVF); PQ-ADC at the
+    fixed 16-bit demo config is EXPECTED to collapse (SCALE.md §15) and
+    is covered by the budget-curve pin instead."""
+    rec = _recall_artifact()
+    scales = sorted(
+        (k for k in rec if not k.startswith("pq_budget")), key=float
+    )
+    lo, hi = rec[scales[0]], rec[scales[-1]]
+    for op in ("lsh_q29", "ivf_q53", "ivf_bucketed_q395"):
+        assert hi[op] >= lo[op] - 0.10, (op, lo[op], hi[op])
+
+
+def test_pq_code_budget_curve_is_monotone():
+    """Recall must RISE steeply with code bits at fixed N — if it
+    doesn't, the ADC ranking plan itself is broken (this is the pin
+    that catches a scorer bug; the 16-bit config's absolute recall is
+    a property of the uniform-random fixture, not of the plan)."""
+    rec = _recall_artifact()
+    curve = rec["pq_budget_curve_sf0.1"]
+    by_bits = [curve[k] for k in sorted(curve, key=lambda s: int(s.rsplit("bits", 1)[1]))]
+    assert by_bits == sorted(by_bits), curve
+    assert by_bits[-1] >= 0.35, curve
+    assert by_bits[-1] > by_bits[0] + 0.25, curve

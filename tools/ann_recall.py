@@ -68,7 +68,10 @@ def main(out_path: str) -> None:
     for sf_dir, sf in SCALES:
         if not Path(sf_dir).exists():
             continue
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # the fixture parquet is a few MB → 2 scan splits; the exact
+        # baselines are CPU-dense per row, so spread the corpus over
+        # the cores first (scan-split granularity, SCALE.md §13)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(64)
         n_corpus = emb.count()
         row: dict = {"corpus_rows": n_corpus}
 
@@ -125,7 +128,7 @@ def main(out_path: str) -> None:
     # (m × log2 k); if it doesn't, the ADC plan itself is broken —
     # that's the regression this section lets tests pin without
     # pretending the 16-bit q194 demo config is a quality operator.
-    emb = spark.read.parquet(f"{SCALES[1][0]}/embeddings.parquet")
+    emb = spark.read.parquet(f"{SCALES[1][0]}/embeddings.parquet").repartition(64)
     exact_l2 = _pairs(
         similarity.quantized_prefix_topk(emb, n_dims=64, k=10, query_mod=97, quant_bits=10)
     )
