@@ -97,7 +97,7 @@ if __name__ == "__main__":
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     # distinct defaults per mode — `--vanilla` without an explicit out
     # path must never silently overwrite the engine attestation
-    default_name = "ORACLE_VANILLA_r07.json" if vanilla else "ORACLE_LOCAL_r07.json"
+    default_name = "ORACLE_VANILLA_r08.json" if vanilla else "ORACLE_LOCAL_r08.json"
     out_path = Path(args[1]) if len(args) > 1 else (
         Path(__file__).resolve().parent.parent / default_name
     )
