@@ -38,6 +38,18 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # SCALE.md §14 / SKEW_r08.json: plans that aggregate ON the join
+        # key (q90 shape) reuse the join's hash distribution, the planner
+        # elides the exchange between join and agg, and OptimizeSkewedJoin
+        # REVERTS rather than break that reuse — so without force the
+        # designed skew mitigation silently never fires on exactly the
+        # plans that reuse partitioning hardest. Force trades one extra
+        # exchange for the split, and only acts at all once AQE has
+        # already judged a partition skewed (factor x median AND above
+        # the byte threshold) — at that point a straggler owning a
+        # zipf-head key costs far more than the exchange. No-op on
+        # non-skewed runs and below-threshold local tests.
+        .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -181,9 +181,11 @@ def test_aqe_skew_split_blocked_by_distribution_reuse(spark):
     """q90 shape — aggregate ON the join key: hashpartitioning(k)
     satisfies the final agg's ClusteredDistribution, the exchange is
     elided, and OptimizeSkewedJoin REVERTS rather than break that
-    reuse. The splitter never fires at ANY threshold (first assert —
-    the trap), and forceOptimizeSkewedJoin=true is the documented
-    mitigation: split anyway, pay one extra exchange (second assert)."""
+    reuse. The splitter never fires at ANY threshold without force
+    (first assert — the trap, demonstrated with force explicitly off),
+    and forceOptimizeSkewedJoin=true — the ENGINE DEFAULT since r08,
+    see session.py — is the mitigation: split anyway, pay one extra
+    exchange (second assert)."""
     fact, dim = _skewed_fact_dim(spark)
     saved = _with_confs(spark, _SKEW_CONFS)
     try:
@@ -194,15 +196,27 @@ def test_aqe_skew_split_blocked_by_distribution_reuse(spark):
                 .agg(F.sum(F.length("pad") + F.col("v")).alias("s"))
             )
 
-        assert "skew=true" not in _final_plan(agg_on_join_key())
-        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
         try:
-            plan = _final_plan(agg_on_join_key())
-            assert "skew=true" in plan, plan[:2000]
+            assert "skew=true" not in _final_plan(agg_on_join_key())
         finally:
-            spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+            spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        plan = _final_plan(agg_on_join_key())
+        assert "skew=true" in plan, plan[:2000]
     finally:
         _restore(spark, saved)
+
+
+def test_engine_default_forces_skew_split_through_distribution_reuse(spark):
+    """The session factory must ship forceOptimizeSkewedJoin=true (the
+    SKEW_r08 mitigation) — a conf or factory regression re-opens the
+    q90-shape trap at 100 TB while every fixture-scale run stays green."""
+    from stock_data_pipeline_spark.session import get_session
+
+    assert (
+        get_session().conf.get("spark.sql.adaptive.forceOptimizeSkewedJoin")
+        == "true"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -172,6 +172,12 @@ def main(out_path: str) -> None:
     spark = ensure_engine_confs(
         get_session("skew-probe", extra_confs={"spark.ui.enabled": "true"})
     )
+    # the engine ships forceOptimizeSkewedJoin=true by default (the
+    # mitigation this probe's own r08 findings motivated — SCALE.md
+    # §14); the probe measures the UNMITIGATED baseline first, so run
+    # every pass except `_forced` with force explicitly off and restore
+    # the engine default on exit.
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
     pid = _jvm_pid(spark)
     results: dict[str, dict] = {}
     for name in QUERIES:
@@ -245,6 +251,7 @@ def main(out_path: str) -> None:
         cand_counts[label] = n
         print(f"jaccard pairs [{label}]: {n}", flush=True)
     results["_jaccard_pair_counts"] = cand_counts
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
     Path(out_path).write_text(json.dumps(results, indent=1, sort_keys=True) + "\n")
     print(f"wrote {out_path}")
 
