@@ -1,0 +1,156 @@
+"""Shuffle-volume scaling probe (r08): the SCALE.md §13 curve measures
+CPU growth exponents; this measures the BYTES each query moves — the
+quantity that actually saturates a 1000-executor cluster's network and
+disks at 100 TB. Per query per scale (sf0.01 / 0.1 / 0.3 / 1) it sums,
+over the stages that execution actually ran:
+
+- ``shuffleWriteBytes`` / ``shuffleReadBytes``: total exchange volume.
+  The growth exponent beta = log(bytes_hi/bytes_lo)/log(sf_hi/sf_lo)
+  is the scale claim: beta ~ 1 means shuffle grows with input (fine —
+  bandwidth provisioning is linear); beta >> 1 means the plan
+  AMPLIFIES data into its exchanges (a pair-join leaking toward N², a
+  fan-out ahead of a shuffle) and will saturate the fabric long before
+  the CPUs — a class of bug a CPU curve can miss when the per-row work
+  is cheap.
+- ``inputBytes``: scan volume after column pruning. beta_input should
+  track the fixture's own growth; a jump means pruning/pushdown broke.
+- ``memoryBytesSpilled`` / ``diskBytesSpilled``: any non-zero spill at
+  fixture scale flags a partition-sizing problem 1000× early.
+
+Bytes are plan-deterministic (unlike wall/CPU they don't need
+best-of-N under host load), so one measured run per (query, scale).
+Stage metrics come from the Spark UI REST API — stages with reused
+(skipped) shuffle outputs correctly don't re-count, so the sums
+reflect work actually performed.
+
+Usage: python tools/shuffle_probe.py [out.json]
+(expects .scale/sf0.3 and .scale/sf1 from tools/make_scale_fixture.py)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# the §13 cost tail plus the join-heavy / ANN shapes whose exchanges
+# are the scale risk the probe exists to bound
+QUERIES = [
+    "q66_dup_clusters",
+    "q194_pq_adc_topk",
+    "q54_minhash_lsh_verified",
+    "q26_minhash_lsh",
+    "q25_jaccard_pairs",
+    "q322_qini_uplift",
+    "q379_cox_ph",
+    "q245_ks_test",
+    "q01_sector_calculated_price",
+    "q02_pricing_summary",
+    "q90_shipping_priority",
+    "q81_range_join",
+    "q53_ann_ivf_topk",
+    "q395_ann_ivf_bucketed",
+]
+
+SCALES = [
+    ("/root/testdata/sf0.01", 0.01),
+    ("/root/testdata/sf0.1", 0.1),
+    (".scale/sf0.3", 0.3),
+    (".scale/sf1", 1.0),
+]
+
+FIELDS = [
+    "shuffleWriteBytes",
+    "shuffleReadBytes",
+    "inputBytes",
+    "memoryBytesSpilled",
+    "diskBytesSpilled",
+]
+
+
+def _rest(spark, path: str):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}{path}", timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _completed(spark) -> list[dict]:
+    try:
+        return _rest(spark, "/stages?status=complete")
+    except Exception:
+        return []
+
+
+def _measure(spark, fn, sf_dir: str) -> dict:
+    before = {s["stageId"] for s in _completed(spark)}
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    sums = dict.fromkeys(FIELDS, 0)
+    for st in _completed(spark):
+        if st["stageId"] in before:
+            continue
+        for f in FIELDS:
+            sums[f] += st.get(f, 0)
+    return sums
+
+
+def _alphas(per_scale: dict[str, dict], field: str) -> dict[str, float]:
+    keys = sorted(per_scale, key=float)
+    out = {}
+    for lo, hi in zip(keys, keys[1:]):
+        b_lo, b_hi = per_scale[lo][field], per_scale[hi][field]
+        # below ~1 MB the constant-size side of a broadcast/dim join
+        # dominates and the ratio is framework noise, not a law
+        if b_lo > 1 << 20 and b_hi > 0:
+            out[f"{lo}->{hi}"] = round(
+                math.log(b_hi / b_lo) / math.log(float(hi) / float(lo)), 2
+            )
+    return out
+
+
+def main(out_path: str) -> None:
+    from stock_data_pipeline_spark.queries import REGISTRY
+    from stock_data_pipeline_spark.session import ensure_engine_confs, get_session
+
+    spark = ensure_engine_confs(
+        get_session("shuffle-probe", extra_confs={"spark.ui.enabled": "true"})
+    )
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        fn = REGISTRY[name].fn
+        per_scale: dict[str, dict] = {}
+        for sf_dir, sf in SCALES:
+            if not Path(sf_dir).exists():
+                continue
+            m = _measure(spark, fn, sf_dir)
+            per_scale[str(sf)] = m
+            print(
+                f"{name} sf={sf}: shufW {m['shuffleWriteBytes']>>10} KiB "
+                f"in {m['inputBytes']>>10} KiB spill "
+                f"{(m['memoryBytesSpilled'] + m['diskBytesSpilled'])>>10} KiB",
+                flush=True,
+            )
+        results[name] = {
+            "scales": per_scale,
+            "beta_shuffle_write": _alphas(per_scale, "shuffleWriteBytes"),
+            "beta_input": _alphas(per_scale, "inputBytes"),
+            "spilled": any(
+                s["memoryBytesSpilled"] or s["diskBytesSpilled"]
+                for s in per_scale.values()
+            ),
+        }
+        print(
+            f"{name} beta_shuffle: {results[name]['beta_shuffle_write']} "
+            f"beta_input: {results[name]['beta_input']}",
+            flush=True,
+        )
+    Path(out_path).write_text(json.dumps(results, indent=1, sort_keys=True) + "\n")
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "SHUFFLE_r08.json")
