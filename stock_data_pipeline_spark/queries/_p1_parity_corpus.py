@@ -123,16 +123,31 @@ def _dec(col) -> F.Column:
 def q01_sector_calculated_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship J1 analog: per-date weighted price Σ(price×qty)/Σ(outstanding).
 
-    lineitem⋈orders is the one big-big shuffle (both sides keyed on
-    orderkey — bucketable at scale); the per-date divisor aggregate is
-    tiny and joins broadcast.
+    Scale shape (r08, SCALE.md §16): lineitem pre-aggregates to ORDER
+    grain before the orders join — exact decimal sums are associative
+    and l_orderkey is orders' PK, so Σ over the join ≡ Σ of per-order
+    Σs, bit-identically. The shuffle probe caught the naive
+    join-then-agg shape moving ~60× its input once the orders side
+    outgrew the broadcast threshold (sf1→sf2 exponent 6.59: the
+    broadcast→SMJ transition exchanges data-sized lineitem); after the
+    rewrite the only lineitem-sized work is the map-side partial agg,
+    the exchange carries order-grain rows, and the join reuses that
+    hashpartitioning. The partial agg also collapses a zipf-hot
+    orderkey per mapper, so the SKEW_r08 q90-shape straggler never
+    forms. The per-date divisor aggregate is tiny and joins broadcast.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("order_mcap")
+    )
     mcap = (
-        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
+        per_order.join(
+            o.select("o_orderkey", "o_orderdate"),
+            per_order.l_orderkey == o.o_orderkey,
+        )
         .groupBy(_d("o_orderdate").alias("date"))
-        .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("market_cap"))
+        .agg(F.sum("order_mcap").alias("market_cap"))
     )
     outst = o.groupBy(_d("o_orderdate").alias("date")).agg(
         F.sum(_dec("o_totalprice")).alias("outstanding")
@@ -3594,11 +3609,19 @@ def q89_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q90_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unshipped high-revenue orders for one market segment (TPC-H Q3).
 
-    Scale plan: both date filters push to the parquet scans; the
-    filtered customer side is a fifth of a dimension table →
-    broadcast-joined into orders (no shuffle), so the only wide
-    exchange is lineitem↔orders on orderkey. The top-10 compiles to
-    TakeOrderedAndProject (per-partition heaps + driver merge of 10
+    Scale plan (r08 rewrite, SCALE.md §16): both date filters push to
+    the parquet scans; filtered lineitem pre-aggregates revenue to
+    ORDER grain before any join — l_orderkey is orders' PK and decimal
+    sums are exact, so the per-order Σ then 1:1 join is bit-identical
+    to joining first and grouping by (l_orderkey, o_orderdate,
+    o_orderpriority). The exchange carries order-grain rows instead of
+    data-sized lineitem (the shuffle probe measured the join-then-agg
+    shape jumping beta=2.81 across the broadcast→SMJ transition), the
+    map-side partial agg collapses a zipf-hot orderkey per mapper
+    (dissolving the SKEW_r08 distribution-reuse straggler for this
+    query), and no second aggregation is needed at all. The filtered
+    customer fifth-of-a-dimension stays broadcast. The top-10 compiles
+    to TakeOrderedAndProject (per-partition heaps + driver merge of 10
     rows), never a global sort.
     """
     cutoff = "1998-06-30"
@@ -3610,14 +3633,13 @@ def q90_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    per_order = l.groupBy("l_orderkey").agg(F.sum(rev).alias("rev_sum"))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
-            "revenue",
+            F.col("rev_sum").cast("double").alias("revenue"),
             _d("o_orderdate").alias("orderdate"),
             "o_orderpriority",
         )

@@ -61,6 +61,11 @@ SCALES = [
     ("/root/testdata/sf0.1", 0.1),
     (".scale/sf0.3", 0.3),
     (".scale/sf1", 1.0),
+    # sf2 exists to pin the POST-transition regime: q90's lineitem⋈orders
+    # flips broadcast→SMJ between sf0.3 and sf1 (the one superlinear beta
+    # in the first cut was that plan transition, not amplification), so
+    # the sf1->sf2 exponent is the one that must be ~1
+    (".scale/sf2", 2.0),
 ]
 
 FIELDS = [
