@@ -117,7 +117,26 @@ if __name__ == "__main__":
         from stock_data_pipeline_spark.session import ensure_engine_confs, get_session
 
         spark = ensure_engine_confs(get_session("oracle-attest", cpus=8))
+    # HEAD as of the moment the queries start running — build_attestation
+    # re-reads HEAD when it STAMPS the artifact (after a potentially
+    # hour-long run), and a commit landing mid-run would silently label
+    # results computed from the old tree with the new hash (this bit the
+    # r08 sf0.1 artifact: two doc commits landed during the run). Capture
+    # the start state and refuse to write a mislabeled artifact.
+    start_head = subprocess.run(
+        ["git", "-C", str(repo_root), "rev-parse", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip()
     att = build_attestation(spark, sf_dir)
+    if att["git_commit"] != start_head:
+        print(
+            f"attest: HEAD moved during the run ({start_head[:8]} -> "
+            f"{str(att['git_commit'])[:8]}); the results describe "
+            f"{start_head[:8]} but would be stamped with the new hash. "
+            "Re-run at a stable HEAD.",
+            file=sys.stderr,
+        )
+        sys.exit(3)
     att["session"] = "vanilla (no engine confs — driver-like)" if vanilla else "engine"
     att["tree_dirty"] = bool(dirty)
     out_path.write_text(json.dumps(att, indent=1, sort_keys=True) + "\n")
