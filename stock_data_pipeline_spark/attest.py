@@ -125,8 +125,12 @@ if __name__ == "__main__":
     # the start state and refuse to write a mislabeled artifact.
     start_head = subprocess.run(
         ["git", "-C", str(repo_root), "rev-parse", "HEAD"],
-        capture_output=True, text=True,
+        capture_output=True, text=True, check=True,
     ).stdout.strip()
+    if not start_head:
+        # fail BEFORE the potentially hour-long run, not after (r08 ADVICE)
+        print("attest: could not resolve HEAD at start; aborting", file=sys.stderr)
+        sys.exit(3)
     att = build_attestation(spark, sf_dir)
     if att["git_commit"] != start_head:
         print(

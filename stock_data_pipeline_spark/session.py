@@ -71,7 +71,12 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
       harmless for MICROS fixtures; see ``catalog.load_events``).
     - UTC session timezone: keeps ``date_format`` / LTZ casts stable and
       comparable with DuckDB's naive timestamps.
+    - ``forceOptimizeSkewedJoin``: the SKEW_r08 mitigation (see the
+      factory's comment) is runtime-settable and must hold on DRIVER
+      sessions too — the q90-shape distribution-reuse trap does not
+      care who built the session.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
     return spark

@@ -219,6 +219,23 @@ def test_engine_default_forces_skew_split_through_distribution_reuse(spark):
     )
 
 
+def test_ensure_engine_confs_forces_skew_split_on_foreign_sessions(spark):
+    """ensure_engine_confs is the hook for sessions the engine did NOT
+    build (the driver hands one to __spark_entry__); the skew-force
+    mitigation must apply on that path too (r08 ADVICE: it was
+    factory-only, so driver sessions silently lost it)."""
+    from stock_data_pipeline_spark.session import ensure_engine_confs
+
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+    try:
+        ensure_engine_confs(spark)
+        assert (
+            spark.conf.get("spark.sql.adaptive.forceOptimizeSkewedJoin") == "true"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+
+
 # ---------------------------------------------------------------------------
 # ANN recall floors (r08): pinned on the committed RECALL_r08.json
 # artifact (tools/ann_recall.py) — recall that collapses with corpus

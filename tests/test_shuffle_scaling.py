@@ -66,6 +66,11 @@ def test_scan_volume_tracks_input_where_measurable():
     must grow ~linearly too — a jump means column pruning or filter
     pushdown regressed at scale."""
     art = _artifact()
+    checked = 0
     for q, r in art.items():
         for pair, beta in r["beta_input"].items():
             assert beta <= LINEAR_CEILING, (q, pair, r["beta_input"])
+            checked += 1
+    # coverage floor (r08 ADVICE): a regenerated artifact whose scans all
+    # fell below the probe's 1 MiB floor would pass this test vacuously
+    assert checked >= 8, f"artifact lost coverage: only {checked} input betas"

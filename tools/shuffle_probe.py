@@ -91,12 +91,24 @@ def _completed(spark) -> list[dict]:
         return []
 
 
+def _latest_attempts(stages: list[dict]) -> dict[int, dict]:
+    """stageId -> its LATEST attempt: /stages returns one entry per
+    attempt, so a retried stage would double-count its bytes if summed
+    raw (r08 ADVICE)."""
+    out: dict[int, dict] = {}
+    for st in stages:
+        sid = st["stageId"]
+        if sid not in out or st.get("attemptId", 0) > out[sid].get("attemptId", 0):
+            out[sid] = st
+    return out
+
+
 def _measure(spark, fn, sf_dir: str) -> dict:
-    before = {s["stageId"] for s in _completed(spark)}
+    before = set(_latest_attempts(_completed(spark)))
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     sums = dict.fromkeys(FIELDS, 0)
-    for st in _completed(spark):
-        if st["stageId"] in before:
+    for sid, st in _latest_attempts(_completed(spark)).items():
+        if sid in before:
             continue
         for f in FIELDS:
             sums[f] += st.get(f, 0)
@@ -122,7 +134,15 @@ def main(out_path: str) -> None:
     from stock_data_pipeline_spark.session import ensure_engine_confs, get_session
 
     spark = ensure_engine_confs(
-        get_session("shuffle-probe", extra_confs={"spark.ui.enabled": "true"})
+        get_session(
+            "shuffle-probe",
+            extra_confs={
+                "spark.ui.enabled": "true",
+                # default retention (1000) can evict early stages of a
+                # large query mid-measurement and undercount its bytes
+                "spark.ui.retainedStages": "100000",
+            },
+        )
     )
     results: dict[str, dict] = {}
     for name in QUERIES:

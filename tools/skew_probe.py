@@ -165,8 +165,6 @@ def _run(spark, fn, sf_dir: str, pid) -> dict:
 
 
 def main(out_path: str) -> None:
-    from bench import _jvm_pid
-    from stock_data_pipeline_spark.queries import REGISTRY
     from stock_data_pipeline_spark.session import ensure_engine_confs, get_session
 
     spark = ensure_engine_confs(
@@ -178,6 +176,19 @@ def main(out_path: str) -> None:
     # every pass except `_forced` with force explicitly off and restore
     # the engine default on exit.
     spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+    try:
+        _probe_body(spark, out_path)
+    finally:
+        # restore the engine default even when the probe dies mid-run
+        # (r08 ADVICE): harmless today (the process exits) but required
+        # if the session is ever reused
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+
+
+def _probe_body(spark, out_path: str) -> None:
+    from bench import _jvm_pid
+    from stock_data_pipeline_spark.queries import REGISTRY
+
     pid = _jvm_pid(spark)
     results: dict[str, dict] = {}
     for name in QUERIES:
@@ -251,7 +262,6 @@ def main(out_path: str) -> None:
         cand_counts[label] = n
         print(f"jaccard pairs [{label}]: {n}", flush=True)
     results["_jaccard_pair_counts"] = cand_counts
-    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
     Path(out_path).write_text(json.dumps(results, indent=1, sort_keys=True) + "\n")
     print(f"wrote {out_path}")
 
