@@ -148,6 +148,12 @@ def _lloyd_rounds(
     )
     for _ in range(rounds - 1):
         cents = _recompute(_assign(t, cents))
+    # the final codebook is k rows (parameter-sized) with >=2 consumers
+    # in every caller (the final assignment + the query-side distance
+    # tables/probes) — cache it so the Lloyd chain executes once, not
+    # once per consumer (same keyed-by-plan discipline and bound
+    # rationale as _train_sample)
+    cents = cents.cache()
     return _assign(pts, cents), cents
 
 
@@ -170,16 +176,190 @@ def _train_sample(pts: DataFrame, train_mod: int | None) -> DataFrame | None:
     return pts.filter(F.col("vec_id") % train_mod == 0).cache()
 
 
-def _subspace_pts(
-    df: DataFrame, id_col: str, vec_col: str, s: int, sub_dim: int, quant_bits: int
+# ---------------------------------------------------------------------------
+# Subspace-keyed PQ core (r09). The r08 shape ran ONE Lloyd plan chain
+# PER subspace — fine at m=4/k=16, but the r09 budget re-size (q194 to
+# m=16/k=256, the smallest config whose recall carries signal on the
+# uniform-random fixture — RECALL_r08) made two costs structural:
+#   - 16 independent plan chains = 16× the jobs/stages (launch overhead
+#     locally; 16× scheduler round-trips on a cluster);
+#   - assignment ranked the corpus×k scored rows through a per-vec_id
+#     WINDOW, shuffling N·k rows per subspace — traffic that grows with
+#     the codebook size k.
+# The core below keys everything by the subspace id instead: one
+# (vec_id, s, qv) table, one broadcast (s, cid, cv) codebook of m·k
+# rows (parameter-sized — broadcastable at ANY corpus scale), and the
+# nearest-centroid pick is a min(struct(d2, cid)) HASH AGGREGATE — the
+# map side collapses each (s, vec_id) group to one row before the
+# exchange, so assignment shuffles N·m rows regardless of k. Same
+# arithmetic, same init, same tie-breaks; every consumer is value-
+# oracled (q193/q194/q198), which is what makes a rewrite like this
+# cheap to trust.
+# ---------------------------------------------------------------------------
+
+
+def _subspace_long(
+    df: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int, quant_bits: int
 ) -> DataFrame:
-    """Quantized slice of dims [s·sub_dim, (s+1)·sub_dim) as the point
-    set for subspace ``s`` (1-based F.slice)."""
-    return df.select(
-        F.col(id_col).alias("vec_id"),
-        _quantize(F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim), quant_bits).alias(
-            "qv"
+    """(vec_id, s, qv): one row per (vector, subspace), built in ONE
+    scan — qv is the quantized slice of dims [s·sub_dim, (s+1)·sub_dim)
+    (1-based F.slice), identical to the historical per-subspace tables."""
+    scale = float(1 << quant_bits)
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.transform(
+                F.slice(F.col(vec_col), s * F.lit(sub_dim) + 1, sub_dim),
+                lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+            ).alias("qv"),
         ),
+    )
+    return (
+        df.select(F.col(id_col).alias("vec_id"), F.explode(subs).alias("sv"))
+        .select("vec_id", F.col("sv.s").alias("s"), F.col("sv.qv").alias("qv"))
+    )
+
+
+def _train_long(pts: DataFrame, train_mod: int | None) -> DataFrame | None:
+    """Deterministic 1-in-``train_mod`` systematic training sample of
+    the long table (same discipline + cache rationale as
+    :func:`_train_sample`, one cached table instead of m)."""
+    if train_mod is None:
+        return None
+    return pts.filter(F.col("vec_id") % train_mod == 0).cache()
+
+
+def _assign_long(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per (vec_id, s); ties break on centroid id.
+    The codebook is m·k rows — broadcast equi-join on the subspace id —
+    and the pick is min(struct(d2, cid)): lexicographic struct ordering
+    IS (d2 ASC, cid ASC) because cid is unique per group, and the hash
+    aggregate's map-side combine collapses the k scored rows per
+    (s, vec_id) before any exchange (a window would shuffle them all)."""
+    scored = pts.join(F.broadcast(cents), "s").select(
+        "s",
+        "vec_id",
+        F.struct(
+            _sq_dist(F.col("qv"), F.col("cv")).alias("d2"),
+            F.col("cid").alias("cid"),
+            F.col("qv").alias("qv"),
+        ).alias("sc"),
+    )
+    best = scored.groupBy("s", "vec_id").agg(F.min("sc").alias("b"))
+    return best.select(
+        "vec_id",
+        "s",
+        F.col("b.qv").alias("qv"),
+        F.col("b.cid").alias("cid"),
+        F.col("b.d2").alias("d2"),
+    )
+
+
+def _recompute_long(assigned: DataFrame) -> DataFrame:
+    """New (s, cid, cv) codebook: exact int64 per-dimension sums, one
+    double division per dimension — :func:`_recompute` keyed by
+    subspace. Empty clusters drop out (same as the SQL oracle)."""
+    ex = assigned.select("s", "cid", F.posexplode("qv").alias("dim", "x"))
+    sums = ex.groupBy("s", "cid", "dim").agg(F.sum("x").alias("sm"))
+    cnt = assigned.groupBy("s", "cid").agg(F.count("*").alias("n"))
+    return (
+        sums.groupBy("s", "cid")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "sm"))).alias("ds"))
+        .join(F.broadcast(cnt), ["s", "cid"])  # m·k rows — never sort-merge
+        .select(
+            "s",
+            "cid",
+            F.transform("ds", lambda t: t["sm"].cast("double") / F.col("n")).alias("cv"),
+        )
+    )
+
+
+def _lloyd_rounds_long(
+    pts: DataFrame, k: int, rounds: int, train: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """``rounds`` unrolled Lloyd iterations over the subspace-long
+    table, all m codebooks in one plan. Init = the k lowest vec_ids of
+    the training set (the SAME id set in every subspace — exactly the
+    per-subspace init, since every subspace holds the same vec_ids);
+    the id rank runs over k rows after a distributed orderBy/limit.
+    Returns ``(assigned, cents_used)`` like :func:`_lloyd_rounds`."""
+    t = train if train is not None else pts
+    w = Window.orderBy("vec_id")
+    ids = (
+        t.select("vec_id").distinct().orderBy("vec_id").limit(k)
+        .withColumn("cid", (F.row_number().over(w) - 1).cast("int"))
+    )
+    cents = t.join(F.broadcast(ids), "vec_id").select(
+        "s", "cid", F.transform("qv", lambda x: x.cast("double")).alias("cv")
+    )
+    for _ in range(rounds - 1):
+        cents = _recompute_long(_assign_long(t, cents))
+    # m·k rows — parameter-sized; cached so the unrolled Lloyd chain
+    # runs once even though both the final assignment and the query
+    # LUT consume it (see _lloyd_rounds / _train_sample for the cache
+    # discipline; ~m·k·sub_dim doubles resident per distinct config)
+    cents = cents.cache()
+    return _assign_long(pts, cents), cents
+
+
+def _codes_wide(assigned: DataFrame, query_mod: int | None = None) -> DataFrame:
+    """(vec_id, codes) — the m per-subspace code words as ONE array in
+    subspace order (sort_array of (s, cid) structs: s is unique per
+    vec_id, so the sort is exactly 'order by s'). One vec_id-keyed
+    aggregate replaces the historical m−1 equi-joins."""
+    base = assigned if query_mod is None else assigned.filter(
+        F.col("vec_id") % query_mod != 0
+    )
+    return (
+        base.groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "cid"))).alias("sc"))
+        .select("vec_id", F.transform("sc", lambda t: t["cid"]).alias("codes"))
+    )
+
+
+def _query_lut(pts: DataFrame, cents: DataFrame, query_mod: int, k: int) -> DataFrame:
+    """(query_id, lut): each query's m×k ADC distance table as a map
+    slot(s·k + cid) → ‖q_s − c_{s,cid}‖², built from one broadcast
+    codebook join. Parameter-sized per row (m·k doubles), so scoring a
+    candidate is m map lookups — the LUT layout every production ADC
+    implementation uses, and the column shape that lets the corpus-
+    scale bucketed twin ship the table through a shuffle join instead
+    of a broadcast."""
+    q = pts.filter(F.col("vec_id") % query_mod == 0)
+    d = q.join(F.broadcast(cents), "s").select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("s") * k + F.col("cid")).cast("int").alias("slot"),
+        _sq_dist(F.col("qv"), F.col("cv")).alias("d2"),
+    )
+    return d.groupBy("query_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("slot", "d2"))).alias("lut")
+    )
+
+
+def _adc_from_lut(m: int, k: int):
+    """ADC(q, x) = Σ_s lut[s·k + code_s] — plain left-to-right addition
+    from a 0.0 seed in subspace order (bit-identical to the historical
+    per-column sum and to the oracle's ORDER BY sub fold)."""
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(
+            F.col("lut"), (F.lit(s * k) + F.col("codes")[s]).cast("int")
+        )
+    return adc
+
+
+def _adc_topk(expanded: DataFrame, m: int, k: int, topk: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        expanded.withColumn("adc_dist", _adc_from_lut(m, k))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
+        )
     )
 
 
@@ -213,26 +393,20 @@ def pq_codes(
     Determinism: identical to q80 — per-subspace init is the k
     lowest-id vectors, quantized int sums, one double division, fixed
     fold order for distances; the total error adds the m subspace terms
-    in explicit subspace order."""
-    joined = None
-    err = None
-    for s in range(m):
-        pts = _subspace_pts(df, id_col, vec_col, s, sub_dim, quant_bits)
-        assigned, _ = _lloyd_rounds(
-            pts, k, rounds, train=_train_sample(pts, train_mod)
-        )
-        part = assigned.select(
-            "vec_id",
-            F.col("cid").cast("int").alias(f"code_{s}"),
-            F.col("dist2").alias(f"_err_{s}"),
-        )
-        joined = part if joined is None else joined.join(part, "vec_id")
-        term = F.col(f"_err_{s}")
-        err = term if err is None else err + term
-    return joined.select(
+    in explicit subspace order (sort_array + left fold)."""
+    pts = _subspace_long(df, id_col, vec_col, m, sub_dim, quant_bits)
+    assigned, _ = _lloyd_rounds_long(
+        pts, k, rounds, train=_train_long(pts, train_mod)
+    )
+    a = assigned.groupBy("vec_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "cid", "d2"))).alias("a")
+    )
+    return a.select(
         "vec_id",
-        *[f"code_{s}" for s in range(m)],
-        err.alias("total_err"),
+        *[F.col("a")[s]["cid"].cast("int").alias(f"code_{s}") for s in range(m)],
+        F.aggregate(
+            "a", F.lit(0.0), lambda acc, t: acc + t["d2"]
+        ).alias("total_err"),
     )
 
 
@@ -249,6 +423,7 @@ def pq_adc_topk(
     topk: int = 10,
     train_mod: int | None = None,
     num_partitions: int | None = None,
+    force_broadcast: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance-computation top-k over PQ codes: queries
     (``id % query_mod == 0``) keep their raw (quantized) subvectors;
@@ -258,98 +433,75 @@ def pq_adc_topk(
     scoring a corpus vector is m table lookups instead of a
     full-dimension dot product.
 
-    Plan shape (r07 restructure): the per-query distance tables are
-    |Q|·k rows per subspace (a crossJoin against the BROADCAST k-row
-    codebook — queries never shuffle for table construction); the m
-    per-subspace code assignments equi-join on vec_id into ONE N-row
-    code table (co-partitioned — each assignment window already hashed
-    on vec_id), which fans out to |Q|·N scored rows through a single
-    broadcast join on code_0, then picks up the remaining m−1 subspace
-    distances via 1:1 broadcast joins on (query_id, code_s). The ADC
-    sum is plain left-to-right column addition from a 0.0 seed in
-    subspace order — bit-identical to the historical sorted-struct
-    fold, without materializing m·|Q|·N union rows or aggregating
-    |Q|·N groups. Top-k is a (dist, vec_id) window per query.
+    Plan shape (r09 restructure — see the subspace-keyed core above):
+    ONE broadcast codebook join builds all m distance tables; each
+    query's table is aggregated into a single m·k-slot LUT row
+    (:func:`_query_lut`), the corpus is ONE (vec_id, codes) row per
+    vector (:func:`_codes_wide`), and the |Q|·N expansion is a single
+    broadcast nested-loop join corpus × LUT table. The ADC sum is m
+    map lookups added left-to-right from a 0.0 seed in subspace order —
+    bit-identical to the historical per-column sum. Top-k is a
+    (dist, vec_id) window per query.
 
     Fan-out guard: the code table is explicitly repartitioned to
-    ``defaultParallelism`` partitions before the multiplying join.
-    AQE sizes post-shuffle partitions by SHUFFLE BYTES and cannot see
-    that the next join multiplies every row |Q|-fold — left alone it
-    coalesces the small code exchange to one partition and the entire
-    |Q|·N expansion plus the top-k window's map side runs in a single
-    task (measured r07 at the 10× fixture: one 21 s task holding >half
-    the query's wall). An explicit partition count is exempt from AQE
-    coalescing, and cores-proportional (not bytes-proportional) is the
-    right size for a CPU-bound fan-out stage at any corpus scale.
+    ``fanout_partitions`` before the multiplying join. AQE sizes
+    post-shuffle partitions by SHUFFLE BYTES and cannot see that the
+    next join multiplies every row |Q|-fold — left alone it coalesces
+    the small code exchange and the entire |Q|·N expansion plus the
+    top-k window's map side runs in few tasks (measured r07: one 21 s
+    task holding >half the query's wall at the 10× fixture). The guard
+    key is COMPOSITE (vec_id, codes): the code aggregate's output is
+    already hashpartitioning(vec_id, N), so a bare same-key repartition
+    would be elided as redundant, leaving only AQE-coalescible
+    ENSURE_REQUIREMENTS exchanges; a different expression survives as
+    REPARTITION_BY_NUM, the one shuffle origin AQE never coalesces
+    (pinned by tests/test_fanout_guard.py).
 
     This is the memory-bound scale path that pairs with q28's exact
     scan and q53's IVF: IVF prunes the candidate set, PQ-ADC makes
-    scoring each candidate O(m) lookups on 4-byte codes.
+    scoring each candidate O(m) lookups on byte codes.
 
     Contract (same as :func:`~stock_data_pipeline_spark.llm.similarity.
-    ivf_flat_topk`): the QUERY side must be broadcastable — the per-
-    subspace distance tables are |Q|·k rows each and the scoring joins
-    pin ``F.broadcast`` on them deliberately. ``query_mod`` makes |Q|
+    ivf_flat_topk`): the QUERY side must be broadcastable — the LUT
+    table is |Q| rows of m·k doubles and the scoring join pins
+    ``F.broadcast`` on it deliberately. ``query_mod`` makes |Q|
     corpus-PROPORTIONAL (≈N/query_mod), so at billion-vector scale the
-    tables outgrow the broadcast limit; a corpus-scale query batch
-    needs the bucketed shape instead (see
-    :func:`~stock_data_pipeline_spark.llm.similarity.
-    ivf_flat_topk_bucketed` for the pattern: salt the join key, shuffle
-    both sides, broadcast nothing).
+    broadcast outgrows any driver limit; a corpus-scale query batch
+    needs :func:`ivf_pq_topk_bucketed` (salted probe join + LUT shuffle
+    join, broadcast nothing). Note an |Q|≈N *full* ADC scan is |Q|·N
+    work by definition — at that regime the IVF front is not optional.
+
+    Size gate (r09): unless ``force_broadcast`` is set, the operator
+    checks Catalyst's static size estimate of the input (the query
+    side is a fixed fraction of it) and RAISES when it is not provably
+    under the broadcast budget — a full-corpus ADC scan with a
+    data-sized query batch is |Q|·N work by definition, so there is no
+    bucketed full-scan twin to switch to; the scale path is the IVF
+    front (:func:`ivf_pq_topk_bucketed`).
 
     ``num_partitions`` overrides the fan-out guard's partition count
     (default 2×defaultParallelism via :func:`..fanout.fanout_partitions`;
     results are partition-count-invariant)."""
-    codes = None
-    dtabs: list[DataFrame] = []
-    for s in range(m):
-        pts = _subspace_pts(df, id_col, vec_col, s, sub_dim, quant_bits)
-        assigned, cents = _lloyd_rounds(
-            pts, k, rounds, train=_train_sample(pts, train_mod)
+    from stock_data_pipeline_spark.llm.fanout import broadcastable_query_side
+
+    if not force_broadcast and not broadcastable_query_side(df):
+        raise ValueError(
+            "pq_adc_topk pins F.broadcast on a corpus-proportional query "
+            "side (|Q| ≈ N/query_mod) and the input's static size estimate "
+            "is past the broadcast budget — at this scale a full ADC scan "
+            "is the wrong operator: use ivf_pq_topk_bucketed (IVF-pruned, "
+            "broadcast-free), or pass force_broadcast=True if you know "
+            "the estimate is pessimistic."
         )
-        part = assigned.filter(F.col("vec_id") % query_mod != 0).select(
-            "vec_id", F.col("cid").alias(f"code_{s}")
-        )
-        codes = part if codes is None else codes.join(part, "vec_id")
-        queries = pts.filter(F.col("vec_id") % query_mod == 0).select(
-            F.col("vec_id").alias("query_id"), "qv"
-        )
-        # |Q|·k rows — BROADCAST at the scoring joins; letting those
-        # compile to sort-merge would shuffle the whole corpus on a
-        # k-valued key (16 distinct values: maximal skew, zero benefit)
-        dtabs.append(
-            queries.crossJoin(F.broadcast(cents)).select(
-                "query_id",
-                F.col("cid").alias(f"code_{s}"),
-                _sq_dist(F.col("qv"), F.col("cv")).alias(f"d2_{s}"),
-            )
-        )
-    # The guard key is COMPOSITE (vec_id, code_0) on purpose: the code
-    # table's join output is already hashpartitioning(vec_id, N), so a
-    # same-key same-count repartition is elided as redundant by the
-    # planner — and the surviving ENSURE_REQUIREMENTS exchanges ARE
-    # AQE-coalescible, which silently re-serializes the fan-out. A
-    # different partitioning expression survives as REPARTITION_BY_NUM,
-    # the one shuffle origin AQE never coalesces (verified in the
-    # executed-plan string; pinned by tests/test_fanout_guard.py).
+    pts = _subspace_long(df, id_col, vec_col, m, sub_dim, quant_bits)
+    assigned, cents = _lloyd_rounds_long(
+        pts, k, rounds, train=_train_long(pts, train_mod)
+    )
+    codes = _codes_wide(assigned, query_mod)
+    lut = _query_lut(pts, cents, query_mod, k)
     par = fanout_partitions(df, num_partitions)
-    expanded = codes.repartition(par, "vec_id", f"code_{0}").join(
-        F.broadcast(dtabs[0]), f"code_{0}"
-    )
-    for s in range(1, m):
-        expanded = expanded.join(F.broadcast(dtabs[s]), ["query_id", f"code_{s}"])
-    adc = F.lit(0.0)
-    for s in range(m):
-        adc = adc + F.col(f"d2_{s}")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("vec_id").asc()
-    )
-    return (
-        expanded.withColumn("adc_dist", adc)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank"))
-    )
+    expanded = codes.repartition(par, "vec_id", "codes").crossJoin(F.broadcast(lut))
+    return _adc_topk(expanded, m, k, topk)
 
 
 def ivf_pq_topk(
@@ -367,6 +519,7 @@ def ivf_pq_topk(
     topk: int = 10,
     train_mod: int | None = None,
     num_partitions: int | None = None,
+    force_broadcast: bool = False,
 ) -> DataFrame:
     """The billion-scale ANN production composition: IVF coarse pruning
     + PQ asymmetric-distance scoring (IVF-PQ, Jégou et al. 2011 §V).
@@ -392,16 +545,71 @@ def ivf_pq_topk(
     coarse-probe and final top-k ties break on (distance, id).
 
     Contract (r07 ADVICE): the QUERY side must be broadcastable — the
-    probe table (|Q|·nprobe rows) and the m distance tables (|Q|·k rows
-    each) all pin ``F.broadcast``, and ``query_mod`` makes |Q| grow
+    probe table (|Q|·nprobe rows) and the LUT table (|Q| rows of m·k
+    doubles) both pin ``F.broadcast``, and ``query_mod`` makes |Q| grow
     linearly with the corpus (≈N/query_mod). At the docstring's
     billion-vector scale those broadcasts exceed the driver/broadcast
-    limit; a corpus-scale query batch needs the bucketed shape
-    (:func:`~stock_data_pipeline_spark.llm.similarity.
-    ivf_flat_topk_bucketed`): salt the list id, shuffle-join both
-    sides, broadcast nothing. ``num_partitions`` overrides the fan-out
-    guard count (default 2×defaultParallelism; results are
-    partition-count-invariant).
+    limit; a corpus-scale query batch needs the bucketed twin
+    :func:`ivf_pq_topk_bucketed` (r09): salt the list id, shuffle-join
+    both sides, broadcast nothing. Unless ``force_broadcast`` is set
+    this is ENFORCED — when Catalyst's static estimate of the input is
+    not provably under the broadcast budget the operator AUTO-SWITCHES
+    to the row-identical bucketed twin (same gate semantics as
+    :func:`~stock_data_pipeline_spark.llm.similarity.ivf_flat_topk`).
+    ``num_partitions`` overrides the fan-out guard count (default
+    2×defaultParallelism; results are partition-count-invariant).
+    """
+    from stock_data_pipeline_spark.llm.fanout import broadcastable_query_side
+
+    if not force_broadcast and not broadcastable_query_side(df):
+        return ivf_pq_topk_bucketed(
+            df, id_col, vec_col, query_mod=query_mod, n_lists=n_lists,
+            nprobe=nprobe, m=m, sub_dim=sub_dim, k=k, rounds=rounds,
+            quant_bits=quant_bits, topk=topk, train_mod=train_mod,
+            num_partitions=num_partitions,
+        )
+    corpus_side, probed, lut, cents = _ivf_pq_stages(
+        df, id_col, vec_col, query_mod, n_lists, nprobe,
+        m, sub_dim, k, rounds, quant_bits, train_mod,
+    )
+    # Composite guard key (see pq_adc_topk): a bare vec_id repartition
+    # is elided against the upstream vec_id partitioning and the
+    # remaining ENSURE_REQUIREMENTS exchange gets AQE-coalesced;
+    # (vec_id, list_id) survives as non-coalescible REPARTITION_BY_NUM.
+    par = fanout_partitions(df, num_partitions)
+    expanded = (
+        corpus_side.repartition(par, "vec_id", "list_id")
+        .join(F.broadcast(probed), "list_id")
+        .join(F.broadcast(lut), "query_id")
+    )
+    return _adc_topk(expanded, m, k, topk)
+
+
+def _ivf_pq_stages(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_mod: int,
+    n_lists: int,
+    nprobe: int,
+    m: int,
+    sub_dim: int,
+    k: int,
+    rounds: int,
+    quant_bits: int,
+    train_mod: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared IVF-PQ stages: ``(corpus_side, probed, lut, cents)``.
+    Factored out (the ivf_flat/_bucketed discipline —
+    similarity.py:285) so the broadcast and bucketed twins provably
+    share coarse assignment, code assignment, probe selection, and LUT
+    arithmetic — they differ ONLY in the join shapes downstream.
+
+    - ``corpus_side``: (vec_id, list_id, codes) — one row per corpus
+      vector; coarse list + all m code words (vec_id-keyed aggregate).
+    - ``probed``: (query_id, list_id) — each query's nprobe nearest
+      coarse lists (ties on (distance, cid)).
+    - ``lut``: (query_id, lut) — the per-query m×k ADC distance map.
     """
     pts_full = df.select(
         F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col), quant_bits).alias("qv")
@@ -423,56 +631,85 @@ def ivf_pq_topk(
         .filter(F.col("__pn") <= nprobe)
         .select("query_id", F.col("cid").alias("list_id"))
     )
-    # r07 restructure (same shape as pq_adc_topk): build ONE N-row
-    # corpus table carrying list_id + all m code columns (every join on
-    # vec_id — co-partitioned after the coarse assignment's exchange),
-    # fan out ONCE through the broadcast probe table, then pick up the
-    # m per-subspace distances via 1:1 broadcast joins. No m-way union,
-    # no |cand|-group collect_list aggregation; the ADC sum is plain
-    # left-to-right addition from a 0.0 seed in subspace order —
-    # bit-identical to the historical sorted-struct fold. The explicit
-    # ``defaultParallelism`` repartition before the probe join is the
-    # fan-out guard: AQE sizes the corpus exchange by bytes and cannot
-    # see the ~|Q|·nprobe/n_lists row multiplication behind the join.
-    corpus_side = corpus_lists
-    dtabs: list[DataFrame] = []
-    for s in range(m):
-        pts = _subspace_pts(df, id_col, vec_col, s, sub_dim, quant_bits)
-        assigned, cents = _lloyd_rounds(
-            pts, k, rounds, train=_train_sample(pts, train_mod)
-        )
-        corpus_side = corpus_side.join(
-            assigned.select("vec_id", F.col("cid").alias(f"code_{s}")), "vec_id"
-        )
-        sub_queries = pts.filter(F.col("vec_id") % query_mod == 0).select(
-            F.col("vec_id").alias("query_id"), "qv"
-        )
-        dtabs.append(
-            sub_queries.crossJoin(F.broadcast(cents)).select(
-                "query_id",
-                F.col("cid").alias(f"code_{s}"),
-                _sq_dist(F.col("qv"), F.col("cv")).alias(f"d2_{s}"),
-            )
-        )
-    # Composite guard key (see pq_adc_topk): a bare vec_id repartition
-    # is elided against the upstream vec_id partitioning and the
-    # remaining ENSURE_REQUIREMENTS exchange gets AQE-coalesced;
-    # (vec_id, list_id) survives as non-coalescible REPARTITION_BY_NUM.
+    pts = _subspace_long(df, id_col, vec_col, m, sub_dim, quant_bits)
+    assigned, cents = _lloyd_rounds_long(
+        pts, k, rounds, train=_train_long(pts, train_mod)
+    )
+    corpus_side = corpus_lists.join(_codes_wide(assigned, query_mod), "vec_id")
+    lut = _query_lut(pts, cents, query_mod, k)
+    return corpus_side, probed, lut, cents
+
+
+def ivf_pq_topk_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 97,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 16,
+    rounds: int = 2,
+    quant_bits: int = 10,
+    topk: int = 10,
+    train_mod: int | None = None,
+    n_salt: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """IVF-PQ for CORPUS-SCALE query batches (r08 VERDICT item 3):
+    row-identical to :func:`ivf_pq_topk` (shared stages — same coarse
+    assignment, codes, probe set, LUT arithmetic, tie-breaks) but the
+    probe path broadcasts NOTHING corpus-proportional. The only
+    broadcasts left are the parameter-sized tables (n_lists coarse
+    centroids, m·k codebook, k-row inits) — broadcastable at ANY
+    corpus scale by construction.
+
+    Two corpus-proportional tables must move without a broadcast:
+
+    - the PROBE table (|Q|·nprobe rows): same salting discipline as
+      :func:`~stock_data_pipeline_spark.llm.similarity.
+      ivf_flat_topk_bucketed` — a bare ``list_id`` shuffle join would
+      hand all rerank work to ≤n_lists reducers (built-in straggler),
+      so corpus rows get one deterministic ``__salt =
+      pmod(xxhash64(vec_id), n_salt)`` sub-key (no replication of the
+      big side), probe rows explode ×``n_salt``, and BOTH sides
+      repartition to an explicit count on the composite
+      ``(list_id, __salt)`` — REPARTITION_BY_NUM on both inputs, so
+      the join reuses the exchanges and AQE can neither coalesce ahead
+      of the ADC fan-out nor needs its skew splitter.
+    - the LUT table (|Q| rows × m·k doubles): candidates join it on
+      ``query_id`` — a high-cardinality key (per-query candidate count
+      ≈ nprobe/n_lists of the corpus, uniform-ish by construction), so
+      a plain shuffle join is the right shape; both sides carry the
+      same explicit-count ``query_id`` repartition, and the top-k
+      window per query reuses that distribution (no further exchange).
+
+    Every (query, corpus) pair sharing a probed list meets exactly once
+    (at the corpus row's salt), so the candidate set — and, since ADC
+    reads the same LUT slots in the same fold order, every distance
+    and rank — is exactly ``ivf_pq_topk``'s at equal params, for any
+    ``n_salt``/partition count (pinned by tests)."""
+    corpus_side, probed, lut, _ = _ivf_pq_stages(
+        df, id_col, vec_col, query_mod, n_lists, nprobe,
+        m, sub_dim, k, rounds, quant_bits, train_mod,
+    )
     par = fanout_partitions(df, num_partitions)
-    expanded = corpus_side.repartition(par, "vec_id", "list_id").join(
-        F.broadcast(probed), "list_id"
+    if n_salt is None:
+        n_salt = max(1, -(-par // n_lists))
+    salted_c = corpus_side.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_salt)).cast("int")
     )
-    for s in range(m):
-        expanded = expanded.join(F.broadcast(dtabs[s]), ["query_id", f"code_{s}"])
-    adc = F.lit(0.0)
-    for s in range(m):
-        adc = adc + F.col(f"d2_{s}")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    salted_q = probed.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(s).cast("int") for s in range(n_salt)])),
     )
-    return (
-        expanded.withColumn("adc_dist", adc)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank"))
+    cands = (
+        salted_c.repartition(par, "list_id", "__salt")
+        .join(salted_q.repartition(par, "list_id", "__salt"), ["list_id", "__salt"])
+        .select("query_id", "vec_id", "codes")
     )
+    expanded = cands.repartition(par, "query_id").join(
+        lut.repartition(par, "query_id"), "query_id"
+    )
+    return _adc_topk(expanded, m, k, topk)

@@ -24,6 +24,41 @@ from pyspark.sql import DataFrame
 
 FANOUT_SLACK_MULTIPLIER = 2
 
+# r08 VERDICT item 7 / r09: the broadcast-shape ANN operators PIN
+# F.broadcast on a query side whose size is corpus-proportional by
+# construction (|Q| ≈ N/query_mod). Below this estimated size the pin
+# is the right plan (the alternative is a shuffle of the whole corpus
+# on a k-valued key); above it the broadcast would OOM the driver long
+# before any plan-level failure — so the operators consult the static
+# size ESTIMATE of the query-side plan and refuse/switch loudly instead
+# of dying at runtime. 256 MiB: comfortably inside every production
+# driver/broadcast budget (Spark's own hard broadcast ceiling is 8 GB)
+# while catching data-sized query batches orders of magnitude early.
+QUERY_BROADCAST_LIMIT_BYTES = 256 << 20
+
+
+def estimated_plan_bytes(df: DataFrame) -> int | None:
+    """Catalyst's static size estimate for a DataFrame's optimized plan
+    (``stats().sizeInBytes`` — NO Spark action, NO data scan). For scan-
+    rooted plans this is file-size-accurate; for exotic plans Catalyst
+    propagates conservatively LARGE estimates, which errs on the safe
+    side for a broadcastability gate. ``None`` if the estimate is
+    unavailable (treated as not-provably-small by callers)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def broadcastable_query_side(df: DataFrame, replication: int = 1) -> bool:
+    """True iff the query-side plan is PROVABLY small enough to pin a
+    broadcast on (estimate available and ``replication × estimate``
+    under :data:`QUERY_BROADCAST_LIMIT_BYTES`). ``replication`` covers
+    operators that expand the side before broadcasting (e.g. the IVF
+    probe table is |Q|·nprobe rows)."""
+    est = estimated_plan_bytes(df)
+    return est is not None and est * max(1, replication) <= QUERY_BROADCAST_LIMIT_BYTES
+
 
 def fanout_partitions(df: DataFrame, num_partitions: int | None = None) -> int:
     """Partition count for a fan-out guard repartition: the explicit

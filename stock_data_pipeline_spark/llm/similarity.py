@@ -345,6 +345,7 @@ def ivf_flat_topk(
     nprobe: int = 4,
     exclude_self: bool = True,
     num_partitions: int | None = None,
+    force_broadcast: bool = False,
 ) -> DataFrame:
     """IVF-flat ANN: partition the corpus into ``nlist`` inverted lists
     by nearest centroid; each query probes only its ``nprobe`` closest
@@ -367,10 +368,30 @@ def ivf_flat_topk(
     implemented as :func:`ivf_flat_topk_bucketed` (r08), which returns
     the SAME rows with no broadcast on the probe path.
 
+    Size gate (r09): the contract is ENFORCED, not just documented —
+    unless ``force_broadcast`` is set, the operator consults Catalyst's
+    static size estimate of the query-side plan
+    (:func:`..fanout.broadcastable_query_side`; no Spark action) and
+    AUTO-SWITCHES to the row-identical bucketed twin when the side is
+    not provably under the broadcast budget. Without CBO the estimate
+    cannot see filter selectivity (a filtered scan estimates at the
+    full scan's size), so the gate errs toward the always-safe shuffle
+    shape; a caller who KNOWS the side is small (e.g. a handful of
+    probe vectors filtered from a huge table) passes
+    ``force_broadcast=True`` to keep the broadcast plan.
+
     ``num_partitions`` overrides the fan-out guard's partition count
     (default 2×defaultParallelism via :func:`.fanout.fanout_partitions`;
     results are partition-count-invariant).
     """
+    from stock_data_pipeline_spark.llm.fanout import broadcastable_query_side
+
+    if not force_broadcast and not broadcastable_query_side(queries, nprobe):
+        return ivf_flat_topk_bucketed(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            nlist=nlist, nprobe=nprobe, exclude_self=exclude_self,
+            num_partitions=num_partitions,
+        )
     corpus_lists, query_probes = _ivf_assignments(
         corpus, queries, id_col, vec_col, nlist, nprobe
     )

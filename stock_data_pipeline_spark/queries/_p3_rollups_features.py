@@ -1979,7 +1979,7 @@ def q193_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q194_pq_adc_topk",
     headline=True,
     oracle=_pq_adc_oracle(
-        m=4, sub_dim=16, k=16, rounds=2, bits=10, query_mod=97, topk=10,
+        m=16, sub_dim=4, k=256, rounds=2, bits=10, query_mod=97, topk=10,
         train_mod=16,
     ),
     survey_ref="extension: asymmetric-distance top-k over PQ codes — "
@@ -1987,7 +1987,11 @@ def q193_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source scan per subspace instead of one per Lloyd round), "
     "per-query m-by-k distance tables against broadcast codebooks, "
     "corpus scored by code lookup; pairs with q53 IVF pruning for "
-    "billion-vector search",
+    "billion-vector search. Registered at the 128-bit budget (m=16, "
+    "k=256): RECALL_r08's curve showed the old 16-bit demo config "
+    "retains ~2% recall at sf1 on the uniform-random fixture while "
+    "128 bits carries real signal — a copied recipe should start "
+    "from a budget that works",
 )
 def q194_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_data_pipeline_spark.llm.clustering import pq_adc_topk
@@ -1995,7 +1999,7 @@ def q194_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(
         emb, "vec_id", "embedding", query_mod=97,
-        m=4, sub_dim=16, k=16, rounds=2, quant_bits=10, topk=10, train_mod=16,
+        m=16, sub_dim=4, k=256, rounds=2, quant_bits=10, topk=10, train_mod=16,
     )
 
 

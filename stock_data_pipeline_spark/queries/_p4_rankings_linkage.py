@@ -625,13 +625,15 @@ def _ivf_pq_oracle(
 @register(
     "q198_ivf_pq_topk",
     oracle=_ivf_pq_oracle(
-        n_lists=8, nprobe=2, m=4, sub_dim=16, k=16, rounds=2, bits=10,
+        n_lists=8, nprobe=2, m=16, sub_dim=4, k=256, rounds=2, bits=10,
         query_mod=97, topk=10, train_mod=16,
     ),
     survey_ref="extension: IVF-PQ — coarse inverted-list pruning (q53's "
     "IVF) composed with PQ asymmetric-distance scoring (q194), the "
     "standard billion-vector ANN production pipeline, with a FULL "
-    "generated value oracle over both quantizers",
+    "generated value oracle over both quantizers; registered at the "
+    "same 128-bit code budget as q194 (shared codebooks — the ADC "
+    "distances of any pair present in both results are bit-identical)",
 )
 def q198_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_data_pipeline_spark.llm.clustering import ivf_pq_topk
@@ -639,7 +641,7 @@ def q198_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_topk(
         emb, "vec_id", "embedding", query_mod=97,
-        n_lists=8, nprobe=2, m=4, sub_dim=16, k=16, rounds=2,
+        n_lists=8, nprobe=2, m=16, sub_dim=4, k=256, rounds=2,
         quant_bits=10, topk=10, train_mod=16,
     )
 

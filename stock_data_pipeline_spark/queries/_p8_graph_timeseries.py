@@ -3883,3 +3883,42 @@ def q395_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_flat_topk_bucketed(
         emb, queries, k=8, nlist=16, nprobe=4
     )
+
+
+def _q396_oracle() -> str:
+    # identical rows to q198 at equal params (the salt/bucketing never
+    # changes the candidate set — see ivf_pq_topk_bucketed's docstring),
+    # so the bucketed twin shares the generated IVF-PQ value oracle
+    from ._p4_rankings_linkage import _ivf_pq_oracle
+
+    return _ivf_pq_oracle(
+        n_lists=8, nprobe=2, m=16, sub_dim=4, k=256, rounds=2, bits=10,
+        query_mod=97, topk=10, train_mod=16,
+    )
+
+
+@register(
+    "q396_ivfpq_bucketed",
+    oracle=_q396_oracle(),
+    survey_ref="extension: corpus-scale IVF-PQ (r08 VERDICT item 3) — "
+    "the salted/bucketed shape ported from q395 to the PQ rerank path: "
+    "probe join salted on (list_id, __salt), per-query ADC LUTs moved "
+    "through a query_id shuffle join, NOTHING corpus-proportional "
+    "broadcast; row-identical to q198, so it shares the generated "
+    "IVF-PQ value oracle",
+)
+def q396_ivfpq_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k with the corpus-scale join shapes: exercises
+    ``ivf_pq_topk_bucketed`` at q198's exact params — the driver oracle
+    certifies the bucketed twin computes bit-identical (query, vec,
+    adc_dist, rank) rows while its static plan broadcasts nothing
+    corpus-proportional (plan pins in tests/test_fanout_guard.py,
+    equality pin in tests/test_llm.py)."""
+    from stock_data_pipeline_spark.llm.clustering import ivf_pq_topk_bucketed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk_bucketed(
+        emb, "vec_id", "embedding", query_mod=97,
+        n_lists=8, nprobe=2, m=16, sub_dim=4, k=256, rounds=2,
+        quant_bits=10, topk=10, train_mod=16,
+    )

@@ -37,12 +37,18 @@ SF = "/root/testdata/sf0.001"
 # "marker present" assertion green while the actual guard ahead of the
 # fan-out join disappears.
 GUARDED = {
-    "q194_pq_adc_topk": (("vec_id", "code_0"), 1),   # llm/clustering.pq_adc_topk
+    # r09: the guard key is (vec_id, codes) — the code table is one row
+    # per vector with the m code words as an array (llm/clustering.
+    # _codes_wide); bare vec_id would be elided against the aggregate's
+    # own vec_id partitioning.
+    "q194_pq_adc_topk": (("vec_id", "codes"), 1),    # llm/clustering.pq_adc_topk
     "q198_ivf_pq_topk": (("vec_id", "list_id"), 1),  # llm/clustering.ivf_pq_topk
     "q53_ann_ivf_topk": (("match_id", "list_id"), 1),  # llm/similarity.ivf_flat_topk
-    # bucketed variant (r08): BOTH probe-join inputs carry the guard on
-    # the salted composite key — corpus side and exploded query side.
+    # bucketed variants (r08 IVF-flat, r09 IVF-PQ): BOTH probe-join
+    # inputs carry the guard on the salted composite key — corpus side
+    # and exploded query side.
     "q395_ann_ivf_bucketed": (("list_id", "__salt"), 2),
+    "q396_ivfpq_bucketed": (("list_id", "__salt"), 2),
 }
 
 
@@ -95,6 +101,89 @@ def test_bucketed_probe_join_broadcasts_nothing(spark):
     assert not re.search(
         r"Exchange hashpartitioning\(list_id#\d+L?,\s*\d+\)", static
     ), "corpus shuffles on bare nlist-valued list_id — straggler by construction"
+
+
+def test_bucketed_ivfpq_broadcasts_nothing_corpus_proportional(spark):
+    """q396's contract (r08 VERDICT item 3): the static plan moves BOTH
+    corpus-proportional query-side tables without a broadcast — the
+    probe set through the salted (list_id, __salt) shuffle join and the
+    per-query ADC LUTs through an explicit-count query_id shuffle join.
+    Unlike q395 the plan legitimately contains BroadcastHashJoins (the
+    m·k codebook / init-id attaches — parameter-sized at any corpus
+    scale), so the pin is the ABSENCE of broadcasts keyed on the
+    corpus-proportional join keys, plus the non-coalescible guard
+    exchanges on both sides of each shuffle join."""
+    static = (
+        REGISTRY["q396_ivfpq_bucketed"]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin) \[list_id#\d+L?, __salt#\d+", static
+    ), "probe join is no longer a shuffle join on the salted composite key"
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin) \[query_id#\d+", static
+    ), "LUT join is no longer a query_id shuffle join"
+    assert (
+        len(
+            re.findall(
+                r"Exchange hashpartitioning\(query_id#\d+L?, \d+\), REPARTITION_BY_NUM",
+                static,
+            )
+        )
+        >= 2
+    ), "LUT-join inputs lost their explicit-count query_id repartitions"
+    for key in ("query_id", "list_id"):
+        assert not re.search(
+            rf"BroadcastHashJoin \[{key}#\d+", static
+        ), f"static plan re-acquired a broadcast keyed on corpus-proportional {key}"
+    assert not re.search(
+        r"Exchange hashpartitioning\(list_id#\d+L?,\s*\d+\)", static
+    ), "corpus shuffles on bare nlist-valued list_id — straggler by construction"
+
+
+def test_broadcast_size_gate_switches_and_raises(spark, monkeypatch):
+    """r08 VERDICT item 7 + item 3's 'size-gate' half: the broadcast-
+    shape ANN operators consult Catalyst's static size estimate of the
+    query side (no Spark action). Past the budget: ivf_flat_topk and
+    ivf_pq_topk AUTO-SWITCH to their row-identical bucketed twins (the
+    static plan acquires the salted shuffle join); pq_adc_topk RAISES
+    naming the scale path (a full ADC scan has no bucketed twin);
+    force_broadcast=True keeps the pinned broadcast plan everywhere."""
+    from stock_data_pipeline_spark.llm import fanout, similarity
+    from stock_data_pipeline_spark.llm.clustering import ivf_pq_topk, pq_adc_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(emb.vec_id % 7 == 0)
+    monkeypatch.setattr(fanout, "QUERY_BROADCAST_LIMIT_BYTES", 1)
+
+    def static_plan(df):
+        return df._jdf.queryExecution().sparkPlan().toString()
+
+    salted = r"(SortMergeJoin|ShuffledHashJoin) \[list_id#\d+L?, __salt#\d+"
+    assert re.search(
+        salted, static_plan(similarity.ivf_flat_topk(emb, queries, k=8, nlist=16, nprobe=4))
+    ), "ivf_flat_topk did not switch to the bucketed shape past the budget"
+    assert not re.search(
+        salted,
+        static_plan(
+            similarity.ivf_flat_topk(
+                emb, queries, k=8, nlist=16, nprobe=4, force_broadcast=True
+            )
+        ),
+    ), "force_broadcast did not keep the broadcast shape"
+    pq = dict(
+        query_mod=97, m=4, sub_dim=16, k=16, rounds=2, quant_bits=10,
+        topk=10, train_mod=16,
+    )
+    assert re.search(
+        salted, static_plan(ivf_pq_topk(emb, n_lists=8, nprobe=2, **pq))
+    ), "ivf_pq_topk did not switch to the bucketed shape past the budget"
+    with pytest.raises(ValueError, match="ivf_pq_topk_bucketed"):
+        pq_adc_topk(emb, **pq)
+    pq_adc_topk(emb, force_broadcast=True, **pq)  # override builds the plan
 
 
 @pytest.mark.parametrize("name", sorted(GUARDED))

@@ -173,6 +173,32 @@ def test_ivf_bucketed_equals_broadcast_shape(spark):
         assert got == base, f"bucketed shape diverged at n_salt={n_salt}"
 
 
+def test_ivfpq_bucketed_equals_broadcast_shape(spark):
+    """ivf_pq_topk_bucketed is a PHYSICAL variant only: bit-identical
+    rows to ivf_pq_topk at equal params, invariant to n_salt — the salt
+    spreads the probe join (each candidate pair meets exactly once) and
+    the ADC reads the same LUT slots in the same fold order. r08
+    VERDICT item 3 (the PQ port of the q395 discipline)."""
+    from stock_data_pipeline_spark.llm.clustering import (
+        ivf_pq_topk,
+        ivf_pq_topk_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    params = dict(
+        query_mod=97, n_lists=8, nprobe=2, m=4, sub_dim=16, k=16,
+        rounds=2, quant_bits=10, topk=10, train_mod=16,
+    )
+    base = sorted(map(tuple, ivf_pq_topk(emb, **params).collect()))
+    assert len(base) > 0
+    for n_salt in (None, 1, 3):
+        got = sorted(
+            map(tuple, ivf_pq_topk_bucketed(emb, n_salt=n_salt, **params).collect())
+        )
+        assert got == base, f"bucketed IVF-PQ diverged at n_salt={n_salt}"
+
+
 def test_frame_sampling_shape(spark):
     from stock_data_pipeline_spark.llm import multimodal
 

@@ -270,10 +270,10 @@ def test_pq_adc_agrees_with_exact_on_coarse_neighbors(spark):
     vectors. Gate: ≥ 2.5× the chance rate (a random top-10 from the
     ~495-vector corpus overlaps a 50-set at ~10%). Codebooks train on
     the deterministic 1/16 sample (the production one-scan discipline);
-    at this fixture scale that is ~31 training points for 16 centroids
-    per subspace, so the gate is a sanity bound on approximation
-    quality, not a recall benchmark — measured 0.37 here and 0.30 at
-    sf0.01 vs the 0.25 gate."""
+    the gate is a sanity bound on approximation quality, not a recall
+    benchmark — at the r09-registered 128-bit budget (m=16, k=256) the
+    measured overlap sits well above it (RECALL_r09 tracks the real
+    recall curve)."""
     from pyspark.sql import functions as F
     from stock_data_pipeline_spark.catalog import load_table
     from stock_data_pipeline_spark.llm.clustering import _quantize

@@ -237,11 +237,12 @@ def test_ensure_engine_confs_forces_skew_split_on_foreign_sessions(spark):
 
 
 # ---------------------------------------------------------------------------
-# ANN recall floors (r08): pinned on the committed RECALL_r08.json
-# artifact (tools/ann_recall.py) — recall that collapses with corpus
-# growth is a silent quality regression no value-hash oracle can catch.
-# Artifact-based so the pins are deterministic; they fire when the
-# artifact is regenerated after an operator change. See SCALE.md §15.
+# ANN recall floors (r08, re-recorded r09): pinned on the committed
+# RECALL_r09.json artifact (tools/ann_recall.py) — recall that
+# collapses with corpus growth is a silent quality regression no
+# value-hash oracle can catch. Artifact-based so the pins are
+# deterministic; they fire when the artifact is regenerated after an
+# operator change. See SCALE.md §15.
 # ---------------------------------------------------------------------------
 
 
@@ -249,11 +250,11 @@ def _recall_artifact():
     import json
     from pathlib import Path
 
-    p = Path(__file__).resolve().parent.parent / "RECALL_r08.json"
+    p = Path(__file__).resolve().parent.parent / "RECALL_r09.json"
     if not p.exists():
         import pytest
 
-        pytest.skip("RECALL_r08.json not committed at this checkout")
+        pytest.skip("RECALL_r09.json not committed at this checkout")
     return json.loads(p.read_text())
 
 
@@ -268,19 +269,25 @@ def test_ann_recall_floors_hold_at_every_scale():
         # tighter budget (nprobe 4/16) — the floor is lower but must
         # not erode as cells densify
         assert row["ivf_bucketed_q395"] >= 0.45, (sf, row)
+        # r09: q194 re-registered at the 128-bit budget (m=16/k=256) —
+        # the r08 16-bit config's 0.02-at-sf1 collapse was the round's
+        # one red number; the floor pins the fix (measured 0.43-0.46
+        # at every scale)
+        assert row["pq_adc_q194"] >= 0.40, (sf, row)
 
 
 def test_ann_recall_does_not_collapse_with_corpus_growth():
     """The largest corpus must not lose more than 10 recall points vs
-    the smallest for the budgeted operators (LSH/IVF); PQ-ADC at the
-    fixed 16-bit demo config is EXPECTED to collapse (SCALE.md §15) and
-    is covered by the budget-curve pin instead."""
+    the smallest for ANY budgeted operator — since r09 that includes
+    PQ-ADC (the 128-bit registered config holds flat where the old
+    16-bit one fell 0.12→0.02; the 16-bit point now lives only in the
+    budget curve)."""
     rec = _recall_artifact()
     scales = sorted(
         (k for k in rec if not k.startswith("pq_budget")), key=float
     )
     lo, hi = rec[scales[0]], rec[scales[-1]]
-    for op in ("lsh_q29", "ivf_q53", "ivf_bucketed_q395"):
+    for op in ("lsh_q29", "ivf_q53", "ivf_bucketed_q395", "pq_adc_q194"):
         assert hi[op] >= lo[op] - 0.10, (op, lo[op], hi[op])
 
 

@@ -101,7 +101,9 @@ def main(out_path: str) -> None:
         )
 
         # PQ-ADC (q194): exact metric twin is quantized squared-L2 over
-        # all 64 dims with the same query/corpus split
+        # all 64 dims with the same query/corpus split. r09: the
+        # registered config is the 128-bit budget (m=16, k=256) — the
+        # 16-bit point lives in the budget curve below.
         exact_l2 = _pairs(
             similarity.quantized_prefix_topk(
                 emb, n_dims=64, k=10, query_mod=97, quant_bits=10
@@ -111,7 +113,7 @@ def main(out_path: str) -> None:
             _pairs(
                 pq_adc_topk(
                     emb, "vec_id", "embedding", query_mod=97,
-                    m=4, sub_dim=16, k=16, rounds=2, quant_bits=10,
+                    m=16, sub_dim=4, k=256, rounds=2, quant_bits=10,
                     topk=10, train_mod=16,
                 )
             ),
@@ -153,4 +155,4 @@ def main(out_path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "RECALL_r08.json")
+    main(sys.argv[1] if len(sys.argv) > 1 else "RECALL_r09.json")
