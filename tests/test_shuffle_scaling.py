@@ -1,4 +1,5 @@
-"""Pins on the committed SHUFFLE_r08.json artifact (tools/shuffle_probe.py).
+"""Pins on the committed SHUFFLE_r09.json / SHUFFLE_SKEW_r09.json
+artifacts (tools/shuffle_probe.py).
 
 The scaling curve (SCALE.md §13) bounds CPU growth; these pins bound the
 BYTES the headline plans move — the quantity that saturates a cluster
@@ -29,10 +30,10 @@ FINAL_PAIR = "1.0->2.0"
 LINEAR_CEILING = 1.25  # linear plus shuffle-log / partition-rounding slack
 
 
-def _artifact():
-    p = Path(__file__).resolve().parent.parent / "SHUFFLE_r08.json"
+def _artifact(name: str = "SHUFFLE_r09.json"):
+    p = Path(__file__).resolve().parent.parent / name
     if not p.exists():
-        pytest.skip("SHUFFLE_r08.json not committed at this checkout")
+        pytest.skip(f"{name} not committed at this checkout")
     return json.loads(p.read_text())
 
 
@@ -74,3 +75,25 @@ def test_scan_volume_tracks_input_where_measurable():
     # coverage floor (r08 ADVICE): a regenerated artifact whose scans all
     # fell below the probe's 1 MiB floor would pass this test vacuously
     assert checked >= 8, f"artifact lost coverage: only {checked} input betas"
+
+
+def test_shuffle_volume_stays_linear_under_zipf_keys():
+    """r08 VERDICT item 5: the uniform byte curve bounds amplification
+    and the skew probe bounds stragglers/CPU, but neither instrument
+    could see a hot key RE-INFLATING an exchange past a map-side
+    partial aggregate at scale — e.g. a zipf head defeating the
+    aggregate-before-join rewrite's combine step. The skewed-fixture
+    byte curve (bounded zipf 1.2 on l_orderkey/o_custkey/user_id + the
+    hot shingle in every 3rd doc) closes that blind spot: the final
+    scale pair must stay ~linear and spill-free under skew too."""
+    art = _artifact("SHUFFLE_SKEW_r09.json")
+    spilled = {q for q, r in art.items() if r["spilled"]}
+    assert not spilled, spilled
+    checked = 0
+    for q, r in art.items():
+        beta = r["beta_shuffle_write"].get(FINAL_PAIR)
+        if beta is None:
+            continue
+        assert beta <= LINEAR_CEILING, (q, r["beta_shuffle_write"])
+        checked += 1
+    assert checked >= 8, f"skewed artifact lost coverage: only {checked} betas"

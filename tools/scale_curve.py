@@ -43,6 +43,12 @@ SCALES = [
     ("/root/testdata/sf0.1", 0.1),
     (".scale/sf0.3", 0.3),
     (".scale/sf1", 1.0),
+    # r09 (r08 VERDICT item 6): the broadcast→SMJ plan transitions the
+    # byte curve (§16) exposed all happen in the sf1→sf2 gap, so the
+    # CPU exponent across that pair — the post-transition regime a real
+    # cluster always runs in — was unmeasured while the shuffle probe
+    # already went to sf2.
+    (".scale/sf2", 2.0),
 ]
 
 
@@ -89,4 +95,4 @@ def main(out_path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "SCALE_CURVE_r07.json")
+    main(sys.argv[1] if len(sys.argv) > 1 else "SCALE_CURVE_r09.json")

@@ -23,8 +23,16 @@ Stage metrics come from the Spark UI REST API — stages with reused
 (skipped) shuffle outputs correctly don't re-count, so the sums
 reflect work actually performed.
 
-Usage: python tools/shuffle_probe.py [out.json]
+Usage: python tools/shuffle_probe.py [out.json] [--skew]
 (expects .scale/sf0.3 and .scale/sf1 from tools/make_scale_fixture.py)
+
+``--skew`` (r09, r08 VERDICT item 5): measure the same byte curve on
+the bounded-zipf(1.2) fixtures (.scale/sf{0.3,1,2}-skew) instead —
+the uniform curve bounds amplification, the skew probe (SKEW_r08)
+bounds stragglers/CPU, but neither sees a hot key re-inflating an
+exchange past a map-side partial agg at scale; this pass closes that
+blind spot. Only the .scale fixtures exist in skewed form, so the
+curve starts at sf0.3.
 """
 
 from __future__ import annotations
@@ -42,6 +50,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 QUERIES = [
     "q66_dup_clusters",
     "q194_pq_adc_topk",
+    "q198_ivf_pq_topk",
+    "q396_ivfpq_bucketed",
     "q54_minhash_lsh_verified",
     "q26_minhash_lsh",
     "q25_jaccard_pairs",
@@ -66,6 +76,12 @@ SCALES = [
     # in the first cut was that plan transition, not amplification), so
     # the sf1->sf2 exponent is the one that must be ~1
     (".scale/sf2", 2.0),
+]
+
+SKEWED_SCALES = [
+    (".scale/sf0.3-skew", 0.3),
+    (".scale/sf1-skew", 1.0),
+    (".scale/sf2-skew", 2.0),
 ]
 
 FIELDS = [
@@ -129,9 +145,11 @@ def _alphas(per_scale: dict[str, dict], field: str) -> dict[str, float]:
     return out
 
 
-def main(out_path: str) -> None:
+def main(out_path: str, skew: bool = False) -> None:
     from stock_data_pipeline_spark.queries import REGISTRY
     from stock_data_pipeline_spark.session import ensure_engine_confs, get_session
+
+    scales = SKEWED_SCALES if skew else SCALES
 
     spark = ensure_engine_confs(
         get_session(
@@ -148,7 +166,7 @@ def main(out_path: str) -> None:
     for name in QUERIES:
         fn = REGISTRY[name].fn
         per_scale: dict[str, dict] = {}
-        for sf_dir, sf in SCALES:
+        for sf_dir, sf in scales:
             if not Path(sf_dir).exists():
                 continue
             m = _measure(spark, fn, sf_dir)
@@ -178,4 +196,7 @@ def main(out_path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "SHUFFLE_r08.json")
+    argv = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    default = "SHUFFLE_SKEW_r09.json" if skew else "SHUFFLE_r09.json"
+    main(argv[0] if argv else default, skew=skew)
