@@ -48,6 +48,23 @@ def _sq_dist(qv, cv):
     )
 
 
+def _sq_dist_unrolled(qv, cv, dim: int):
+    """:func:`_sq_dist` with the fold statically unrolled for a
+    plan-time-known dimension: ``0.0 + t_1 + t_2 + …`` is the exact
+    left-to-right association the zip_with/aggregate fold (and the SQL
+    oracle's list_reduce) computes, so results are bit-identical — but
+    the expression is plain column arithmetic (element_at + mul + add),
+    an order of magnitude cheaper to evaluate than nested
+    higher-order-function lambdas when it sits INSIDE another HOF
+    lambda, where codegen cannot reach (the hot path of the PQ
+    assignment: N·m·k evaluations)."""
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        d = F.element_at(qv, i).cast("double") - F.element_at(cv, i)
+        acc = acc + d * d
+    return acc
+
+
 def _assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest centroid per point; ties broken by centroid id. The
     centroid table is k rows — broadcast, so the corpus never shuffles
@@ -203,7 +220,18 @@ def _subspace_long(
 ) -> DataFrame:
     """(vec_id, s, qv): one row per (vector, subspace), built in ONE
     scan — qv is the quantized slice of dims [s·sub_dim, (s+1)·sub_dim)
-    (1-based F.slice), identical to the historical per-subspace tables."""
+    (1-based F.slice), identical to the historical per-subspace tables.
+
+    The input is ``_spread`` first (scan-split granularity, same
+    rationale as the LSH bucketer): the downstream assignment is a PURE
+    MAP with no exchange of its own, so an under-split local scan (one
+    parquet file) would serialize all N·m·k distance evaluations on a
+    couple of cores — measured 225 s for the sf2 fixture before the
+    spread vs ~30 s after. At cluster scale the scan has ≥parallelism
+    splits and the spread is a no-op."""
+    from stock_data_pipeline_spark.llm.dedup import _spread
+
+    df = _spread(df, id_col)
     scale = float(1 << quant_bits)
     subs = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -230,29 +258,49 @@ def _train_long(pts: DataFrame, train_mod: int | None) -> DataFrame | None:
     return pts.filter(F.col("vec_id") % train_mod == 0).cache()
 
 
-def _assign_long(pts: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_long(pts: DataFrame, cents: DataFrame, dim: int) -> DataFrame:
     """Nearest centroid per (vec_id, s); ties break on centroid id.
-    The codebook is m·k rows — broadcast equi-join on the subspace id —
-    and the pick is min(struct(d2, cid)): lexicographic struct ordering
-    IS (d2 ASC, cid ASC) because cid is unique per group, and the hash
-    aggregate's map-side combine collapses the k scored rows per
-    (s, vec_id) before any exchange (a window would shuffle them all)."""
-    scored = pts.join(F.broadcast(cents), "s").select(
-        "s",
-        "vec_id",
-        F.struct(
-            _sq_dist(F.col("qv"), F.col("cv")).alias("d2"),
-            F.col("cid").alias("cid"),
-            F.col("qv").alias("qv"),
-        ).alias("sc"),
+
+    The assignment is a PURE MAP: the per-subspace codebook is folded
+    into ONE ROW per subspace (sort_array of (cid, cv) — m rows total,
+    parameter-sized, broadcast), each point row scores all k codewords
+    inside a `transform` and picks `array_min(struct(d2, cid))` —
+    lexicographic struct ordering IS (d2 ASC, cid ASC). No row
+    explosion, no aggregation, no sort:
+
+    - the first cut of this core joined point rows against the m·k-row
+      codebook (N·m·k scored rows) and reduced with min(struct(...)) —
+      but a struct-typed MIN compiles to a SORT-based aggregate, and
+      at the 128-bit budget the sort's input is N·m·k wide rows
+      (163M at the sf2 fixture: measured 11.5 GB of spill for a 25 MB
+      input — a partition-sizing catastrophe 1000× before 100 TB);
+    - the historical per-subspace shape ranked the same N·k rows per
+      subspace through windows — same sort, smaller constant, and the
+      exchange grew with k.
+
+    Folding the argmin inside the row keeps the whole stage in
+    whole-stage codegen: work is still N·m·k distance evals (inherent
+    to Lloyd) but zero extra rows materialize, nothing sorts, nothing
+    beyond the N·m base ever shuffles or spills."""
+    cbooks = cents.groupBy("s").agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cbook")
     )
-    best = scored.groupBy("s", "vec_id").agg(F.min("sc").alias("b"))
-    return best.select(
+    joined = pts.join(F.broadcast(cbooks), "s")
+    best = F.array_min(
+        F.transform(
+            F.col("cbook"),
+            lambda c: F.struct(
+                _sq_dist_unrolled(F.col("qv"), c["cv"], dim).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return joined.select(
         "vec_id",
         "s",
-        F.col("b.qv").alias("qv"),
-        F.col("b.cid").alias("cid"),
-        F.col("b.d2").alias("d2"),
+        "qv",
+        best["cid"].alias("cid"),
+        best["d2"].alias("d2"),
     )
 
 
@@ -276,7 +324,7 @@ def _recompute_long(assigned: DataFrame) -> DataFrame:
 
 
 def _lloyd_rounds_long(
-    pts: DataFrame, k: int, rounds: int, train: DataFrame | None = None
+    pts: DataFrame, k: int, rounds: int, dim: int, train: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """``rounds`` unrolled Lloyd iterations over the subspace-long
     table, all m codebooks in one plan. Init = the k lowest vec_ids of
@@ -294,13 +342,13 @@ def _lloyd_rounds_long(
         "s", "cid", F.transform("qv", lambda x: x.cast("double")).alias("cv")
     )
     for _ in range(rounds - 1):
-        cents = _recompute_long(_assign_long(t, cents))
+        cents = _recompute_long(_assign_long(t, cents, dim))
     # m·k rows — parameter-sized; cached so the unrolled Lloyd chain
     # runs once even though both the final assignment and the query
     # LUT consume it (see _lloyd_rounds / _train_sample for the cache
     # discipline; ~m·k·sub_dim doubles resident per distinct config)
     cents = cents.cache()
-    return _assign_long(pts, cents), cents
+    return _assign_long(pts, cents, dim), cents
 
 
 def _codes_wide(assigned: DataFrame, query_mod: int | None = None) -> DataFrame:
@@ -319,13 +367,25 @@ def _codes_wide(assigned: DataFrame, query_mod: int | None = None) -> DataFrame:
 
 
 def _query_lut(pts: DataFrame, cents: DataFrame, query_mod: int, k: int) -> DataFrame:
-    """(query_id, lut): each query's m×k ADC distance table as a map
-    slot(s·k + cid) → ‖q_s − c_{s,cid}‖², built from one broadcast
-    codebook join. Parameter-sized per row (m·k doubles), so scoring a
-    candidate is m map lookups — the LUT layout every production ADC
-    implementation uses, and the column shape that lets the corpus-
-    scale bucketed twin ship the table through a shuffle join instead
-    of a broadcast."""
+    """(query_id, lut): each query's m×k ADC distance table as ONE
+    dense double ARRAY ordered by slot = s·k + cid, built from one
+    broadcast codebook join. Parameter-sized per row (m·k doubles), so
+    scoring a candidate is m POSITIONAL array reads — the LUT layout
+    every production ADC implementation uses, and the column shape that
+    lets the corpus-scale bucketed twin ship the table through a
+    shuffle join instead of a broadcast.
+
+    An ARRAY, not a map, deliberately: Spark's ``element_at`` on a map
+    is a LINEAR SCAN of the entries (ArrayBasedMapData has no hash
+    index), so a map LUT turns the |Q|·N scoring fan-out into
+    |Q|·N·m·(m·k/2) comparisons — measured as the dominant cost of the
+    first cut of this core at the sf2 fixture (≈0.5 trillion key
+    comparisons). Array reads are O(1). When fewer than k codewords
+    exist (tiny corpora: init ids < k), each subspace contributes the
+    same k' < k entries and the sorted slots stay contiguous per
+    subspace, so position s·k' + cid still addresses exactly slot
+    s·k + cid's value — :func:`_adc_from_lut` derives k' from the
+    array length."""
     q = pts.filter(F.col("vec_id") % query_mod == 0)
     d = q.join(F.broadcast(cents), "s").select(
         F.col("vec_id").alias("query_id"),
@@ -333,18 +393,23 @@ def _query_lut(pts: DataFrame, cents: DataFrame, query_mod: int, k: int) -> Data
         _sq_dist(F.col("qv"), F.col("cv")).alias("d2"),
     )
     return d.groupBy("query_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("slot", "d2"))).alias("lut")
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("slot", "d2"))), lambda t: t["d2"]
+        ).alias("lut")
     )
 
 
 def _adc_from_lut(m: int, k: int):
-    """ADC(q, x) = Σ_s lut[s·k + code_s] — plain left-to-right addition
-    from a 0.0 seed in subspace order (bit-identical to the historical
-    per-column sum and to the oracle's ORDER BY sub fold)."""
+    """ADC(q, x) = Σ_s lut[s·k' + code_s] (k' = |lut|/m — see
+    :func:`_query_lut`) — plain left-to-right addition from a 0.0 seed
+    in subspace order (bit-identical to the historical per-column sum
+    and to the oracle's ORDER BY sub fold), m O(1) array reads per
+    candidate."""
+    kprime = (F.size(F.col("lut")) / F.lit(m)).cast("int")
     adc = F.lit(0.0)
     for s in range(m):
         adc = adc + F.element_at(
-            F.col("lut"), (F.lit(s * k) + F.col("codes")[s]).cast("int")
+            F.col("lut"), (F.lit(s) * kprime + F.col("codes")[s] + 1).cast("int")
         )
     return adc
 
@@ -396,7 +461,7 @@ def pq_codes(
     in explicit subspace order (sort_array + left fold)."""
     pts = _subspace_long(df, id_col, vec_col, m, sub_dim, quant_bits)
     assigned, _ = _lloyd_rounds_long(
-        pts, k, rounds, train=_train_long(pts, train_mod)
+        pts, k, rounds, sub_dim, train=_train_long(pts, train_mod)
     )
     a = assigned.groupBy("vec_id").agg(
         F.sort_array(F.collect_list(F.struct("s", "cid", "d2"))).alias("a")
@@ -495,7 +560,7 @@ def pq_adc_topk(
         )
     pts = _subspace_long(df, id_col, vec_col, m, sub_dim, quant_bits)
     assigned, cents = _lloyd_rounds_long(
-        pts, k, rounds, train=_train_long(pts, train_mod)
+        pts, k, rounds, sub_dim, train=_train_long(pts, train_mod)
     )
     codes = _codes_wide(assigned, query_mod)
     lut = _query_lut(pts, cents, query_mod, k)
@@ -633,7 +698,7 @@ def _ivf_pq_stages(
     )
     pts = _subspace_long(df, id_col, vec_col, m, sub_dim, quant_bits)
     assigned, cents = _lloyd_rounds_long(
-        pts, k, rounds, train=_train_long(pts, train_mod)
+        pts, k, rounds, sub_dim, train=_train_long(pts, train_mod)
     )
     corpus_side = corpus_lists.join(_codes_wide(assigned, query_mod), "vec_id")
     lut = _query_lut(pts, cents, query_mod, k)
