@@ -730,7 +730,8 @@ def ivf_pq_topk_bucketed(
     centroids, m·k codebook, k-row inits) — broadcastable at ANY
     corpus scale by construction.
 
-    Two corpus-proportional tables must move without a broadcast:
+    Two corpus-proportional tables must move without a broadcast, and
+    BOTH move on the probe side of one salted shuffle join:
 
     - the PROBE table (|Q|·nprobe rows): same salting discipline as
       :func:`~stock_data_pipeline_spark.llm.similarity.
@@ -743,12 +744,19 @@ def ivf_pq_topk_bucketed(
       ``(list_id, __salt)`` — REPARTITION_BY_NUM on both inputs, so
       the join reuses the exchanges and AQE can neither coalesce ahead
       of the ADC fan-out nor needs its skew splitter.
-    - the LUT table (|Q| rows × m·k doubles): candidates join it on
-      ``query_id`` — a high-cardinality key (per-query candidate count
-      ≈ nprobe/n_lists of the corpus, uniform-ish by construction), so
-      a plain shuffle join is the right shape; both sides carry the
-      same explicit-count ``query_id`` repartition, and the top-k
-      window per query reuses that distribution (no further exchange).
+    - the LUT table (|Q| rows × m·k doubles) attaches to the probe
+      rows BEFORE the salted fan-out (an SMJ of two |Q|-sized tables
+      on query_id), so each probe row carries its query's whole
+      distance table through the exchange — |Q|·nprobe·n_salt·m·k
+      doubles, LINEAR in the corpus. The first cut instead shuffled
+      the |Q|·N·nprobe/n_lists candidate rows to meet the LUT after
+      the fan-out — a measured beta≈1.5 quadratic exchange
+      (SHUFFLE probe, r09) that would saturate the fabric exactly when
+      the operator is needed. Post-fan-out, the ADC projection and the
+      top-k window's partial group-limit run WITHIN the join's
+      partitions, so the only exchange the |Q|·N-ish candidate set
+      ever feeds is the window's final merge of ≤topk rows per query
+      per partition.
 
     Every (query, corpus) pair sharing a probed list meets exactly once
     (at the corpus row's salt), so the candidate set — and, since ADC
@@ -765,16 +773,13 @@ def ivf_pq_topk_bucketed(
     salted_c = corpus_side.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_salt)).cast("int")
     )
-    salted_q = probed.withColumn(
+    salted_q = probed.join(lut, "query_id").withColumn(
         "__salt",
         F.explode(F.array(*[F.lit(s).cast("int") for s in range(n_salt)])),
     )
-    cands = (
+    expanded = (
         salted_c.repartition(par, "list_id", "__salt")
         .join(salted_q.repartition(par, "list_id", "__salt"), ["list_id", "__salt"])
-        .select("query_id", "vec_id", "codes")
-    )
-    expanded = cands.repartition(par, "query_id").join(
-        lut.repartition(par, "query_id"), "query_id"
+        .select("query_id", "vec_id", "codes", "lut")
     )
     return _adc_topk(expanded, m, k, topk)

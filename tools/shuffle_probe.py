@@ -145,11 +145,16 @@ def _alphas(per_scale: dict[str, dict], field: str) -> dict[str, float]:
     return out
 
 
-def main(out_path: str, skew: bool = False) -> None:
+def main(out_path: str, skew: bool = False, only: list[str] | None = None) -> None:
+    """``only``: re-measure just the named queries and patch their
+    entries into an EXISTING artifact (bytes are plan-deterministic,
+    so a per-query refresh after a plan fix is as valid as a full
+    run — and ~15× cheaper)."""
     from stock_data_pipeline_spark.queries import REGISTRY
     from stock_data_pipeline_spark.session import ensure_engine_confs, get_session
 
     scales = SKEWED_SCALES if skew else SCALES
+    queries = [q for q in QUERIES if not only or q in only]
 
     spark = ensure_engine_confs(
         get_session(
@@ -163,7 +168,9 @@ def main(out_path: str, skew: bool = False) -> None:
         )
     )
     results: dict[str, dict] = {}
-    for name in QUERIES:
+    if only and Path(out_path).exists():
+        results = json.loads(Path(out_path).read_text())
+    for name in queries:
         fn = REGISTRY[name].fn
         per_scale: dict[str, dict] = {}
         for sf_dir, sf in scales:
@@ -196,7 +203,13 @@ def main(out_path: str, skew: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--skew"]
-    skew = "--skew" in sys.argv[1:]
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        args = args[:i] + args[i + 2:]
+    skew = "--skew" in args
+    argv = [a for a in args if a != "--skew"]
     default = "SHUFFLE_SKEW_r09.json" if skew else "SHUFFLE_r09.json"
-    main(argv[0] if argv else default, skew=skew)
+    main(argv[0] if argv else default, skew=skew, only=only)
