@@ -9,7 +9,8 @@ query and writes a reproducible artifact:
     python -m stock_data_pipeline_spark.attest [sf_dir] [out_path]
 
 Defaults: sf_dir=/root/testdata/sf0.01 (the driver's gate scale),
-out_path=ORACLE_LOCAL_r03.json at the repo root. The artifact records
+out_path=ORACLE_LOCAL_r09.json (ORACLE_VANILLA_r09.json with
+``--vanilla``) at the repo root. The artifact records
 per-query status plus the SHA-256 of every input parquet fixture and
 the registry source files, so a judge can verify the attested run used
 the same inputs and code as the committed tree, then reproduce any
@@ -97,7 +98,7 @@ if __name__ == "__main__":
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     # distinct defaults per mode — `--vanilla` without an explicit out
     # path must never silently overwrite the engine attestation
-    default_name = "ORACLE_VANILLA_r08.json" if vanilla else "ORACLE_LOCAL_r08.json"
+    default_name = "ORACLE_VANILLA_r09.json" if vanilla else "ORACLE_LOCAL_r09.json"
     out_path = Path(args[1]) if len(args) > 1 else (
         Path(__file__).resolve().parent.parent / default_name
     )

@@ -409,6 +409,48 @@ def minhash_signatures(
     )
 
 
+def _banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_perm: int,
+    bands: int,
+    portable_hash: bool,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows, one per document per band,
+    repartitioned on the band key. Shared by the all-pairs and
+    bucket-star candidate shapes so both see the identical banding.
+
+    The banding feeds self-referential consumers (a self-join, or a
+    window over the bucket). Those consumers' sides are alias-renamed
+    projections whose implicit exchanges would differ and defeat
+    ReusedExchange (each side re-running the signature computation) —
+    one explicit repartition on the band keys BELOW the aliasing
+    materializes the banding once and pre-positions every consumer, so
+    the join/window adds no further shuffle."""
+    assert num_perm % bands == 0, "num_perm must divide evenly into bands"
+    r = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, portable_hash)
+    if portable_hash:
+        band_val = lambda b: F.aggregate(  # noqa: E731
+            F.slice(F.col("signature"), b * r + 1, r),
+            F.lit(0).cast("long"),
+            lambda acc, v: (acc * 31 + v) % 1_000_000_007,
+        )
+    else:
+        band_val = lambda b: F.hash(F.slice(F.col("signature"), b * r + 1, r))  # noqa: E731
+    band_structs = [
+        F.struct(F.lit(b).alias("band_idx"), band_val(b).alias("band_hash"))
+        for b in range(bands)
+    ]
+    return (
+        sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_hash")
+        .repartition("band_idx", "band_hash")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -433,38 +475,63 @@ def minhash_lsh_pairs(
     an integer fold instead of Spark's murmur ``hash``, so an
     independent engine can verify the full candidate set value-by-value.
     """
-    assert num_perm % bands == 0, "num_perm must divide evenly into bands"
-    r = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm, portable_hash)
-    if portable_hash:
-        band_val = lambda b: F.aggregate(  # noqa: E731
-            F.slice(F.col("signature"), b * r + 1, r),
-            F.lit(0).cast("long"),
-            lambda acc, v: (acc * 31 + v) % 1_000_000_007,
-        )
-    else:
-        band_val = lambda b: F.hash(F.slice(F.col("signature"), b * r + 1, r))  # noqa: E731
-    band_structs = [
-        F.struct(F.lit(b).alias("band_idx"), band_val(b).alias("band_hash"))
-        for b in range(bands)
-    ]
-    banded = (
-        sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("band"))
-        .select(id_col, "band.band_idx", "band.band_hash")
-        # banded feeds BOTH sides of the self-join. The join sides are
-        # alias-renamed projections, so their implicit exchanges would
-        # differ and defeat ReusedExchange (each side re-running the
-        # signature computation). One explicit repartition on the join
-        # keys BELOW the aliasing materializes the banding once and
-        # pre-positions both sides — the join adds no further shuffle.
-        .repartition("band_idx", "band_hash")
-    )
+    banded = _banded(df, id_col, text_col, n, num_perm, bands, portable_hash)
     left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_star_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_perm: int = 64,
+    bands: int = 16,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """MinHash+LSH candidates as BUCKET-STAR edges: within each
+    (band_idx, band_hash) bucket every member pairs with the bucket's
+    MIN id — |bucket|−1 edges where :func:`minhash_lsh_pairs` emits
+    C(|bucket|, 2). Equivalently: collapse the doc–bucket bipartite
+    graph instead of expanding each bucket into a clique.
+
+    Why it exists (SCALE.md §17): the all-pairs candidate set is the
+    faithful LSH semantics, but it is QUADRATIC in the hottest bucket —
+    the skewed-fixture byte curve measured q26/q54 at beta ≈ 1.35 when
+    a hot sentence lands in every 3rd document, and no plan can fix
+    that because the bytes follow the data. The star shape bounds
+    candidates at docs × bands under ANY key distribution (beta = 1 by
+    construction) while preserving exactly what corpus dedup consumes:
+    each bucket's star spans the same vertices as its clique, so the
+    CONNECTED COMPONENTS of the candidate graph — the dup clusters —
+    are identical (pinned against the all-pairs shape in
+    tests/test_llm.py). What it gives up is the per-pair candidate
+    list itself: two non-min members of a hot bucket are no longer
+    emitted as a direct pair, so downstream per-pair exact
+    verification sees the star edges only — fine for cluster-level
+    dedup (verify-then-CC commutes to CC-then-verify only at the
+    cluster level), not a drop-in for q54's verified pair list.
+
+    One window over the banding's existing partitioning (no self-join
+    at all): the explicit band-key repartition in :func:`_banded`
+    satisfies the window's required distribution, so the whole
+    candidate generation costs the signature aggregate shuffle + one
+    band exchange + the output distinct.
+    """
+    banded = _banded(df, id_col, text_col, n, num_perm, bands, portable_hash)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band_idx", "band_hash")
+    return (
+        banded.withColumn("__min", F.min(F.col(id_col)).over(w))
+        .filter(F.col(id_col) != F.col("__min"))
+        .select(F.col("__min").alias("id_a"), F.col(id_col).alias("id_b"))
         .distinct()
     )
 

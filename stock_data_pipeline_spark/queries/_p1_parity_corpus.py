@@ -1784,11 +1784,17 @@ def q53_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _minhash_oracle(n: int = 3, num_perm: int = 64, bands: int = 16) -> str:
+def _minhash_oracle(
+    n: int = 3, num_perm: int = 64, bands: int = 16, star: bool = False
+) -> str:
     """Generate the DuckDB oracle for portable-hash MinHash-LSH: the
     same shingles, polynomial shingle hash, permutation constants, and
     band folds as the Spark plan — all exact integer arithmetic, so the
-    candidate set is value-verifiable end to end."""
+    candidate set is value-verifiable end to end. ``star=True`` swaps
+    the all-pairs bucket self-join for the bucket-star reduction
+    (every member × the bucket MIN — q397's candidate-linear shape);
+    the default tail is byte-identical to the pre-star generator, so
+    q54's committed oracle text is unchanged."""
     from stock_data_pipeline_spark.llm.dedup import _MERSENNE_31, _perm_constants
 
     r = num_perm // bands
@@ -1807,6 +1813,18 @@ def _minhash_oracle(n: int = 3, num_perm: int = 64, bands: int = 16) -> str:
         )
     bands_sql = "\n            UNION ALL ".join(band_selects)
     ngram = " || ' ' || ".join(f"tk[i+{k}]" for k in range(n)).replace("tk[i+0]", "tk[i]")
+    if star:
+        tail = """SELECT min_id AS id_a, doc_id AS id_b FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band_idx, band_hash) AS min_id
+        FROM bands
+    ) WHERE doc_id <> min_id
+    GROUP BY 1, 2"""
+    else:
+        tail = """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2"""
     return f"""
     WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
@@ -1832,11 +1850,7 @@ def _minhash_oracle(n: int = 3, num_perm: int = 64, bands: int = 16) -> str:
     ), bands AS (
         {bands_sql}
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-    WHERE a.doc_id < b.doc_id
-    GROUP BY 1, 2
+    {tail}
     """
 
 

@@ -3922,3 +3922,43 @@ def q396_ivfpq_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=8, nprobe=2, m=16, sub_dim=4, k=256, rounds=2,
         quant_bits=10, topk=10, train_mod=16,
     )
+
+
+def _q397_oracle() -> str:
+    # same generator as q54's full value oracle (portable polynomial
+    # shingle hash + integer band folds, every intermediate ANSI-SQL
+    # exact) with the star tail: MIN(doc_id) OVER the band bucket in
+    # place of the bucket self-join
+    from ._p1_parity_corpus import _minhash_oracle
+
+    return _minhash_oracle(n=3, num_perm=64, bands=16, star=True)
+
+
+@register(
+    "q397_minhash_lsh_star",
+    oracle=_q397_oracle(),
+    headline=True,  # the skew-robust dedup shape must stay perf-visible
+    # next to its all-pairs twin q54
+    survey_ref="extension: MinHash+LSH candidates as bucket-star edges "
+    "(r09, SCALE.md §17) — the skewed-fixture byte curve measured the "
+    "all-pairs candidate set at beta ≈ 1.35 because a hot bucket's "
+    "clique is quadratic IN THE DATA; the star reduction (every member "
+    "× bucket MIN — the doc–bucket bipartite collapse) bounds "
+    "candidates at docs × bands under any key distribution while "
+    "spanning the same connected components, i.e. the same dup "
+    "clusters (equivalence pinned in tests/test_llm.py)",
+)
+def q397_minhash_lsh_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-linear MinHash-LSH: q54's exact banding (n=3, 64
+    perms, 16 bands, portable hash — full value oracle) through
+    ``dedup.minhash_lsh_star_edges``. One window over the banding's
+    own band-key exchange replaces the bucket self-join entirely; the
+    hot-sentence fixture that drives q54's bytes quadratic collapses
+    to one star per band here (measured beta ≈ 1 on the skewed byte
+    curve, SHUFFLE_SKEW_r09.json)."""
+    from stock_data_pipeline_spark.llm import dedup
+
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_star_edges(
+        doc, "doc_id", "text", n=3, num_perm=64, bands=16, portable_hash=True
+    )

@@ -54,6 +54,46 @@ def test_minhash_lsh_finds_high_jaccard_pairs(spark, docs):
     assert {(1, 2), (1, 4), (2, 4)} <= cands  # near/exact dups must collide
 
 
+def test_minhash_star_edges_subset_and_bounded(spark, docs):
+    """Every star edge is a real candidate pair (min and member share a
+    bucket), and a hot bucket of k identical docs costs k−1 edges where
+    the all-pairs shape pays C(k, 2)."""
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=2, num_perm=64, bands=16).collect()}
+    stars = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_lsh_star_edges(docs, "doc_id", "text", n=2, num_perm=64, bands=16).collect()}
+    assert stars <= pairs
+    hot = spark.createDataFrame([(i, BASE) for i in range(1, 13)], ["doc_id", "text"])
+    hot_pairs = dedup.minhash_lsh_pairs(hot, "doc_id", "text", n=2, num_perm=64, bands=16).count()
+    hot_stars = dedup.minhash_lsh_star_edges(hot, "doc_id", "text", n=2, num_perm=64, bands=16).collect()
+    assert hot_pairs == 66  # C(12, 2): the clique is quadratic in the bucket
+    assert {(r["id_a"], r["id_b"]) for r in hot_stars} == {(1, k) for k in range(2, 13)}
+
+
+def test_minhash_star_edges_span_same_dup_clusters(spark):
+    """SCALE.md §17: the star reduction's whole point — each bucket's
+    star spans the same vertices as its clique, so connected components
+    (the dup clusters) are identical to the all-pairs candidate
+    graph's, on real fixture text."""
+    doc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(doc, "doc_id", "text", n=3, num_perm=64, bands=16)
+    stars = dedup.minhash_lsh_star_edges(doc, "doc_id", "text", n=3, num_perm=64, bands=16)
+    cc_pairs = {(r["vertex"], r["cluster_id"])
+                for r in dedup.connected_components(pairs).collect()}
+    cc_stars = {(r["vertex"], r["cluster_id"])
+                for r in dedup.connected_components(stars).collect()}
+    assert cc_pairs == cc_stars and cc_pairs
+
+
+def test_minhash_star_edges_plan_is_join_free(spark, docs):
+    """The star shape must replace the bucket self-join with a window
+    over the banding's own exchange — a Join node reappearing means the
+    candidate-linear claim silently regressed to the quadratic shape."""
+    out = dedup.minhash_lsh_star_edges(docs, "doc_id", "text", n=2, num_perm=64, bands=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
 def test_simhash_exact_dup_distance_zero(spark, docs):
     fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
     assert fps[1] == fps[4]

@@ -89,9 +89,12 @@ def test_scan_volume_tracks_input_where_measurable():
 #   TRUE band-collision candidate set grow ~quadratically in the hot
 #   family — any faithful MinHash-LSH computes the same candidates (the
 #   value oracle pins the set), so the bytes follow the data, not the
-#   plan. The skew-robust dedup recommendation is the df-ordered
-#   prefix-filter shape (q25), whose filter DROPS the hot shingle:
-#   measured beta 1.0 on the same fixture.
+#   plan. The skew-robust shapes are the df-ordered prefix filter
+#   (q25, DROPS the hot shingle) and the bucket-star reduction (q397,
+#   emits member × bucket-MIN edges — same dup clusters, candidates
+#   linear in docs × bands): both measure beta ~1.0 on the same
+#   fixture, and q397 must STAY under the plain linear ceiling — it is
+#   deliberately not in the exception set.
 _SKEW_EXCEPTIONS = {"q01_sector_calculated_price", "q26_minhash_lsh",
                     "q54_minhash_lsh_verified"}
 _SKEW_EXCEPTION_CEILING = 2.1  # bounded: anything worse is a new defect

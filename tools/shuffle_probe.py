@@ -53,6 +53,7 @@ QUERIES = [
     "q198_ivf_pq_topk",
     "q396_ivfpq_bucketed",
     "q54_minhash_lsh_verified",
+    "q397_minhash_lsh_star",
     "q26_minhash_lsh",
     "q25_jaccard_pairs",
     "q322_qini_uplift",
