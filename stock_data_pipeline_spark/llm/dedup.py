@@ -168,9 +168,8 @@ def ngram_jaccard_pairs_prefix(
 
     ``order`` picks the canonical order:
     - ``"df"`` (default): global document frequency, rarest first —
-      costs a dfreq aggregation + join + per-doc rebuild, but the
-      groupBy boundary materializes the per-doc arrays once for all
-      three downstream consumers, and prefixes are maximally rare.
+      costs a dfreq aggregation + join + per-doc rebuild, but prefixes
+      are maximally rare so the candidate join stays smallest.
       Measured fastest (2.6s vs 4.9s at sf0.1, hashed shingles) and the
       robust choice under stop-shingle skew.
     - ``"hash"``: xxhash64(shingle) order — per-row computation with no
@@ -242,6 +241,17 @@ def ngram_jaccard_pairs_prefix(
                 ),
             )
             .select(id_col, "shingle_arr", "sz", "prefix")
+            # NOTE (r09, measured): docs feeds three consumers and the
+            # plan below is narrow (dfreq broadcasts, the groupBy rides
+            # _spread's id partitioning), so the whole subtree IS
+            # duplicated per consumer — but materializing it behind an
+            # explicit exchange (repartition by id, by (id, shingle) at
+            # the postings level, or localCheckpoint) measured 1.4-2×
+            # WORSE CPU and wall interleaved on the same JVM: the
+            # duplicated branches are fully pipelined scan-side work
+            # with zero exchange cost, while a materialization pays
+            # shuffle serialization on every posting and defeats
+            # scan-side pruning. Keep the narrow shape deliberately.
         )
     else:
         raise ValueError(f"order must be 'hash' or 'df', got {order!r}")
@@ -351,6 +361,100 @@ def _portable_shingle_hash(shingle: F.Column) -> F.Column:
     )
 
 
+def _token_hp(tok: F.Column) -> F.Column:
+    """``struct(h, pw)`` for one token: ``h`` = the portable polynomial
+    hash of the token's chars (identical fold to
+    :func:`_portable_shingle_hash`), ``pw`` = ``31^len(tok) mod p`` —
+    the power the composition law needs. Both ride the same chunked
+    fold, so ``pw`` costs one extra mult-mod per 4-char chunk."""
+    p = F.lit(1_000_000_007).cast("long")
+
+    def code(pos: F.Column) -> F.Column:
+        return F.ascii(tok.substr(pos, F.lit(1))).cast("long")
+
+    ln = F.length(tok)
+    r = ln % F.lit(4)
+    c1, c2, c3 = code(F.lit(1)), code(F.lit(2)), code(F.lit(3))
+    seed = (
+        F.when(r == 0, F.lit(0).cast("long"))
+        .when(r == 1, c1)
+        .when(r == 2, c1 * 31 + c2)
+        .otherwise((c1 * 31 + c2) * 31 + c3)
+    )
+    pw0 = (
+        F.when(r == 0, F.lit(1).cast("long"))
+        .when(r == 1, F.lit(31).cast("long"))
+        .when(r == 2, F.lit(961).cast("long"))
+        .otherwise(F.lit(29791).cast("long"))
+    )
+    nfull = ((ln - r) / F.lit(4)).cast("long")
+    chunks = F.when(
+        nfull >= 1,
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), nfull),
+            lambda j: (
+                (code(r + (j - 1) * 4 + 1) * 31 + code(r + (j - 1) * 4 + 2)) * 31
+                + code(r + (j - 1) * 4 + 3)
+            )
+            * 31
+            + code(r + (j - 1) * 4 + 4),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    init = F.struct(seed.alias("h"), pw0.alias("pw"))
+    return F.aggregate(
+        chunks,
+        init,
+        lambda acc, v: F.struct(
+            ((acc["h"] * F.lit(923521) + v) % p).alias("h"),
+            ((acc["pw"] * F.lit(923521)) % p).alias("pw"),
+        ),
+    )
+
+
+def portable_ngram_hashes(
+    df: DataFrame, id_col: str, tk_col: str, n: int
+) -> DataFrame:
+    """``(id, h)`` rows: the portable polynomial hash of every
+    space-joined word ``n``-gram of the bound token-array column
+    ``tk_col`` — bit-identical to exploding
+    ``array_join(slice(tk, i, n), ' ')`` strings through
+    :func:`_portable_shingle_hash` (asserted in tests/test_llm.py), but
+    WITHOUT ever building the n-gram strings: each token is hashed once
+    per document and the n-gram hashes are composed by the polynomial
+    identity ``H(a ∘ ' ' ∘ b) = ((H(a)·31 + 32) · 31^len(b) + H(b)) mod
+    p`` (32 = the space's code). Char-level work drops from n× per
+    token (each token re-hashed inside every window containing it) to
+    1×, and the string alloc/copy per gram disappears — measured
+    2.5-3× CPU on the sf0.1 8-gram screen (r09).
+
+    The per-token ``(h, pw)`` structs are materialized as a REAL
+    projection column before the window transform references them —
+    higher-order functions run interpreted with no CSE, so an unbound
+    expression would re-hash the whole document once per element_at
+    (measured 70× WORSE than the string path; the
+    :func:`ngrams_from_tokens` binding rule, which this helper owns so
+    call sites can't get it wrong).
+
+    Documents with fewer than ``n`` tokens emit zero grams (the
+    explicit when-guard below — ``sequence(1, 0)`` is the DESCENDING
+    array in Spark, the :func:`ngrams_from_tokens` trap)."""
+    p = F.lit(1_000_000_007).cast("long")
+    hp_bound = df.select(F.col(id_col), F.transform(F.col(tk_col), _token_hp).alias("__hp"))
+
+    def gram(i: F.Column) -> F.Column:
+        acc = F.element_at(F.col("__hp"), i.cast("int"))["h"]
+        for j in range(1, n):
+            e = F.element_at(F.col("__hp"), (i + j).cast("int"))
+            acc = ((acc * 31 + 32) % p * e["pw"] + e["h"]) % p
+        return acc
+
+    grams = F.when(
+        F.size(F.col("__hp")) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(F.col("__hp")) - (n - 1)), gram),
+    )
+    return hp_bound.select(F.col(id_col), F.explode(grams).alias("h"))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 2, num_perm: int = 64,
     portable_hash: bool = False,
@@ -381,15 +485,13 @@ def minhash_signatures(
     """
     tokenized = _tokenized(_spread(df, id_col), id_col, text_col)
     if portable_hash:
-        # the portable hash is itself a transform+aggregate HOF pair;
-        # nesting it inside the n-gram transform forces the whole tree
-        # through per-element interpretation (measured ~4× slower than
-        # the same hash on a flat column) — so explode the shingle
-        # STRINGS first, then hash the flat column in one HOF level
-        postings = tokenized.select(
-            F.col(id_col),
-            F.explode(ngrams_from_tokens(F.col("__tk"), n)).alias("__s"),
-        ).select(F.col(id_col), _portable_shingle_hash(F.col("__s")).alias("h"))
+        # composed per-token hashing (r09): bit-identical postings to
+        # exploding the shingle strings through _portable_shingle_hash
+        # (pinned in tests/test_llm.py), but each token's chars are
+        # hashed once per document instead of once per window, and the
+        # shingle strings are never allocated — measured ~30% less CPU
+        # on the sf0.1 signature stage, interleaved A/B
+        postings = portable_ngram_hashes(tokenized, id_col, "__tk", n)
     else:
         # xxhash64 is a native (non-HOF) expression, safe to apply
         # inside the array transform — no shingle strings ever reach
@@ -567,9 +669,21 @@ def _cc_round(bidir: DataFrame, labels: DataFrame) -> DataFrame:
 
 
 def _bidir(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    return edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    """Both directions of each edge — as a row-local explode of a
+    two-struct array, NOT a self-union: a union's two branches each
+    re-evaluate the whole ``edges`` subtree (for near-dup clustering
+    that is the full shingle/prefix/verify pipeline — measured as a
+    doubled 2×parallelism task stage dominating q66), while the explode
+    duplicates each row in place for zero extra passes and zero extra
+    exchanges. Same multiset as the old select-union (UNION ALL)."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+            )
+        ).alias("__e")
+    ).select("__e.u", "__e.v")
 
 
 def connected_components(

@@ -50,9 +50,14 @@ def pagerank_fixed(
     simplification; document it where the invariant matters. Nodes with
     no in-edges receive the teleport term only.
     """
+    # endpoints via a row-local explode, NOT a two-branch union: the
+    # union's branches each re-evaluate the whole ``edges`` subtree
+    # (for the transition-graph queries that is a window pass plus an
+    # aggregate per branch), while the explode reads it once — same
+    # multiset, and the trailing distinct is unchanged (r09, the q66
+    # ``_bidir`` lesson)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        edges.select(F.explode(F.array(F.col(src), F.col(dst))).alias("node"))
         .distinct()
     )
     n1 = nodes.agg(F.count(F.lit(1)).alias("__n"))
@@ -124,9 +129,9 @@ def hits_fixed(
     if rounds < 1:
         raise ValueError("hits_fixed needs rounds >= 1 (authorities are "
                          "undefined before the first half-step)")
+    # single-pass endpoint explode — see pagerank_fixed's nodes note
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        edges.select(F.explode(F.array(F.col(src), F.col(dst))).alias("node"))
         .distinct()
     )
     n1 = nodes.agg(F.count(F.lit(1)).alias("__n"))

@@ -1742,7 +1742,7 @@ def q192_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit arithmetic reproduce exactly in any engine — 62-bit words keep
     every mask positive in int64, so no sign-extension edge cases.
     """
-    from stock_data_pipeline_spark.llm.dedup import _portable_shingle_hash, _spread
+    from stock_data_pipeline_spark.llm.dedup import portable_ngram_hashes, _spread
 
     doc = load_table(spark, sf_dir, "documents")
     tk = (
@@ -1750,15 +1750,11 @@ def q192_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", text.tokens(F.col("text")).alias("tk"))
         .filter(F.size("tk") >= 8)
     )
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size("tk") - 7),
-        lambda i: F.array_join(F.slice("tk", i, F.lit(8)), " "),
-    )
-    hashed = (
-        tk.select("doc_id", F.explode(shingles).alias("s"))
-        .select("doc_id", _portable_shingle_hash(F.col("s")).alias("h"))
-        .distinct()
-    )
+    # composed per-token hashing (r09): bit-identical to exploding the
+    # space-joined 8-gram strings through _portable_shingle_hash, but
+    # each token's chars are hashed once per doc, not once per gram —
+    # see portable_ngram_hashes
+    hashed = portable_ngram_hashes(tk, "doc_id", "tk", 8).distinct()
     h2 = (F.col("h") * F.lit(2654435761).cast("long")) % F.lit(1_000_000_007)
     probes = hashed.select(
         "doc_id",

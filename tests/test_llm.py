@@ -283,6 +283,42 @@ def test_portable_hash_chunked_equals_per_char(spark):
     assert all(r["o"] == r["n"] for r in out)
 
 
+def test_portable_ngram_hashes_equal_string_shape(spark):
+    """The composed per-token n-gram hash (r09: tokens hashed once,
+    grams composed by H(a∘' '∘b) = ((H(a)·31+32)·31^len(b) + H(b)) mod
+    p) must emit exactly the multiset of (id, hash) rows the string
+    shape emits — explode(array_join(slice(tk, i, n), ' ')) through
+    _portable_shingle_hash. Covers n=2 and n=8, 1-char through
+    multi-byte tokens, docs at exactly n tokens, and chunk-boundary
+    token lengths (1..5 chars hit every seed arm of the fold)."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.llm.dedup import (
+        _portable_shingle_hash,
+        portable_ngram_hashes,
+    )
+
+    rows = [
+        (1, ["a", "bb", "ccc", "dddd", "eeeee", "ffffff", "g", "hh", "iii"]),
+        (2, ["the", "quick", "brown", "fox", "jumps", "over", "a", "dog"]),
+        (3, ["éü", "日本語", "x", "longtokenoverfourchars", "y", "z", "w", "v"]),
+        (4, ["exactly", "eight", "tokens", "so", "one", "gram", "at", "n=8"]),
+    ]
+    df = spark.createDataFrame(rows, ["id", "tk"])
+    for n in (2, 8):
+        sub = df.filter(F.size("tk") >= n)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (n - 1)),
+            lambda i: F.array_join(F.slice("tk", i, F.lit(n)), " "),
+        )
+        want = sub.select(
+            "id", F.explode(grams).alias("s")
+        ).select("id", _portable_shingle_hash(F.col("s")).alias("h"))
+        got = portable_ngram_hashes(sub, "id", "tk", n)
+        assert want.exceptAll(got).count() == 0
+        assert got.exceptAll(want).count() == 0
+
+
 def test_png_bmp_round_trip_and_corruption():
     """The synthesized payloads must be spec-valid (PNG scanlines
     recoverable by stdlib zlib; BMP rows 4-byte aligned) and the

@@ -30,7 +30,14 @@ def main() -> None:
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = ensure_engine_confs(get_session("capture-plans"))
     OUT.mkdir(parents=True, exist_ok=True)
-    for name, fn in _q.headline_queries().items():
+    # named non-headline queries (registry prefixes) are allowed too —
+    # optimization rounds touch operators whose consumers aren't benched
+    pool = dict(_q.headline_queries())
+    if only is not None:
+        for rname, entry in _q.REGISTRY.items():
+            if rname.split("_", 1)[0] in only and rname not in pool:
+                pool[rname] = entry.fn
+    for name, fn in pool.items():
         if only is not None and name.split("_", 1)[0] not in only:
             continue
         import contextlib
