@@ -2809,9 +2809,6 @@ def q245_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_r").cast("long").alias("ca"),
         F.sum(1 - F.col("is_r")).cast("long").alias("cb"),
     )
-    tot = vals.agg(
-        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
-    )
     # deterministic order-preserving bucket id (v < 2^24, 16 buckets by
     # high bits): unlike repartitionByRange + spark_partition_id, the
     # bucket of a row never depends on sampled boundaries, so the two
@@ -2829,21 +2826,46 @@ def q245_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").over(w_in).alias("la"),
         F.sum("cb").over(w_in).alias("lb"),
     )
-    ptot = ranged.groupBy("pid").agg(
-        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    # Per-bucket totals NEED NO distinct-v aggregate: Σ_{v∈pid} ca(v) is
+    # just Σ is_r over the bucket's raw rows, so ptot reads tagged
+    # directly and map-side-collapses to ≤16 rows per task (r10 — the
+    # old shape ran tot/ptot/local as three independent copies of the
+    # full v-aggregate, and a join-inferred isnotnull(pid) pushed into
+    # only one branch kept Catalyst from reusing their exchanges: the
+    # static plan held 2 lineitem scans and 3 final v-aggregates doing
+    # identical work; nulls group the same in one level or two, so the
+    # regrouped long sums are value-identical)
+    ptot = tagged.groupBy(
+        (
+            (F.col("v") - F.pmod(F.col("v"), F.lit(1048576))) / 1048576
+        ).cast("long").alias("pid")
+    ).agg(
+        F.sum("is_r").alias("ta"), F.sum(1 - F.col("is_r")).alias("tb")
     )
+    # one ≤16-row broadcast carries BOTH the per-bucket prefix offsets
+    # and the grand totals (na/nb as unbounded-frame sums over the same
+    # sort — same Window operator), replacing the old separate
+    # tot-branch broadcast + BroadcastNestedLoopJoin; all sums are long
+    # adds regrouped, value-identical to aggregating vals directly
     w_pid = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offsets = ptot.select(
         "pid",
         F.coalesce(F.sum("ta").over(w_pid), F.lit(0)).alias("oa"),
         F.coalesce(F.sum("tb").over(w_pid), F.lit(0)).alias("ob"),
+        F.sum("ta").over(w_all).cast("long").alias("na"),
+        F.sum("tb").over(w_all).cast("long").alias("nb"),
     )
     cum = local.join(F.broadcast(offsets), "pid").select(
         "v",
         (F.col("oa") + F.col("la")).alias("cum_a"),
         (F.col("ob") + F.col("lb")).alias("cum_b"),
+        "na",
+        "nb",
     )
-    scored = cum.crossJoin(F.broadcast(tot)).select(
+    scored = cum.select(
         (
             F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
             .cast("decimal(38,0)")

@@ -12,6 +12,7 @@ jobs during construction; their plan is the final round's AQE plan.
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -20,7 +21,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from stock_data_pipeline_spark import queries as _q  # noqa: E402
 from stock_data_pipeline_spark.session import ensure_engine_confs, get_session  # noqa: E402
 
-OUT = Path(__file__).resolve().parent.parent / "plans" / "r09"
+OUT = (
+    Path(__file__).resolve().parent.parent
+    / "plans"
+    / os.environ.get("PLANS_ROUND", "r10")
+)
 SF_DIR = "/root/testdata/sf0.1"
 ITERATIVE = {"q66_dup_clusters", "q122_cluster_canonical"}
 
