@@ -100,32 +100,68 @@ def run() -> tuple[dict, dict, dict]:
     plans: dict[str, dict[str, int]] = {}
     noise: dict[str, dict] = {}
     loadavg_start = round(os.getloadavg()[0], 2)
+    # Co-tenant defense (r09 VERDICT item 1, declared additions-only):
+    # best-of-4 has no answer to a neighbor-load spike that covers all 4
+    # attempts of a query — BENCH_r09's 32-core run read "38/40
+    # regressed, geomean 0.596" for a round whose every uncontaminated
+    # signal showed CPU −25%. Now each attempt records the 1-min loadavg
+    # at its finish, and while the BEST attempt so far completed under
+    # loadavg above a threshold the query earns up to
+    # SPARK_GRAFT_LA_RETRIES extra attempts. The threshold must sit
+    # above the bench's own self-load (a 32-core local run idles near
+    # 2-4 between stages, and r08's quiet-box run logged 3.49 mid-run)
+    # but below the contaminated regime (4.9-5.9 in BENCH_r09): default
+    # 4.5, env-tunable. The reported metric is unchanged (min over all
+    # attempts — same best-of-N estimator, more samples under load), so
+    # cross-round numbers stay comparable; per-attempt loadavg lands in
+    # BENCH_NOISE.json and the extra-attempt total in the summary line.
+    la_threshold = float(os.environ.get("SPARK_GRAFT_LA_THRESHOLD", "4.5"))
+    la_retries = int(os.environ.get("SPARK_GRAFT_LA_RETRIES", "4"))
+    extra_attempts_total = 0
     for name, fn in _q.headline_queries().items():
         runs: list[float] = []
         cpu_runs: list[float] = []
+        la_runs: list[float] = []
         df = None
-        for _ in range(4):
+
+        def _attempt():
             # time construction + execution: for iterative queries (q66)
             # the real work happens inside fn() (checkpointed rounds) —
             # timing only the final write would under-report them
+            nonlocal df
             t0 = time.perf_counter()
             c0 = _jvm_cpu_s(pid)
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             cpu_runs.append(_jvm_cpu_s(pid) - c0)
             runs.append(time.perf_counter() - t0)
+            la_runs.append(round(os.getloadavg()[0], 2))
+
+        for _ in range(4):
+            _attempt()
+        extras = 0
+        while (
+            extras < la_retries
+            and la_runs[runs.index(min(runs))] > la_threshold
+        ):
+            _attempt()
+            extras += 1
+        extra_attempts_total += extras
         timings[name] = round(min(runs), 3)
-        # median of the last 3 runs (first repeat can still carry
-        # residual JIT despite the sf0.001 warmup)
-        median = sorted(runs[1:])[1]
-        # CPU: median of the last 3 too — JIT compilation of generated
-        # code rides on the first run's task threads
-        cpu_s[name] = round(sorted(cpu_runs[1:])[1], 3)
+        # median of the last 3 of the BASE runs (first repeat can still
+        # carry residual JIT despite the sf0.001 warmup; retries don't
+        # shift the median so the r07 gate metric stays comparable)
+        median = sorted(runs[1:4])[1]
+        # CPU: median of the base last-3 too — JIT compilation of
+        # generated code rides on the first run's task threads
+        cpu_s[name] = round(sorted(cpu_runs[1:4])[1], 3)
         noise[name] = {
             "runs": [round(r, 3) for r in runs],
             "best": round(min(runs), 3),
             "median": round(median, 3),
             "cpu_runs": [round(c, 3) for c in cpu_runs],
+            "loadavg_runs": la_runs,
+            "extra_attempts": extras,
             "loadavg_1m": round(os.getloadavg()[0], 2),
         }
         plans[name] = _plan_fingerprint(spark, name, fn, df, sf_dir)
@@ -154,6 +190,12 @@ def run() -> tuple[dict, dict, dict]:
         ),
         "median_total": round(sum(n["median"] for n in noise.values()), 3),
         "loadavg_1m": [loadavg_start, round(os.getloadavg()[0], 2)],
+        # loadavg-gated retry record (r09 VERDICT item 1): how many
+        # extra attempts the co-tenant defense spent, and the gate. A
+        # nonzero count with unchanged fingerprints = the box was
+        # loaded, not the code.
+        "la_extra_attempts": extra_attempts_total,
+        "la_threshold": la_threshold,
     }, plans, noise
 
 
