@@ -337,12 +337,19 @@ def _portable_shingle_hash(shingle: F.Column) -> F.Column:
     ln = F.length(shingle)
     r = ln % F.lit(4)
     c1, c2, c3 = code(F.lit(1)), code(F.lit(2)), code(F.lit(3))
+    # The closed-form seed is reduced mod p: Spark's ascii() returns
+    # full codepoints (≤ 1114111), so an astral-plane char can push the
+    # 3-char seed past p, and with no 4-char chunk to fold (len < 4) the
+    # aggregate would return it UNREDUCED — breaking bit-identity with
+    # the composed path (r09 ADVICE). A no-op for BMP chars (max seed
+    # 65535·993 < p) and for len ≥ 4 (the first fold step reduces), so
+    # every committed oracle is unchanged.
     seed = (
         F.when(r == 0, F.lit(0).cast("long"))
         .when(r == 1, c1)
         .when(r == 2, c1 * 31 + c2)
         .otherwise((c1 * 31 + c2) * 31 + c3)
-    )
+    ) % p
     nfull = ((ln - r) / F.lit(4)).cast("long")
     chunks = F.when(
         nfull >= 1,
@@ -375,12 +382,14 @@ def _token_hp(tok: F.Column) -> F.Column:
     ln = F.length(tok)
     r = ln % F.lit(4)
     c1, c2, c3 = code(F.lit(1)), code(F.lit(2)), code(F.lit(3))
+    # seed % p: same astral-plane corner as _portable_shingle_hash —
+    # keeps the two paths bit-identical for 1-char tokens past the BMP.
     seed = (
         F.when(r == 0, F.lit(0).cast("long"))
         .when(r == 1, c1)
         .when(r == 2, c1 * 31 + c2)
         .otherwise((c1 * 31 + c2) * 31 + c3)
-    )
+    ) % p
     pw0 = (
         F.when(r == 0, F.lit(1).cast("long"))
         .when(r == 1, F.lit(31).cast("long"))

@@ -303,6 +303,15 @@ def test_portable_ngram_hashes_equal_string_shape(spark):
         (2, ["the", "quick", "brown", "fox", "jumps", "over", "a", "dog"]),
         (3, ["éü", "日本語", "x", "longtokenoverfourchars", "y", "z", "w", "v"]),
         (4, ["exactly", "eight", "tokens", "so", "one", "gram", "at", "n=8"]),
+        # Astral-plane 1-char tokens: ascii() yields full codepoints up
+        # to 1114111, so a <4-char closed-form seed can exceed p —
+        # bit-identity here requires the seed's mod-p reduction (r09
+        # ADVICE: the unreduced string path returned 1070659861 vs the
+        # composed 70659854 for ['\U0010FFFD', 'x'] at n=2).
+        (5, ["\U0010FFFD", "x", "\U0001F600", "yy", "\U0010FFFF", "z", "q", "r"]),
+        # ...and a 3-astral-char TOKEN, whose own seed exceeds p (hits
+        # _token_hp's reduction, not just the gram-string one).
+        (6, ["\U0010FFFD\U0010FFFE\U0010FFFF", "ok", "a", "b", "c", "d", "e", "f"]),
     ]
     df = spark.createDataFrame(rows, ["id", "tk"])
     for n in (2, 8):
