@@ -711,8 +711,10 @@ def connected_components(
     lineage without pinning the working set in executor memory the way
     ``localCheckpoint`` would — at 100 TB the label table is too big to
     hold as memory-resident blocks whose loss would kill the job). The
-    per-round convergence test is a ``limit(1).count()`` — one tiny
-    action per round, O(log d) rounds total. For an action-free fully
+    per-round convergence test is an ``observe()`` metric collected on
+    the checkpoint's own materialization job (labels are monotone
+    non-increasing, so a stalled exact label-sum ⟺ converged) — ONE
+    job per round, O(log d) rounds total. For an action-free fully
     lazy plan on bounded-diameter graphs use
     :func:`connected_components_fixed`.
 
@@ -720,6 +722,8 @@ def connected_components(
     checkpoint dir is configured, a local tmpdir — single-node default;
     on a cluster pass a DFS path).
     """
+    from pyspark.sql import Observation
+
     spark = edges.sparkSession
     sc = spark.sparkContext
     if checkpoint_dir is not None:
@@ -738,23 +742,43 @@ def connected_components(
     # and the checkpointed layout is already co-partitioned with the
     # labels the rounds join against.
     bidir = _bidir(edges, src, dst).repartition("u").checkpoint(eager=True)
+    # The initial labels are NOT checkpointed (r10): they are one cheap
+    # distinct over the just-checkpointed bidir, so round 1 re-derives
+    # them in-plan and round 1's own checkpoint truncates the lineage —
+    # one fewer serial job + disk write on a chain that is wall-bound,
+    # not CPU-bound (the loop serializes O(log d) tiny jobs).
     labels = (
         bidir.select(F.col("u").alias("vertex")).distinct().withColumn("lbl", F.col("vertex"))
-    ).checkpoint(eager=True)
+    )
+    # Convergence rides the checkpoint action itself (r10): labels are
+    # pointwise monotone non-increasing (_cc_round outputs a MIN over a
+    # set containing the old label), so Σ lbl — exact as decimal(38,0),
+    # no overflow for any realistic vertex count — is strictly
+    # decreasing while anything changes and stalls exactly at
+    # convergence. observe() collects the sum ON the eager checkpoint's
+    # own job (verified: Dataset.checkpoint runs under withAction, so
+    # CollectMetrics fires), replacing the old per-round join-the-two-
+    # checkpoints changed-count job: one job per round instead of two.
+    # Equality of consecutive sums ⟺ no label changed ⟺ the old
+    # changed == 0 test, except round 1 (no previous sum), where an
+    # already-converged input costs one extra (idempotent) round —
+    # reachable only when every component is a singleton. A None sum
+    # (empty graph) converges immediately: empty in, empty out.
+    prev_sum = None
     converged = False
-    for _ in range(max_iter):
-        new_labels = _cc_round(bidir, labels).checkpoint(eager=True)
-        changed = (
-            new_labels.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "vertex")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .limit(1)
-            .count()
+    for i in range(max_iter):
+        obs = Observation(f"cc_conv_{i}")
+        new_labels = (
+            _cc_round(bidir, labels)
+            .observe(obs, F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"))
+            .checkpoint(eager=True)
         )
+        cur_sum = obs.get["s"]
         labels = new_labels
-        if changed == 0:
+        if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
             converged = True
             break
+        prev_sum = cur_sum
     if not converged:
         # NEVER return silently-wrong labels: an unconverged run split
         # components (found the hard way — the sf0.1 proximity graph
