@@ -3,6 +3,8 @@ deterministic sampling stability, monthly OHLC edges, set ops."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from stock_data_pipeline_spark.llm import dedup, text
@@ -49,6 +51,7 @@ def _union_find_oracle(pairs):
     return {v: find(v) for v in parent}
 
 
+@pytest.mark.slow  # 180 s: 60 random graphs through both CC variants (r10 tier split)
 def test_cc_variants_match_union_find_on_random_graphs(spark):
     """Both the to-convergence loop and the fixed-round lazy variant
     must agree with a driver-side union-find on adversarial shapes:

@@ -26,6 +26,9 @@ from stock_data_pipeline_spark.oracle import (
 )
 from stock_data_pipeline_spark.queries import REGISTRY
 
+# Registry-wide sweep (399 tests): slow tier (r10 — see pytest.ini).
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 

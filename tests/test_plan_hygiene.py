@@ -7,6 +7,8 @@ is an extra cluster round-trip before the real query even starts.
 
 from __future__ import annotations
 
+import pytest
+
 from stock_data_pipeline_spark.queries import REGISTRY
 
 SF = "/root/testdata/sf0.001"
@@ -20,6 +22,7 @@ SF = "/root/testdata/sf0.001"
 ITERATIVE = {"q66_dup_clusters", "q122_cluster_canonical", "q265_grid_dbscan", "q295_giant_component"}
 
 
+@pytest.mark.slow  # 122 s: builds all 397 plans under a job-counting listener (r10 tier split)
 def test_plan_construction_triggers_no_jobs(spark):
     tracker = spark.sparkContext.statusTracker()
     before = set(tracker.getJobIdsForGroup(None))

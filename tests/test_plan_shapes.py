@@ -17,6 +17,10 @@ import pytest
 
 from stock_data_pipeline_spark.queries import REGISTRY
 
+# Registry-wide sweep (1191 tests, ~half the old default suite's
+# count): slow tier (r10 — see pytest.ini).
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 
