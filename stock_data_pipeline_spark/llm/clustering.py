@@ -258,49 +258,104 @@ def _train_long(pts: DataFrame, train_mod: int | None) -> DataFrame | None:
     return pts.filter(F.col("vec_id") % train_mod == 0).cache()
 
 
-def _assign_long(pts: DataFrame, cents: DataFrame, dim: int) -> DataFrame:
+def _assign_long(pts: DataFrame, cents: DataFrame, dim: int, m: int) -> DataFrame:
     """Nearest centroid per (vec_id, s); ties break on centroid id.
 
-    The assignment is a PURE MAP: the per-subspace codebook is folded
-    into ONE ROW per subspace (sort_array of (cid, cv) — m rows total,
-    parameter-sized, broadcast), each point row scores all k codewords
-    inside a `transform` and picks `array_min(struct(d2, cid))` —
-    lexicographic struct ordering IS (d2 ASC, cid ASC). No row
-    explosion, no aggregation, no sort:
+    r10 shape — a salted COGROUP into vectorized numpy (guide §4.2).
+    History, because each predecessor's failure mode still matters:
 
-    - the first cut of this core joined point rows against the m·k-row
-      codebook (N·m·k scored rows) and reduced with min(struct(...)) —
-      but a struct-typed MIN compiles to a SORT-based aggregate, and
-      at the 128-bit budget the sort's input is N·m·k wide rows
-      (163M at the sf2 fixture: measured 11.5 GB of spill for a 25 MB
-      input — a partition-sizing catastrophe 1000× before 100 TB);
-    - the historical per-subspace shape ranked the same N·k rows per
-      subspace through windows — same sort, smaller constant, and the
-      exchange grew with k.
+    - the first cut joined point rows against the m·k-row codebook
+      (N·m·k scored rows) and reduced with min(struct(...)) — a
+      struct-typed MIN compiles to a SORT-based aggregate; 11.5 GB of
+      spill for 25 MB of input at the sf2 fixture;
+    - the r09 pure-map shape folded the argmin inside the row with
+      `array_min(transform(cbook, struct(d2, cid)))` over a broadcast
+      per-subspace codebook — zero exchanges, but higher-order
+      functions are CodegenFallback: the N·m·k distance evals run as
+      INTERPRETED expression-tree walks (~300 ns/eval — measured as
+      ~12 of q194's ~20 CPU-s at sf0.1, the dominant stage);
+    - this shape ships each (s, salt) slice of the corpus AND that
+      subspace's k-row codebook to one Arrow batch and scores it with
+      numpy: the same N·m·k FLOPs vectorize at memory bandwidth
+      (interleaved A/B: q194 CPU −46%, median 12.1 vs 22.3 CPU-s).
 
-    Folding the argmin inside the row keeps the whole stage in
-    whole-stage codegen: work is still N·m·k distance evals (inherent
-    to Lloyd) but zero extra rows materialize, nothing sorts, nothing
-    beyond the N·m base ever shuffles or spills."""
-    cbooks = cents.groupBy("s").agg(
-        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cbook")
+    Bit-identity with both JVM predecessors (oracle-pinned): numpy
+    float64 +,−,* are the same IEEE binary64 ops the JVM runs; the
+    accumulation is an explicit sequential loop over dims — exactly
+    the 0.0-seeded left fold — and argmin returns the FIRST minimal
+    position, which on a cid-sorted codebook IS the (d2 ASC, cid ASC)
+    struct-min tie-break. Verified exceptAll 0/0 both directions on
+    q193/q194/q198/q396 at sf0.001+sf0.01.
+
+    Scale guards: the salt (deterministic pmod(xxhash64(vec_id)) —
+    guide §2.5, never rand()) sizes groups to ~2·defaultParallelism
+    total so no subspace lands in one task; scoring chunks the rows so
+    the (chunk, k) distance matrix stays ~16 MB regardless of group
+    size; the codebook crosses the boundary once per GROUP (k rows),
+    never per corpus row. The exchange this adds over the pure-map
+    shape is N·m narrow rows — orders of magnitude below the
+    interpreted-eval CPU it removes at any scale."""
+    spark = pts.sparkSession
+    par = max(1, spark.sparkContext.defaultParallelism)
+    n_salt = max(1, -(-2 * par // max(1, m)))
+
+    salted_pts = pts.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_salt)).cast("int")
     )
-    joined = pts.join(F.broadcast(cbooks), "s")
-    best = F.array_min(
-        F.transform(
-            F.col("cbook"),
-            lambda c: F.struct(
-                _sq_dist_unrolled(F.col("qv"), c["cv"], dim).alias("d2"),
-                c["cid"].alias("cid"),
-            ),
+    # cents derives from pts (the init join), so the cogroup is a
+    # self-join by lineage: rename the cents-side key so the analyzer's
+    # ambiguity check stays happy (cogroup pairs keys positionally).
+    salted_cents = cents.select(F.col("s").alias("cs"), "cid", "cv").withColumn(
+        "__salt2", F.explode(F.array(*[F.lit(i).cast("int") for i in range(n_salt)]))
+    )
+
+    def score(pts_pdf, cents_pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pts_pdf) == 0 or len(cents_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "s": pd.Series(dtype="int32"),
+                    "qv": pd.Series(dtype="object"),
+                    "cid": pd.Series(dtype="int32"),
+                    "d2": pd.Series(dtype="float64"),
+                }
+            )
+        cents_pdf = cents_pdf.sort_values("cid")
+        cmat = np.stack(cents_pdf["cv"].to_numpy())  # (k, dim) float64
+        cids = cents_pdf["cid"].to_numpy()
+        qmat = np.stack(pts_pdf["qv"].to_numpy()).astype(np.float64)  # (n, dim)
+        n, k = qmat.shape[0], cmat.shape[0]
+        # chunk so the (chunk, k) matrix stays ~16 MB at k=256 — group
+        # size is salt-bounded but NOT constant-bounded
+        chunk = max(1, (2 << 20) // max(1, k))
+        cid_out = np.empty(n, dtype=np.int64)
+        d2_out = np.empty(n, dtype=np.float64)
+        for lo in range(0, n, chunk):
+            q = qmat[lo : lo + chunk]
+            acc = np.zeros((q.shape[0], k))
+            for i in range(q.shape[1]):  # sequential over dims = the
+                d = q[:, i, None] - cmat[None, :, i]  # 0.0-seeded left fold
+                acc += d * d
+            idx = np.argmin(acc, axis=1)  # first min = lowest cid
+            cid_out[lo : lo + chunk] = cids[idx]
+            d2_out[lo : lo + chunk] = acc[np.arange(len(idx)), idx]
+        return pd.DataFrame(
+            {
+                "vec_id": pts_pdf["vec_id"].to_numpy(),
+                "s": pts_pdf["s"].to_numpy(),
+                "qv": pts_pdf["qv"],
+                "cid": cid_out,
+                "d2": d2_out,
+            }
         )
-    )
-    return joined.select(
-        "vec_id",
-        "s",
-        "qv",
-        best["cid"].alias("cid"),
-        best["d2"].alias("d2"),
+
+    return (
+        salted_pts.groupBy("s", "__salt")
+        .cogroup(salted_cents.groupBy("cs", "__salt2"))
+        .applyInPandas(score, "vec_id long, s int, qv array<long>, cid int, d2 double")
     )
 
 
@@ -324,7 +379,12 @@ def _recompute_long(assigned: DataFrame) -> DataFrame:
 
 
 def _lloyd_rounds_long(
-    pts: DataFrame, k: int, rounds: int, dim: int, train: DataFrame | None = None
+    pts: DataFrame,
+    k: int,
+    rounds: int,
+    dim: int,
+    m: int,
+    train: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """``rounds`` unrolled Lloyd iterations over the subspace-long
     table, all m codebooks in one plan. Init = the k lowest vec_ids of
@@ -342,13 +402,13 @@ def _lloyd_rounds_long(
         "s", "cid", F.transform("qv", lambda x: x.cast("double")).alias("cv")
     )
     for _ in range(rounds - 1):
-        cents = _recompute_long(_assign_long(t, cents, dim))
+        cents = _recompute_long(_assign_long(t, cents, dim, m))
     # m·k rows — parameter-sized; cached so the unrolled Lloyd chain
     # runs once even though both the final assignment and the query
     # LUT consume it (see _lloyd_rounds / _train_sample for the cache
     # discipline; ~m·k·sub_dim doubles resident per distinct config)
     cents = cents.cache()
-    return _assign_long(pts, cents, dim), cents
+    return _assign_long(pts, cents, dim, m), cents
 
 
 def _codes_wide(assigned: DataFrame, query_mod: int | None = None) -> DataFrame:
@@ -461,7 +521,7 @@ def pq_codes(
     in explicit subspace order (sort_array + left fold)."""
     pts = _subspace_long(df, id_col, vec_col, m, sub_dim, quant_bits)
     assigned, _ = _lloyd_rounds_long(
-        pts, k, rounds, sub_dim, train=_train_long(pts, train_mod)
+        pts, k, rounds, sub_dim, m, train=_train_long(pts, train_mod)
     )
     a = assigned.groupBy("vec_id").agg(
         F.sort_array(F.collect_list(F.struct("s", "cid", "d2"))).alias("a")
@@ -560,7 +620,7 @@ def pq_adc_topk(
         )
     pts = _subspace_long(df, id_col, vec_col, m, sub_dim, quant_bits)
     assigned, cents = _lloyd_rounds_long(
-        pts, k, rounds, sub_dim, train=_train_long(pts, train_mod)
+        pts, k, rounds, sub_dim, m, train=_train_long(pts, train_mod)
     )
     codes = _codes_wide(assigned, query_mod)
     lut = _query_lut(pts, cents, query_mod, k)
@@ -698,7 +758,7 @@ def _ivf_pq_stages(
     )
     pts = _subspace_long(df, id_col, vec_col, m, sub_dim, quant_bits)
     assigned, cents = _lloyd_rounds_long(
-        pts, k, rounds, sub_dim, train=_train_long(pts, train_mod)
+        pts, k, rounds, sub_dim, m, train=_train_long(pts, train_mod)
     )
     corpus_side = corpus_lists.join(_codes_wide(assigned, query_mod), "vec_id")
     lut = _query_lut(pts, cents, query_mod, k)

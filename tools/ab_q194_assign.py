@@ -1,4 +1,6 @@
-"""A/B the PQ assignment argmin shape (r10 VERDICT item 5): shipped
+"""[r10 historical record - the shipped assignment is now the cogroup
+shape in tools/ab_q194_cogroup.py; struct_min here is the r09 HOF via
+that tool] A/B the PQ assignment argmin shape (r10 VERDICT item 5): shipped
 _assign_long materializes k=256 struct(d2, cid) per (vec_id, s) row and
 array_min's the structs; the candidate computes a doubles-only distance
 array and picks the winner with array_position(ds, array_min(ds)) -
@@ -18,10 +20,10 @@ from stock_data_pipeline_spark.llm import clustering
 from stock_data_pipeline_spark.llm.clustering import _sq_dist_unrolled
 from stock_data_pipeline_spark.queries import REGISTRY
 
-_SHIPPED = clustering._assign_long
+from tools.ab_q194_cogroup import assign_hof as _SHIPPED  # r09 HOF shape
 
 
-def assign_two_pass(pts: DataFrame, cents: DataFrame, dim: int) -> DataFrame:
+def assign_two_pass(pts: DataFrame, cents: DataFrame, dim: int, m: int) -> DataFrame:
     cbooks = cents.groupBy("s").agg(
         F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cbook")
     )
@@ -48,6 +50,40 @@ def assign_two_pass(pts: DataFrame, cents: DataFrame, dim: int) -> DataFrame:
     )
 
 
+def assign_zipfold(pts: DataFrame, cents: DataFrame, dim: int, m: int) -> DataFrame:
+    """Same struct-min argmin, but the distance is an explicit
+    zip_with diff + square-fold: (a-b) is computed ONCE per dim (the
+    unrolled form's `(a-b)*(a-b)` duplicates the subtraction subtree,
+    and interpreted HOF eval walks both copies). Fold order identical:
+    0.0 + d1^2 + d2^2 + ... left to right."""
+    cbooks = cents.groupBy("s").agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cbook")
+    )
+    joined = pts.join(F.broadcast(cbooks), "s")
+    best = F.array_min(
+        F.transform(
+            F.col("cbook"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"), c["cv"], lambda a, b: a.cast("double") - b
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                ).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return joined.select(
+        "vec_id",
+        "s",
+        "qv",
+        best["cid"].alias("cid"),
+        best["d2"].alias("d2"),
+    )
+
+
 def build(spark, sf_dir):
     fn = REGISTRY["q194_pq_adc_topk"].fn
 
@@ -62,4 +98,15 @@ def build(spark, sf_dir):
         finally:
             clustering._assign_long = _SHIPPED
 
-    return {"struct_min": run_shipped, "two_pass": run_two_pass}
+    def run_zipfold():
+        clustering._assign_long = assign_zipfold
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        finally:
+            clustering._assign_long = _SHIPPED
+
+    return {
+        "struct_min": run_shipped,
+        "two_pass": run_two_pass,
+        "zipfold": run_zipfold,
+    }
